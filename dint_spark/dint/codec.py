@@ -1,0 +1,517 @@
+"""DINT block codec + binary interpolative fallback, numpy-vectorized.
+
+Block/stream layout (semantic parity with the reference, new implementation):
+
+* A posting list of n docIDs is split into ceil(n/256) blocks of 256
+  (tail smaller). Docs are delta-gapped ``g[i] = d[i] - d[i-1] - 1`` (the
+  first gap is relative to the previous block's last docID + 1, initial
+  "previous" is -1); freqs are stored as ``f - 1``.
+  (ref: include/dint/dict_posting_list.hpp:31-55)
+* A full 256-gap block is a stream of u16 codewords:
+    - code 0: 2-byte exception -> next u16 is the literal value
+    - code 1: 4-byte exception -> next two u16 are the literal u32 (LE)
+    - codes 2..6: runs of 256/128/64/32/16 zeros
+    - codes >= 7: dictionary entries (1..16 ints each)
+  (ref: include/dint/dint_codecs.hpp:9-50, dint_configuration.hpp)
+* Blocks shorter than 256 use binary interpolative coding of the prefix
+  sums (ref: include/ds2i/block_codecs.hpp:104-152,
+  include/ds2i/interpolative_coding.hpp).
+
+Encoding offers the reference's two parsers: greedy longest-match and the
+optimal shortest-path DP over codeword costs (1 per codeword, 2 per small /
+3 per large exception) (ref: include/dint/dint_codecs.hpp:52-283).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EXCEPTIONS = 2
+NUM_RUNS = 5  # runs of 256, 128, 64, 32, 16 zeros -> codes 2..6
+RESERVED = EXCEPTIONS + NUM_RUNS  # 7
+BLOCK_SIZE = 256
+MAX_ENTRY_SIZE = 16
+NUM_ENTRIES = 65536
+TARGET_SIZES = (16, 8, 4, 2, 1)
+RUN_LENS = (256, 128, 64, 32, 16)  # code 2 + i decodes RUN_LENS[i] zeros
+
+_U16 = np.dtype("<u2")
+_U32 = np.dtype("<u4")
+
+
+# --------------------------------------------------------------------------
+# bit-level primitives for binary interpolative coding (BIC)
+# --------------------------------------------------------------------------
+
+class BitWriter:
+    """LSB-first bit packer over little-endian u32 words (matches the
+    reference's bit_writer so bpi accounting is comparable)."""
+
+    __slots__ = ("_acc", "_nbits")
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, bits: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc |= (bits & ((1 << length) - 1)) << self._nbits
+        self._nbits += length
+
+    def write_int(self, val: int, u: int) -> None:
+        """Centered minimal binary code of val in [0, u)."""
+        b = u.bit_length() - 1  # msb(u)
+        m = (1 << (b + 1)) - u
+        if val < m:
+            self.write(val, b)
+        else:
+            val += m
+            self.write(val >> 1, b)
+            self.write(val & 1, 1)
+
+    def write_interpolative(self, arr, begin: int, n: int,
+                            low: int, high: int) -> None:
+        """Recursive midpoint-first emission (depth is O(log n) because the
+        ranges halve)."""
+        if n <= 0:
+            return
+        h = n // 2
+        val = int(arr[begin + h])
+        self.write_int(val - low, high - low + 1)
+        self.write_interpolative(arr, begin, h, low, val)
+        self.write_interpolative(arr, begin + h + 1, n - h - 1, val, high)
+
+    def getvalue(self) -> bytes:
+        nbytes = (self._nbits + 7) // 8
+        return self._acc.to_bytes(nbytes, "little") if nbytes else b""
+
+
+class BitReader:
+    __slots__ = ("_acc", "_pos", "_nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self._acc = int.from_bytes(data, "little")
+        self._pos = 0
+        self._nbits = len(data) * 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        val = (self._acc >> self._pos) & ((1 << length) - 1)
+        self._pos += length
+        return val
+
+    def read_int(self, u: int) -> int:
+        b = u.bit_length() - 1
+        m = (1 << (b + 1)) - u
+        val = self.read(b)
+        if val >= m:
+            val = (val << 1) + self.read(1) - m
+        return val
+
+    def read_interpolative(self, out: np.ndarray, begin: int, n: int,
+                           low: int, high: int) -> None:
+        if n <= 0:
+            return
+        h = n // 2
+        val = self.read_int(high - low + 1) + low
+        out[begin + h] = val
+        self.read_interpolative(out, begin, h, low, val)
+        self.read_interpolative(out, begin + h + 1, n - h - 1, val, high)
+
+    def bytes_consumed(self) -> int:
+        return (self._pos + 7) // 8
+
+
+def _vbyte_encode_single(val: int) -> bytes:
+    """TightVariableByte: 7 data bits per byte, stop bit (0x80) on last.
+    (ref: include/ds2i/block_codecs.hpp:20-60)"""
+    out = bytearray()
+    while True:
+        if val < 0x80:
+            out.append(val | 0x80)
+            return bytes(out)
+        out.append(val & 0x7F)
+        val >>= 7
+
+
+def _vbyte_decode_single(data: bytes, pos: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def bic_encode(vals: np.ndarray, sum_of_values: int) -> bytes:
+    """Interpolative-encode a short block. ``sum_of_values`` is the known
+    sum of the values, or -1 when unknown (then it is vbyte-prefixed),
+    exactly like interpolative_block::encode."""
+    n = len(vals)
+    prefix = np.cumsum(vals.astype(np.int64))
+    out = bytearray()
+    if sum_of_values < 0:
+        sum_of_values = int(prefix[-1])
+        out += _vbyte_encode_single(sum_of_values)
+    bw = BitWriter()
+    bw.write_interpolative(prefix, 0, n - 1, 0, sum_of_values)
+    out += bw.getvalue()
+    return bytes(out)
+
+
+def bic_decode(data: bytes, pos: int, n: int, sum_of_values: int
+               ) -> tuple[np.ndarray, int]:
+    if sum_of_values < 0:
+        sum_of_values, pos = _vbyte_decode_single(data, pos)
+    out = np.empty(n, dtype=np.int64)
+    out[n - 1] = sum_of_values
+    if n > 1:
+        br = BitReader(data[pos:])
+        br.read_interpolative(out, 0, n - 1, 0, sum_of_values)
+        pos += br.bytes_consumed()
+        out[1:] -= out[:-1].copy()
+    return out.astype(np.uint32), pos
+
+
+# --------------------------------------------------------------------------
+# DINT block encode
+# --------------------------------------------------------------------------
+
+def _zero_run_lengths(vals: np.ndarray) -> np.ndarray:
+    """run[i] = number of consecutive zeros starting at i (0 if vals[i]!=0)."""
+    n = len(vals)
+    run = np.zeros(n + 1, dtype=np.int64)
+    # vectorized: distance to next nonzero
+    idx_nonzero = np.flatnonzero(vals != 0)
+    boundaries = np.concatenate([idx_nonzero, [n]])
+    # for each position, next nonzero at or after it:
+    nxt = boundaries[np.searchsorted(boundaries, np.arange(n), side="left")]
+    run[:n] = nxt - np.arange(n)
+    run[idx_nonzero] = 0
+    return run[:n]
+
+
+def _match_codes(vals: np.ndarray, encode_map: dict, n: int) -> dict[int, np.ndarray]:
+    """For each target size s, code of the dictionary pattern equal to
+    vals[i:i+s] for every start i (or -1). Bulk lookup via byte views."""
+    raw = np.ascontiguousarray(vals, dtype=_U32).tobytes()
+    out: dict[int, np.ndarray] = {}
+    for s in TARGET_SIZES:
+        codes = np.full(n, -1, dtype=np.int64)
+        if n >= s:
+            get = encode_map.get
+            width = 4 * s
+            codes_list = [get(raw[4 * i: 4 * i + width], -1)
+                          for i in range(n - s + 1)]
+            codes[: n - s + 1] = codes_list
+        out[s] = codes
+    return out
+
+
+def encode_block_dint(vals: np.ndarray, encode_map: dict,
+                      optimal: bool = True) -> bytes:
+    """Encode one full 256-int block (or, per reference semantics, any
+    length when used for tails of pattern matching) as a u16 codeword
+    stream."""
+    n = len(vals)
+    vals = np.ascontiguousarray(vals, dtype=_U32)
+    runs = _zero_run_lengths(vals)
+    matches = _match_codes(vals, encode_map, n)
+    raw = vals.tobytes()
+
+    if not optimal:
+        return _greedy_parse(vals, runs, matches, encode_map, raw, n)
+    return _optimal_parse(vals, runs, matches, encode_map, raw, n)
+
+
+def _emit_codeword(out: bytearray, code: int) -> None:
+    out += int(code).to_bytes(2, "little")
+
+
+def _emit_exception(out: bytearray, val: int) -> None:
+    if val < 65536:
+        out += b"\x00\x00"
+        out += int(val).to_bytes(2, "little")
+    else:
+        out += b"\x01\x00"
+        out += int(val).to_bytes(4, "little")
+
+
+def _greedy_parse(vals, runs, matches, encode_map, raw, n) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < n:
+        rl = runs[pos]
+        if rl >= 16:
+            k = 256
+            code = EXCEPTIONS
+            while rl < k and k > 16:
+                code += 1
+                k //= 2
+            _emit_codeword(out, code)
+            pos += k
+            continue
+        emitted = False
+        for s in TARGET_SIZES:
+            length = min(s, n - pos)
+            if length == s:
+                code = matches[s][pos]
+            else:
+                code = encode_map.get(raw[4 * pos: 4 * (pos + length)], -1)
+            if code >= 0:
+                _emit_codeword(out, code)
+                pos += length
+                emitted = True
+                break
+        if not emitted:
+            _emit_exception(out, int(vals[pos]))
+            pos += 1
+    return bytes(out)
+
+
+def _optimal_parse(vals, runs, matches, encode_map, raw, n) -> bytes:
+    """Shortest-path DP: cost 1 per codeword, 2 per small exception, 3 per
+    large (u16 units). (ref: include/dint/dint_codecs.hpp:141-255)"""
+    INF = 1 << 60
+    cost = [INF] * (n + 1)
+    parent = [0] * (n + 1)
+    codeword = [-1] * (n + 1)
+    cost[0] = 0
+
+    match_lists = [(s, matches[s].tolist()) for s in TARGET_SIZES]
+    runs_l = runs.tolist()
+    vals_l = vals.tolist()
+
+    for i in range(n):
+        ci = cost[i]
+        if ci >= INF:
+            continue
+        rl = runs_l[i]
+        if rl >= 16:
+            k = 256
+            code = EXCEPTIONS
+            while rl < k and k > 16:
+                k //= 2
+                code += 1
+            while k >= 16:
+                j = i + k
+                if j <= n and cost[j] > ci + 1:
+                    cost[j] = ci + 1
+                    parent[j] = i
+                    codeword[j] = code
+                k //= 2
+                code += 1
+        rem = n - i
+        for s, ms in match_lists:
+            if s <= rem:
+                code = ms[i]
+                length = s
+            else:
+                length = rem
+                code = encode_map.get(raw[4 * i: 4 * (i + length)], -1)
+            if code >= 0:
+                j = i + length
+                if cost[j] > ci + 1:
+                    cost[j] = ci + 1
+                    parent[j] = i
+                    codeword[j] = code
+            elif s == 1:
+                v = vals_l[i]
+                c = ci + (3 if v >= 65536 else 2)
+                if cost[i + 1] > c:
+                    cost[i + 1] = c
+                    parent[i + 1] = i
+                    codeword[i + 1] = 1 if v >= 65536 else 0
+
+    # backtrack
+    path = []
+    i = n
+    while i != 0:
+        path.append((parent[i], codeword[i]))
+        i = parent[i]
+    path.reverse()
+
+    out = bytearray()
+    for start, code in path:
+        if code > 1:
+            _emit_codeword(out, int(code))
+        else:
+            _emit_exception(out, int(vals[start]))
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# DINT block decode (vectorized gather over the rectangular dict layout)
+# --------------------------------------------------------------------------
+
+def decode_block_dint(data: bytes, pos: int, n: int, table2d: np.ndarray,
+                      sizes: np.ndarray) -> tuple[np.ndarray, int]:
+    """Decode n ints from a u16 codeword stream starting at byte ``pos``.
+
+    Fully vectorized when the stream has no exceptions; otherwise the stream
+    is processed as vectorized spans between (rare) exception codewords.
+    """
+    # upper bound on u16 slots: every int could be a large exception (3 slots)
+    max_slots = min((len(data) - pos) // 2, 3 * n + 4)
+    codes = np.frombuffer(data, dtype=_U16, count=max_slots, offset=pos)
+
+    out = np.zeros(n + BLOCK_SIZE + MAX_ENTRY_SIZE, dtype=np.uint32)
+    produced = 0
+    slot = 0
+    csizes = sizes[codes.astype(np.int64) % len(sizes)]  # size per slot IF codeword
+    exc_positions = np.flatnonzero(codes < EXCEPTIONS)
+
+    ep = 0  # index into exc_positions
+    while produced < n:
+        # next exception slot at/after `slot`
+        while ep < len(exc_positions) and exc_positions[ep] < slot:
+            ep += 1
+        nxt = exc_positions[ep] if ep < len(exc_positions) else max_slots
+
+        if nxt > slot:
+            # vectorized span of pure codewords in [slot, nxt)
+            span = codes[slot:nxt].astype(np.int64)
+            ssz = csizes[slot:nxt].astype(np.int64)
+            cum = np.cumsum(ssz)
+            need = n - produced
+            # how many codewords until we have decoded `need` ints
+            k = int(np.searchsorted(cum, need, side="left")) + 1
+            k = min(k, len(span))
+            span = span[:k]
+            ssz = ssz[:k]
+            total = int(ssz.sum())
+            seg = np.zeros(total, dtype=np.uint32)
+            # dictionary entries (code >= RESERVED): gather rows; runs decode
+            # to zeros and need no write
+            dict_mask = span >= RESERVED
+            if dict_mask.any():
+                dspan = span[dict_mask]
+                dsz = ssz[dict_mask]
+                offs = np.concatenate([[0], np.cumsum(ssz)])[:-1][dict_mask]
+                gathered = table2d[dspan]  # (k, 16)
+                colmask = np.arange(MAX_ENTRY_SIZE)[None, :] < dsz[:, None]
+                flat_targets = (offs[:, None] + np.arange(MAX_ENTRY_SIZE)[None, :])[colmask]
+                seg[flat_targets] = gathered[colmask]
+            out[produced: produced + total] = seg
+            produced += total
+            slot += k
+        else:
+            # exception at `nxt`
+            code = int(codes[nxt])
+            if code == 1:
+                val = int(codes[nxt + 1]) | (int(codes[nxt + 2]) << 16)
+                slot = nxt + 3
+            else:
+                val = int(codes[nxt + 1])
+                slot = nxt + 2
+            out[produced] = val
+            produced += 1
+
+    return out[:n], pos + 2 * slot
+
+
+def encode_block(vals: np.ndarray, sum_of_values: int, encode_map: dict,
+                 optimal: bool = True) -> bytes:
+    """Reference Coder::encode semantics: blocks shorter than 256 use BIC."""
+    if len(vals) < BLOCK_SIZE:
+        return bic_encode(np.asarray(vals, dtype=np.uint32), sum_of_values)
+    return encode_block_dint(np.asarray(vals, dtype=np.uint32), encode_map,
+                             optimal=optimal)
+
+
+def decode_block(data: bytes, pos: int, n: int, sum_of_values: int,
+                 table2d: np.ndarray, sizes: np.ndarray
+                 ) -> tuple[np.ndarray, int]:
+    if n < BLOCK_SIZE:
+        return bic_decode(data, pos, n, sum_of_values)
+    return decode_block_dint(data, pos, n, table2d, sizes)
+
+
+# --------------------------------------------------------------------------
+# posting-list level encode/decode
+# --------------------------------------------------------------------------
+
+def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
+                optimal: bool = True
+                ) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one posting list.
+
+    Returns (payload, block_maxs, endpoints, freq_offsets) where endpoints[b]
+    is the byte offset of block b's docs stream in payload and freq_offsets[b]
+    the offset of its freqs stream (enables lazy frequency decoding, ref
+    dict_posting_list.hpp:164-169,311-318).
+    (ref layout: include/dint/dict_posting_list.hpp:10-56)
+    """
+    n = len(docs)
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    payload = bytearray()
+    block_maxs = np.empty(nblocks, dtype=np.int64)
+    endpoints = np.empty(nblocks, dtype=np.int64)
+    freq_offsets = np.empty(nblocks, dtype=np.int64)
+
+    prev = -1
+    for b in range(nblocks):
+        lo = b * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, n)
+        block_docs = docs[lo:hi]
+        gaps = np.diff(block_docs, prepend=prev) - 1
+        last = int(block_docs[-1])
+        block_base = prev + 1
+        gaps_universe = last - block_base - (hi - lo - 1)  # sum of gaps
+        endpoints[b] = len(payload)
+        payload += encode_block(gaps.astype(np.uint32), gaps_universe,
+                                docs_dict.encode_map, optimal=optimal)
+        freq_offsets[b] = len(payload)
+        payload += encode_block((freqs[lo:hi] - 1).astype(np.uint32), -1,
+                                freqs_dict.encode_map, optimal=optimal)
+        block_maxs[b] = last
+        prev = last
+
+    return bytes(payload), block_maxs, endpoints, freq_offsets
+
+
+def decode_docs_block(payload: bytes, b: int, n: int, block_maxs: np.ndarray,
+                      endpoints: np.ndarray, docs_table, docs_sizes
+                      ) -> tuple[np.ndarray, int]:
+    """Decode block b's docIDs. Returns (docids, end_of_docs_byte_pos)."""
+    lo = b * BLOCK_SIZE
+    hi = min(lo + BLOCK_SIZE, n)
+    m = hi - lo
+    base = (int(block_maxs[b - 1]) + 1) if b > 0 else 0
+    universe = int(block_maxs[b]) - base - (m - 1)
+    gaps, pos = decode_block(payload, int(endpoints[b]), m, universe,
+                             docs_table, docs_sizes)
+    docids = base - 1 + np.cumsum(gaps.astype(np.int64) + 1)
+    return docids, pos
+
+
+def decode_freqs_block(payload: bytes, pos: int, m: int, freqs_table,
+                       freqs_sizes) -> np.ndarray:
+    fvals, _ = decode_block(payload, pos, m, -1, freqs_table, freqs_sizes)
+    return fvals.astype(np.int64) + 1
+
+
+def decode_list(payload: bytes, n: int, block_maxs: np.ndarray,
+                endpoints: np.ndarray, docs_dict, freqs_dict
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Full-list decode (the vroom decode benchmark protocol + check_index)."""
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    docs_out = np.empty(n, dtype=np.int64)
+    freqs_out = np.empty(n, dtype=np.int64)
+    for b in range(nblocks):
+        lo = b * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, n)
+        docids, pos = decode_docs_block(payload, b, n, block_maxs, endpoints,
+                                        docs_dict.table2d, docs_dict.sizes)
+        docs_out[lo:hi] = docids
+        freqs_out[lo:hi] = decode_freqs_block(payload, pos, hi - lo,
+                                              freqs_dict.table2d,
+                                              freqs_dict.sizes)
+    return docs_out, freqs_out

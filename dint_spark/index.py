@@ -1,0 +1,336 @@
+"""End-to-end index build + load, resumable from per-bucket checkpoints.
+
+Pipeline (one line per Spark action / checkpoint):
+
+  pages --tokenize+doc_ids--> docs            (checkpoint: doclens, vocab)
+  docs  --explode+agg+salt--> postings        (checkpoint: postings.parquet)
+  postings --stats job-->     DINT dicts      (checkpoint: dict_*.npz)
+  postings --encode UDF-->    segments        (checkpoint: segments/bucket=K)
+
+Every checkpoint is keyed into manifest.json with lineage (config hash,
+input tag, per-bucket compression metrics), mirroring the reference's
+create_or_load memoization (include/dint/block_statistics.hpp:26-43,
+dict_freq_index.hpp:139-161) and satisfying the north rule's
+resumable-with-lineage requirement. Re-running build_index on a partial
+index completes only the missing buckets.
+
+Segments are globally sorted, term-range-partitioned parquet: bucket K holds
+terms [K*terms_per_bucket, (K+1)*terms_per_bucket); within a bucket files are
+sorted by term_id (repartitionByRange + sortWithinPartitions = the sort-merge
+shuffle of the north rule; parquet min/max stats give term_id pushdown, which
+replaces the reference's Elias-Fano endpoint index, dict_freq_index.hpp:97-100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import hashlib
+from dataclasses import dataclass, asdict
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dint_spark.bm25 import BM25
+from dint_spark.dint.codec import encode_list
+from dint_spark.dint.dictionary import DintDictionary
+from dint_spark.dint.stats import learn_dictionaries
+from dint_spark.postings import DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs
+from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
+
+SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("block_maxs", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_scores", T.ArrayType(T.FloatType()), False),
+        T.StructField("endpoints", T.ArrayType(T.LongType()), False),
+        T.StructField("freq_offsets", T.ArrayType(T.LongType()), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("max_weight", T.FloatType(), False),
+        T.StructField("docs_bytes", T.LongType(), False),
+        T.StructField("freqs_bytes", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class IndexConfig:
+    optimal_parse: bool = True
+    skew_chunk: int = DEFAULT_SKEW_CHUNK
+    num_buckets: int = 8
+    tokenizer_version: str = "nfc-lower-alnum-v1"
+    input_tag: str = ""
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs_dict = docs_dict_bc.value
+        freqs_dict = freqs_dict_bc.value
+        avg = np.float32(avg_len)
+        for pdf in batches:
+            out_rows = []
+            for term_id, docs, freqs, lens in zip(
+                pdf["term_id"], pdf["doc_ids"], pdf["freqs"], pdf["lens"]
+            ):
+                docs = np.asarray(docs, dtype=np.int64)
+                freqs = np.asarray(freqs, dtype=np.int64)
+                norm = np.asarray(lens, dtype=np.float32) / avg
+                payload, bmax, endp, foff = encode_list(
+                    docs, freqs, docs_dict, freqs_dict, optimal=optimal
+                )
+                weights = BM25.doc_term_weight(freqs, norm)
+                nblocks = len(bmax)
+                bms = np.zeros(nblocks, dtype=np.float32)
+                for b in range(nblocks):
+                    bms[b] = weights[b * 256: (b + 1) * 256].max()
+                docs_bytes = int((foff - endp).sum())
+                out_rows.append(
+                    (
+                        int(term_id),
+                        len(docs),
+                        bmax.tolist(),
+                        bms.tolist(),
+                        endp.tolist(),
+                        foff.tolist(),
+                        payload,
+                        float(weights.max()),
+                        docs_bytes,
+                        len(payload) - docs_bytes,
+                    )
+                )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[f.name for f in SEGMENTS_SCHEMA.fields],
+                )
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    config: IndexConfig | None = None,
+) -> "Index":
+    """Build (or resume building) the index at out_dir."""
+    config = config or IndexConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = _read_json(manifest_path) if os.path.exists(manifest_path) else {
+        "config": asdict(config),
+        "config_hash": config.config_hash(),
+        "steps": {},
+        "buckets": {},
+    }
+    if manifest["config_hash"] != config.config_hash():
+        raise ValueError(
+            f"index at {out_dir} was built with a different config "
+            f"({manifest['config_hash']} != {config.config_hash()}); "
+            "use a fresh out_dir"
+        )
+
+    def done(step: str) -> bool:
+        return step in manifest["steps"]
+
+    def mark(step: str, **meta) -> None:
+        manifest["steps"][step] = {"ts": time.time(), **meta}
+        _atomic_write_json(manifest_path, manifest)
+
+    t0 = time.time()
+    doclens_path = os.path.join(out_dir, "doclens.parquet")
+    vocab_path = os.path.join(out_dir, "vocab.parquet")
+    postings_path = os.path.join(out_dir, "postings.parquet")
+
+    # -- step 1: tokenize + ids + doclens + vocab ---------------------------
+    if not done("corpus"):
+        docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
+        docs = docs.persist()
+        dl = doclens(docs)
+        dl.write.mode("overwrite").parquet(doclens_path)
+        vocab = build_vocab(docs)
+        vocab.write.mode("overwrite").parquet(vocab_path)
+        # -- step 2: postings (the shuffle core), term-sorted checkpoint ----
+        dl2 = spark.read.parquet(doclens_path)
+        vocab2 = spark.read.parquet(vocab_path)
+        tdf = term_doc_freqs(docs, vocab2)
+        postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk)
+        (
+            postings.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, config.num_buckets),
+                "term_id",
+            )
+            .sortWithinPartitions("term_id")
+            .write.mode("overwrite")
+            .parquet(postings_path)
+        )
+        docs.unpersist()
+        mark("corpus", wall_s=time.time() - t0)
+
+    dl = spark.read.parquet(doclens_path)
+    agg = dl.agg(
+        F.count("*").alias("n"), F.sum("len").alias("s"), F.max("doc_id").alias("m")
+    ).collect()[0]
+    num_docs = agg["n"]
+    avg_len = float(np.float32(agg["s"] / num_docs))
+    postings = spark.read.parquet(postings_path)
+
+    # -- step 3: learn DINT dictionaries (create_or_load semantics) ---------
+    dict_docs_path = os.path.join(out_dir, "dict_docs.npz")
+    dict_freqs_path = os.path.join(out_dir, "dict_freqs.npz")
+    if not done("dicts"):
+        t1 = time.time()
+        docs_dict, freqs_dict, info = learn_dictionaries(postings)
+        with open(dict_docs_path, "wb") as f:
+            f.write(docs_dict.to_bytes())
+        with open(dict_freqs_path, "wb") as f:
+            f.write(freqs_dict.to_bytes())
+        mark("dicts", wall_s=time.time() - t1, **info)
+    with open(dict_docs_path, "rb") as f:
+        docs_dict = DintDictionary.from_bytes(f.read())
+    with open(dict_freqs_path, "rb") as f:
+        freqs_dict = DintDictionary.from_bytes(f.read())
+
+    # -- step 4: encode per term-range bucket (resumable) -------------------
+    num_terms = spark.read.parquet(vocab_path).count()
+    terms_per_bucket = max(1, -(-num_terms // config.num_buckets))
+    docs_bc = spark.sparkContext.broadcast(docs_dict)
+    freqs_bc = spark.sparkContext.broadcast(freqs_dict)
+    encode_udf = make_encode_udf(docs_bc, freqs_bc, avg_len, config.optimal_parse)
+
+    for bucket in range(config.num_buckets):
+        key = str(bucket)
+        if key in manifest["buckets"]:
+            continue
+        tb = time.time()
+        lo = bucket * terms_per_bucket
+        hi = lo + terms_per_bucket
+        seg_path = os.path.join(out_dir, "segments", f"bucket={bucket}")
+        part = postings.where((F.col("term_id") >= lo) & (F.col("term_id") < hi))
+        segs = (
+            part.select("term_id", "doc_ids", "freqs", "lens")
+            .mapInPandas(encode_udf, schema=SEGMENTS_SCHEMA)
+        )
+        segs.write.mode("overwrite").parquet(seg_path)
+        m = (
+            spark.read.parquet(seg_path)
+            .agg(
+                F.count("*").alias("lists"),
+                F.sum("n").alias("postings"),
+                F.sum("docs_bytes").alias("docs_bytes"),
+                F.sum("freqs_bytes").alias("freqs_bytes"),
+            )
+            .collect()[0]
+        )
+        postings_count = m["postings"] or 0
+        manifest["buckets"][key] = {
+            "term_lo": lo,
+            "term_hi": hi,
+            "lists": m["lists"],
+            "postings": int(postings_count),
+            "docs_bytes": int(m["docs_bytes"] or 0),
+            "freqs_bytes": int(m["freqs_bytes"] or 0),
+            "docs_bpi": (m["docs_bytes"] or 0) * 8 / max(postings_count, 1),
+            "freqs_bpi": (m["freqs_bytes"] or 0) * 8 / max(postings_count, 1),
+            "wall_s": time.time() - tb,
+            "lineage": {
+                "config_hash": config.config_hash(),
+                "dict_docs": docs_dict.content_hash(),
+                "dict_freqs": freqs_dict.content_hash(),
+                "input_tag": config.input_tag,
+            },
+        }
+        _atomic_write_json(manifest_path, manifest)
+
+    if "meta" not in manifest["steps"]:
+        mark(
+            "meta",
+            num_docs=int(num_docs),
+            num_terms=int(num_terms),
+            avg_len=avg_len,
+            total_wall_s=time.time() - t0,
+        )
+    return load_index(spark, out_dir)
+
+
+class Index:
+    """Loaded index handle: lazy segments DataFrame + driver-side wand data
+    (norm_lens float32[N] — the reference's wand_data, wand_data.hpp:20-53)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.dir = out_dir
+        self.manifest = _read_json(os.path.join(out_dir, "manifest.json"))
+        meta = self.manifest["steps"]["meta"]
+        self.num_docs = meta["num_docs"]
+        self.num_terms = meta["num_terms"]
+        self.avg_len = meta["avg_len"]
+        with open(os.path.join(out_dir, "dict_docs.npz"), "rb") as f:
+            self.docs_dict = DintDictionary.from_bytes(f.read())
+        with open(os.path.join(out_dir, "dict_freqs.npz"), "rb") as f:
+            self.freqs_dict = DintDictionary.from_bytes(f.read())
+        self._norm_lens = None
+        self._vocab_map = None
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "segments"))
+
+    @property
+    def norm_lens(self) -> np.ndarray:
+        if self._norm_lens is None:
+            pdf = (
+                self.spark.read.parquet(os.path.join(self.dir, "doclens.parquet"))
+                .toPandas()
+            )
+            lens = np.zeros(self.num_docs, dtype=np.float32)
+            lens[pdf["doc_id"].to_numpy()] = pdf["len"].to_numpy()
+            self._norm_lens = lens / np.float32(self.avg_len)
+        return self._norm_lens
+
+    def vocab(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "vocab.parquet"))
+
+    def term_ids(self, words: list[str]) -> dict[str, int]:
+        if self._vocab_map is None:
+            pdf = self.vocab().select("term", "term_id").toPandas()
+            self._vocab_map = dict(zip(pdf["term"], pdf["term_id"]))
+        return {w: self._vocab_map[w] for w in words if w in self._vocab_map}
+
+    def metrics(self) -> dict:
+        b = self.manifest["buckets"]
+        postings = sum(v["postings"] for v in b.values())
+        return {
+            "postings": postings,
+            "docs_bpi": sum(v["docs_bytes"] for v in b.values()) * 8 / max(postings, 1),
+            "freqs_bpi": sum(v["freqs_bytes"] for v in b.values()) * 8 / max(postings, 1),
+            "num_docs": self.num_docs,
+            "num_terms": self.num_terms,
+        }
+
+
+def load_index(spark: SparkSession, out_dir: str) -> Index:
+    return Index(spark, out_dir)

@@ -1,0 +1,481 @@
+"""Query-time retrieval kernels over DINT-compressed segments.
+
+Single-list cursor (= the reference's document_enumerator,
+include/dint/dict_posting_list.hpp:88-342) with lazy per-block decode, plus
+the reference's DAAT operators (include/ds2i/queries.hpp):
+
+  and/or             boolean leapfrog intersection / k-way union (34-130)
+  ranked_or          exhaustive DAAT scoring — the oracle slice (387-457)
+  ranked_and         intersection + scoring (309-385)
+  wand               pivot-based threshold pruning (190-307)
+  block_max_wand     WAND + per-block max-score upper bounds (our extension
+                     of Q13 using the segments' block_max_scores metadata;
+                     the north rule's required operator)
+  maxscore           essential/non-essential list split (459-573)
+
+All scoring is float32 in the reference's accumulation order (cursor list
+sorted by term_id for ranked_or/ranked_and; by docid for WAND), with the
+topk queue's strict `>` insertion (queries.hpp:150-188), so every optimized
+operator reproduces ranked_or's top-k (doc_id, score) exactly. A float64
+mode exists for cross-checking against SQL oracles.
+
+Distributed execution: queries x segments are joined on term_id (parquet
+term_id pushdown prunes the scan), then one applyInPandas group per query
+runs the kernel; per-query top-k rows come back — the executor->driver
+traffic is k rows per query, mirroring the reference's q/s protocol.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dint_spark.bm25 import BM25
+from dint_spark.dint.codec import BLOCK_SIZE, decode_block, decode_docs_block
+
+
+class Cursor:
+    """Enumerator over one compressed posting list."""
+
+    __slots__ = (
+        "n", "block_maxs", "endpoints", "freq_offsets", "payload", "universe",
+        "docs_table", "docs_sizes", "freqs_table", "freqs_sizes",
+        "nblocks", "cur_block", "pos", "docids", "freqs", "cur_docid",
+        "q_weight", "max_weight", "block_max_scores", "term_id",
+    )
+
+    def __init__(self, n, block_maxs, endpoints, freq_offsets, payload,
+                 universe, docs_dict, freqs_dict, block_max_scores=None,
+                 term_id=-1):
+        self.n = int(n)
+        self.block_maxs = np.asarray(block_maxs, dtype=np.int64)
+        self.endpoints = np.asarray(endpoints, dtype=np.int64)
+        self.freq_offsets = np.asarray(freq_offsets, dtype=np.int64)
+        self.payload = bytes(payload)
+        self.universe = int(universe)
+        self.docs_table = docs_dict.table2d
+        self.docs_sizes = docs_dict.sizes
+        self.freqs_table = freqs_dict.table2d
+        self.freqs_sizes = freqs_dict.sizes
+        self.nblocks = len(self.block_maxs)
+        self.block_max_scores = (
+            np.asarray(block_max_scores, dtype=np.float32)
+            if block_max_scores is not None else None
+        )
+        self.term_id = term_id
+        self.q_weight = np.float32(0)
+        self.max_weight = np.float32(0)
+        self._decode_block(0)
+
+    def _decode_block(self, b: int) -> None:
+        docids, _ = decode_docs_block(
+            self.payload, b, self.n, self.block_maxs, self.endpoints,
+            self.docs_table, self.docs_sizes,
+        )
+        self.docids = docids
+        self.freqs = None  # lazy (ref dict_posting_list.hpp:164-169)
+        self.cur_block = b
+        self.pos = 0
+        self.cur_docid = int(docids[0])
+
+    def docid(self) -> int:
+        return self.cur_docid
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos == len(self.docids):
+            if self.cur_block + 1 == self.nblocks:
+                self.cur_docid = self.universe
+                return
+            self._decode_block(self.cur_block + 1)
+        else:
+            self.cur_docid = int(self.docids[self.pos])
+
+    def next_geq(self, lb: int) -> None:
+        if lb > int(self.block_maxs[self.cur_block]):
+            if lb > int(self.block_maxs[-1]):
+                self.cur_docid = self.universe
+                return
+            b = int(np.searchsorted(self.block_maxs, lb, side="left"))
+            self._decode_block(b)
+        if self.cur_docid < lb:
+            self.pos += int(np.searchsorted(self.docids[self.pos:], lb, side="left"))
+            self.cur_docid = int(self.docids[self.pos])
+
+    def freq(self) -> int:
+        if self.freqs is None:
+            m = len(self.docids)
+            fvals, _ = decode_block(
+                self.payload, int(self.freq_offsets[self.cur_block]), m, -1,
+                self.freqs_table, self.freqs_sizes,
+            )
+            self.freqs = fvals.astype(np.int64) + 1
+        return int(self.freqs[self.pos])
+
+    # -- block-max WAND shallow pointers (no decode) ------------------------
+    def shallow_block_for(self, d: int) -> int:
+        """Index of the block that would contain the first docid >= d."""
+        return int(np.searchsorted(self.block_maxs, d, side="left"))
+
+    def block_upper_bound(self, d: int) -> np.float32:
+        b = self.shallow_block_for(d)
+        if b >= self.nblocks:
+            return np.float32(0)
+        return self.q_weight * self.block_max_scores[b]
+
+    def block_last_doc(self, d: int) -> int:
+        b = self.shallow_block_for(d)
+        if b >= self.nblocks:
+            return self.universe
+        return int(self.block_maxs[b])
+
+
+class TopK:
+    """k-min-heap with strict `>` insertion; ties keep earliest (= smallest
+    docid, since DAAT visits docids in increasing order) — equivalent to
+    top-k by (score desc, doc_id asc). (ref queries.hpp:150-188)"""
+
+    __slots__ = ("k", "heap")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list = []
+
+    def would_enter(self, score) -> bool:
+        return len(self.heap) < self.k or score > self.heap[0][0]
+
+    def insert(self, score, doc_id: int) -> bool:
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, (score, -doc_id))
+            return True
+        if score > self.heap[0][0]:
+            heapq.heapreplace(self.heap, (score, -doc_id))
+            return True
+        return False
+
+    def finalize(self) -> list[tuple[int, float]]:
+        out = sorted(self.heap, key=lambda t: (-t[0], -t[1]))
+        return [(-nd, float(s)) for s, nd in out]
+
+    @property
+    def threshold(self):
+        return self.heap[0][0] if len(self.heap) == self.k else None
+
+
+def _dtw(freq: int, norm_len, DT):
+    f = DT(freq)
+    return f / (f + DT(1.2) * (DT(1.0) - DT(0.5) + DT(0.5) * norm_len))
+
+
+def _qtw(qf: int, df: int, num_docs: int, DT):
+    idf = np.log(DT((DT(num_docs) - DT(df) + DT(0.5)) / (DT(df) + DT(0.5))))
+    return DT(qf) * max(DT(1.0e-6), DT(idf)) * (DT(1.0) + DT(1.2))
+
+
+# ---------------------------------------------------------------------------
+# kernels; `cursors` arrive sorted by term_id asc with q_weight/max_weight set
+# ---------------------------------------------------------------------------
+
+def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+    q = TopK(k)
+    if not cursors:
+        return []
+    cur_doc = min(c.docid() for c in cursors)
+    while cur_doc < num_docs:
+        score = DT(0)
+        norm_len = DT(norm_lens[cur_doc])
+        next_doc = num_docs
+        for c in cursors:
+            if c.docid() == cur_doc:
+                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+                c.next()
+            if c.docid() < next_doc:
+                next_doc = c.docid()
+        q.insert(score, cur_doc)
+        cur_doc = next_doc
+    return q.finalize()
+
+
+def ranked_and(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+    q = TopK(k)
+    if not cursors:
+        return []
+    cs = sorted(cursors, key=lambda c: c.n)
+    candidate = cs[0].docid()
+    i = 1
+    while candidate < num_docs:
+        while i < len(cs):
+            cs[i].next_geq(candidate)
+            if cs[i].docid() != candidate:
+                candidate = cs[i].docid()
+                i = 0
+                break
+            i += 1
+        else:
+            norm_len = DT(norm_lens[candidate])
+            score = DT(0)
+            # canonical term_id accumulation order (see wand note)
+            for c in sorted(cs, key=lambda c: c.term_id):
+                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+            q.insert(score, candidate)
+            cs[0].next()
+            candidate = cs[0].docid()
+            i = 1
+    return q.finalize()
+
+
+def boolean_and(cursors, num_docs: int) -> list[int]:
+    if not cursors:
+        return []
+    cs = sorted(cursors, key=lambda c: c.n)
+    out = []
+    candidate = cs[0].docid()
+    i = 1
+    while candidate < num_docs:
+        while i < len(cs):
+            cs[i].next_geq(candidate)
+            if cs[i].docid() != candidate:
+                candidate = cs[i].docid()
+                i = 0
+                break
+            i += 1
+        else:
+            out.append(candidate)
+            cs[0].next()
+            candidate = cs[0].docid()
+            i = 1
+    return out
+
+
+def boolean_or(cursors, num_docs: int) -> list[int]:
+    if not cursors:
+        return []
+    out = []
+    cur_doc = min(c.docid() for c in cursors)
+    while cur_doc < num_docs:
+        out.append(cur_doc)
+        next_doc = num_docs
+        for c in cursors:
+            if c.docid() == cur_doc:
+                c.next()
+            if c.docid() < next_doc:
+                next_doc = c.docid()
+        cur_doc = next_doc
+    return out
+
+
+def wand(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
+         block_max: bool = False):
+    """WAND (ref queries.hpp:190-307); block_max=True adds the per-block
+    max-score check + boundary skipping (Ding & Suel BMW)."""
+    q = TopK(k)
+    if not cursors:
+        return []
+    ordered = list(cursors)
+    ordered.sort(key=lambda c: c.docid())
+
+    while True:
+        # find pivot
+        upper_bound = DT(0)
+        found_pivot = False
+        pivot = 0
+        for pivot in range(len(ordered)):
+            if ordered[pivot].docid() >= num_docs:
+                break
+            upper_bound = upper_bound + ordered[pivot].max_weight
+            if q.would_enter(upper_bound):
+                found_pivot = True
+                break
+        if not found_pivot:
+            break
+
+        pivot_id = ordered[pivot].docid()
+
+        if block_max:
+            # extend the pivot over the whole equal-docid group so the
+            # block-max bound covers every list that can contain pivot_id
+            while pivot + 1 < len(ordered) and ordered[pivot + 1].docid() == pivot_id:
+                pivot += 1
+            # shallow block-max refinement of the upper bound; each addend
+            # dominates the corresponding scoring addend in float32, and
+            # f32 ops are monotonic, so the bound is exact-safe
+            bm_ub = DT(0)
+            for i in range(pivot + 1):
+                bm_ub = bm_ub + ordered[i].block_upper_bound(pivot_id)
+            if not q.would_enter(bm_ub):
+                # safe skip target: past the tightest current-block boundary,
+                # capped by the next list's docid (Ding & Suel BMW)
+                d = min(c.block_last_doc(pivot_id) for c in ordered[: pivot + 1]) + 1
+                d = max(d, pivot_id + 1)
+                if pivot + 1 < len(ordered):
+                    d = min(d, ordered[pivot + 1].docid())
+                ordered[0].next_geq(d)
+                _bubble_down(ordered, 0)
+                continue
+
+        if pivot_id == ordered[0].docid():
+            norm_len = DT(norm_lens[pivot_id])
+            # score in term_id order (canonical accumulation: bit-identical
+            # to ranked_or; the reference scores in cursor order and accepts
+            # 0.1% tolerance instead — we pin the stronger contract)
+            matching = [c for c in ordered if c.docid() == pivot_id]
+            matching.sort(key=lambda c: c.term_id)
+            score = DT(0)
+            for c in matching:
+                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+            for c in matching:
+                c.next()
+            q.insert(score, pivot_id)
+            ordered.sort(key=lambda c: c.docid())
+        else:
+            next_list = pivot
+            while ordered[next_list].docid() == pivot_id:
+                next_list -= 1
+            ordered[next_list].next_geq(pivot_id)
+            _bubble_down(ordered, next_list)
+    return q.finalize()
+
+
+def _bubble_down(ordered, i: int) -> None:
+    for j in range(i + 1, len(ordered)):
+        if ordered[j].docid() < ordered[j - 1].docid():
+            ordered[j], ordered[j - 1] = ordered[j - 1], ordered[j]
+        else:
+            break
+
+
+def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+    """ref queries.hpp:459-573."""
+    q = TopK(k)
+    if not cursors:
+        return []
+    ordered = sorted(cursors, key=lambda c: c.max_weight)
+    ub = []
+    acc = DT(0)
+    for c in ordered:
+        acc = acc + c.max_weight
+        ub.append(acc)
+
+    non_essential = 0
+    cur_doc = min(c.docid() for c in ordered)
+
+    while non_essential < len(ordered) and cur_doc < num_docs:
+        score = DT(0)
+        norm_len = DT(norm_lens[cur_doc])
+        next_doc = num_docs
+        for i in range(non_essential, len(ordered)):
+            c = ordered[i]
+            if c.docid() == cur_doc:
+                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+                c.next()
+            if c.docid() < next_doc:
+                next_doc = c.docid()
+
+        for i in range(non_essential - 1, -1, -1):
+            if not q.would_enter(score + ub[i]):
+                break
+            c = ordered[i]
+            c.next_geq(cur_doc)
+            if c.docid() == cur_doc:
+                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+
+        if q.insert(score, cur_doc):
+            while non_essential < len(ordered) and not q.would_enter(ub[non_essential]):
+                non_essential += 1
+
+        cur_doc = next_doc
+    return q.finalize()
+
+
+KERNELS = {
+    "ranked_or": lambda cs, nl, nd, k, DT: ranked_or(cs, nl, nd, k, DT),
+    "ranked_and": lambda cs, nl, nd, k, DT: ranked_and(cs, nl, nd, k, DT),
+    "wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=False),
+    "block_max_wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=True),
+    "maxscore": lambda cs, nl, nd, k, DT: maxscore(cs, nl, nd, k, DT),
+}
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
+                  DT=np.float32) -> list[Cursor]:
+    """group rows: one per distinct query term joined with its segment."""
+    group = group.sort_values("term_id")
+    cursors = []
+    for row in group.itertuples():
+        c = Cursor(
+            row.n, row.block_maxs, row.endpoints, row.freq_offsets,
+            row.payload, num_docs, docs_dict, freqs_dict,
+            block_max_scores=row.block_max_scores, term_id=row.term_id,
+        )
+        c.q_weight = _qtw(int(row.qf), int(row.n), num_docs, DT)
+        c.max_weight = DT(c.q_weight * DT(row.max_weight))
+        cursors.append(c)
+    return cursors
+
+
+def run_queries(
+    spark: SparkSession,
+    index,
+    queries: DataFrame | list,
+    algo: str = "block_max_wand",
+    k: int = 10,
+    dtype: str = "float32",
+) -> DataFrame:
+    """Distributed batch retrieval. queries: DataFrame(query_id, terms
+    array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
+    """
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+            schema=T.StructType([
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("terms", T.ArrayType(T.LongType()), False),
+            ]),
+        )
+
+    DT = np.float32 if dtype == "float32" else np.float64
+    num_docs = index.num_docs
+    norm_bc = spark.sparkContext.broadcast(index.norm_lens)
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    kernel = KERNELS[algo]
+
+    qterms = (
+        queries.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(index.segments, "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                                num_docs, DT)
+        topk = kernel(cursors, norm_bc.value, num_docs, k, DT)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(topk) + 1, dtype=np.int32),
+                "doc_id": [d for d, _ in topk],
+                "score": [s for _, s in topk],
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local tests run on local[N]; the same configs are what we would submit with
+spark-submit --py-files on a real cluster (AQE, Arrow, sensible shuffle
+parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dint_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    master defaults to local[$SPARK_GRAFT_CPUS or *]. On a real cluster the
+    master comes from spark-submit and this argument is left None.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+        except ValueError:
+            n = 0
+        shuffle_partitions = max(32, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting on top of our explicit
+        # salting (defence in depth at 100 TB).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow is the transport for every pandas UDF in this engine.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Posting-list arrays for head terms are wide; keep task results sane.
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
