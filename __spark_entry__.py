@@ -1,38 +1,403 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry runs the real dint_spark engine (tokenize -> postings -> DINT
+compression -> segment queries) over the driver's `documents` table, and has
+a DuckDB-runnable ANSI-SQL oracle that recomputes the same result from first
+principles. The index build is cached per sf_dir under /tmp.
+
+Ranked-retrieval entries score in float64 so the SQL oracle (float64) ranks
+identically; the engine's reference float32 path is exercised by
+tests/ (rank-identical vs the exhaustive float32 oracle). Scores are
+quantized to 1e-9 before ranking on BOTH sides so last-ulp accumulation
+differences between engines cannot flip ranks, and outputs carry only
+integer columns.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+import dint_spark
+from dint_spark.corpus import pages_from_documents
+from dint_spark.index import IndexConfig, build_index, load_index
+from dint_spark.queries import decoded_postings, run_boolean_queries, run_queries
+from dint_spark.tokenizer import TOKEN_SPLIT_RE, tokenize
+
+# ---------------------------------------------------------------------------
+# fixed query workload (term_ids are dense ranks by (df desc, term asc);
+# the documents vocabulary has 31 terms at every sf)
+# ---------------------------------------------------------------------------
+QUERY_SPECS: list[list[int]] = [
+    [0],
+    [1, 3],
+    [2, 5, 9],
+    [0, 4, 7],
+    [3, 6, 8, 12],
+    [1, 2, 4, 8, 16],
+    [5, 5, 10],          # duplicate term -> query_freqs multiplicity
+    [9, 11, 13, 17, 19],
+    [21, 23],
+    [0, 1, 2, 3, 4],
+    [30],
+    [28, 29, 30],
+    [6, 14],
+    [7, 15, 22, 25],
+    [10, 20, 30],
+]
+
+TOPK = 10
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = f"{os.path.basename(key.rstrip('/'))}-v{dint_spark.__version__}"
+    out = os.path.join("/tmp/dint_spark_entry", tag)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs)
+    cfg = IndexConfig(num_buckets=4, input_tag=tag)
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        try:
+            idx = load_index(spark, out)
+            _INDEX_CACHE[key] = idx
+            return idx
+        except Exception:
+            pass
+    idx = build_index(spark, pages, out, cfg)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _ranked(spark, sf_dir, algo):
+    """Engine top-k in float64 mode -> quantized rank -> integer output."""
+    idx = _get_index(spark, sf_dir)
+    raw = run_queries(spark, idx, QUERY_SPECS, algo=algo, k=100, dtype="float64")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id")
+    )
+    return (
+        raw.withColumn("score_q", F.floor(F.col("score") * 1e9).cast("long"))
+        .withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("qrank").cast("int").alias("rank"),
+            "doc_id",
+            "score_q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks (DuckDB dialect, ANSI-ish)
+# ---------------------------------------------------------------------------
+
+_PRELUDE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS term
+  FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len
+  FROM documents d LEFT JOIN toks2 t ON d.doc_id = t.doc_id
+  GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         avg(len) AS avg_len
+  FROM dl
+),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+)
+"""
+
+
+def _q_values() -> str:
+    from collections import Counter
+
+    rows = []
+    for qid, terms in enumerate(QUERY_SPECS):
+        for t, qf in sorted(Counter(terms).items()):
+            rows.append(f"({qid}, {t}, {qf})")
+    return "qs(query_id, term_id, qf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_SCORED = f"""
+, {_q_values()},
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         count(*)::BIGINT AS matched,
+         sum(
+           qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+"""
+
+
+def _topk_and_sql() -> str:
+    return (
+        _PRELUDE
+        + _SCORED
+        + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT r.query_id, r.doc_id,
+         floor(r.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+         )::INT AS rank
+  FROM scored r
+  WHERE r.matched = (
+    SELECT count(*) FROM qs q2 WHERE q2.query_id = r.query_id
+  )
+) ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+    )
+
+
+def _topk_or_sql() -> str:
+    return (
+        _PRELUDE
+        + _SCORED
+        + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT r.query_id, r.doc_id,
+         floor(r.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+         )::INT AS rank
+  FROM scored r
+) ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block-max WAND BM25 top-10 (reference float32 path) over the
+    DINT-compressed index built from sf0.001 documents."""
+    idx = _get_index(spark, "/root/testdata/sf0.001")
+    return run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand", k=TOPK)
+
+
+def _entry_term_stats(spark, sf_dir):
+    docs = tokenize(_documents(spark, sf_dir))
+    ex = docs.select("doc_id", F.explode("tokens").alias("term"))
+    return ex.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("total_tf"),
+    )
+
+
+def _entry_doclens(spark, sf_dir):
+    return tokenize(_documents(spark, sf_dir)).select(
+        "doc_id", F.size("tokens").cast("long").alias("len")
+    )
+
+
+def _entry_vocab(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    return idx.vocab().select("term_id", "term", "df")
+
+
+def _entry_postings_flat(spark, sf_dir):
+    """Uncompressed postings from the checkpointed shuffle core."""
+    idx = _get_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(idx.dir, "postings.parquet"))
+    z = postings.select(
+        "term_id", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("p")
+    )
+    return z.select(
+        "term_id",
+        F.col("p.doc_ids").alias("doc_id"),
+        F.col("p.freqs").cast("long").alias("freq"),
+    )
+
+
+def _entry_roundtrip(spark, sf_dir):
+    """encode -> decode round trip of the full index (check_index)."""
+    idx = _get_index(spark, sf_dir)
+    return decoded_postings(idx)
+
+
+_POSTINGS_SQL = (
+    _PRELUDE
+    + """
+SELECT v.term_id, tf.doc_id, tf.tf AS freq
+FROM tf JOIN vocab v ON tf.term = v.term
+ORDER BY 1, 2
+"""
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {
+        "term_stats": _entry_term_stats,
+        "doclens": _entry_doclens,
+        "vocab_term_ids": _entry_vocab,
+        "postings_build": _entry_postings_flat,
+        "dint_roundtrip": _entry_roundtrip,
+        "bm25_ranked_or": lambda s, d: _ranked(s, d, "ranked_or"),
+        "bm25_wand": lambda s, d: _ranked(s, d, "wand"),
+        "bm25_block_max_wand": lambda s, d: _ranked(s, d, "block_max_wand"),
+        "bm25_maxscore": lambda s, d: _ranked(s, d, "maxscore"),
+        "bm25_ranked_and": lambda s, d: _ranked_and(s, d),
+        "boolean_and": _entry_boolean_and,
+        "boolean_or": _entry_boolean_or,
+        "wand_max_weights": _entry_wand_max_weights,
+    }
+    from dint_spark.ops import entries as ops_entries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(ops_entries.spark_queries())
+    return q
+
+
+def _ranked_and(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="ranked_and", k=100,
+                      dtype="float64")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        raw.withColumn("score_q", F.floor(F.col("score") * 1e9).cast("long"))
+        .withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= TOPK)
+        .select("query_id", F.col("qrank").cast("int").alias("rank"),
+                "doc_id", "score_q")
+    )
+
+
+def _entry_boolean_and(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    return run_boolean_queries(spark, idx, QUERY_SPECS, mode="and")
+
+
+def _entry_boolean_or(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    return run_boolean_queries(spark, idx, QUERY_SPECS, mode="or")
+
+
+def _entry_wand_max_weights(spark, sf_dir):
+    """wand_data relational build: per-term max partial BM25 weight
+    (float64, quantized) — ref include/ds2i/wand_data.hpp:34-48."""
+    idx = _get_index(spark, sf_dir)
+    postings = _entry_postings_flat(spark, sf_dir)
+    dl = _entry_doclens(spark, sf_dir)
+    stats = dl.agg(F.avg("len").alias("avg_len")).crossJoin(
+        dl.agg(F.count("*").alias("n_docs"))
+    )
+    j = postings.join(dl, "doc_id").crossJoin(stats)
+    w = F.col("freq") / (
+        F.col("freq")
+        + 1.2 * (0.5 + 0.5 * (F.col("len") / F.col("avg_len")))
+    )
+    return (
+        j.groupBy("term_id")
+        .agg(
+            F.count("*").alias("df"),
+            F.floor(F.max(w) * 1e9).cast("long").alias("max_weight_q"),
+        )
+    )
+
+
+_BOOL_AND_SQL = (
+    _PRELUDE
+    + f", {_q_values()}"
+    + """
+SELECT qs.query_id, tf.doc_id
+FROM (SELECT DISTINCT query_id, term_id FROM qs) qs
+JOIN vocab v ON v.term_id = qs.term_id
+JOIN tf ON tf.term = v.term
+GROUP BY 1, 2
+HAVING count(*) = (SELECT count(DISTINCT term_id) FROM qs q2
+                   WHERE q2.query_id = qs.query_id)
+ORDER BY 1, 2
+"""
+)
+
+_BOOL_OR_SQL = (
+    _PRELUDE
+    + f", {_q_values()}"
+    + """
+SELECT DISTINCT qs.query_id, tf.doc_id
+FROM qs
+JOIN vocab v ON v.term_id = qs.term_id
+JOIN tf ON tf.term = v.term
+ORDER BY 1, 2
+"""
+)
+
+_WAND_MW_SQL = (
+    _PRELUDE
+    + """
+SELECT v.term_id, count(*)::BIGINT AS df,
+       floor(max(
+         tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len)))
+       ) * 1e9)::BIGINT AS max_weight_q
+FROM tf
+JOIN vocab v ON tf.term = v.term
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY 1
+ORDER BY 1
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "term_stats": _PRELUDE
+        + """
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+FROM tf GROUP BY term ORDER BY term
+""",
+        "doclens": _PRELUDE + "SELECT doc_id, len FROM dl ORDER BY doc_id",
+        "vocab_term_ids": _PRELUDE
+        + "SELECT term_id, term, df FROM vocab ORDER BY term_id",
+        "postings_build": _POSTINGS_SQL,
+        "dint_roundtrip": _POSTINGS_SQL,
+        "bm25_ranked_or": _topk_or_sql(),
+        "bm25_wand": _topk_or_sql(),
+        "bm25_block_max_wand": _topk_or_sql(),
+        "bm25_maxscore": _topk_or_sql(),
+        "bm25_ranked_and": _topk_and_sql(),
+        "boolean_and": _BOOL_AND_SQL,
+        "boolean_or": _BOOL_OR_SQL,
+        "wand_max_weights": _WAND_MW_SQL,
+    }
+    from dint_spark.ops import entries as ops_entries
+
+    o.update(ops_entries.oracle_sqls())
+    return o

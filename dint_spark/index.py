@@ -271,6 +271,7 @@ def build_index(
             num_docs=int(num_docs),
             num_terms=int(num_terms),
             avg_len=avg_len,
+            avg_len_f64=float(agg["s"] / num_docs),
             total_wall_s=time.time() - t0,
         )
     return load_index(spark, out_dir)
@@ -292,7 +293,10 @@ class Index:
             self.docs_dict = DintDictionary.from_bytes(f.read())
         with open(os.path.join(out_dir, "dict_freqs.npz"), "rb") as f:
             self.freqs_dict = DintDictionary.from_bytes(f.read())
+        self.avg_len_f64 = meta.get("avg_len_f64", meta["avg_len"])
         self._norm_lens = None
+        self._norm_lens64 = None
+        self._lens = None
         self._vocab_map = None
 
     @property
@@ -300,16 +304,29 @@ class Index:
         return self.spark.read.parquet(os.path.join(self.dir, "segments"))
 
     @property
-    def norm_lens(self) -> np.ndarray:
-        if self._norm_lens is None:
+    def lens(self) -> np.ndarray:
+        if self._lens is None:
             pdf = (
                 self.spark.read.parquet(os.path.join(self.dir, "doclens.parquet"))
                 .toPandas()
             )
-            lens = np.zeros(self.num_docs, dtype=np.float32)
+            lens = np.zeros(self.num_docs, dtype=np.int64)
             lens[pdf["doc_id"].to_numpy()] = pdf["len"].to_numpy()
-            self._norm_lens = lens / np.float32(self.avg_len)
+            self._lens = lens
+        return self._lens
+
+    @property
+    def norm_lens(self) -> np.ndarray:
+        if self._norm_lens is None:
+            self._norm_lens = self.lens.astype(np.float32) / np.float32(self.avg_len)
         return self._norm_lens
+
+    @property
+    def norm_lens64(self) -> np.ndarray:
+        """float64 variant for cross-checking against SQL oracles."""
+        if self._norm_lens64 is None:
+            self._norm_lens64 = self.lens.astype(np.float64) / self.avg_len_f64
+        return self._norm_lens64
 
     def vocab(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "vocab.parquet"))

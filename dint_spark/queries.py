@@ -47,7 +47,7 @@ class Cursor:
         "n", "block_maxs", "endpoints", "freq_offsets", "payload", "universe",
         "docs_table", "docs_sizes", "freqs_table", "freqs_sizes",
         "nblocks", "cur_block", "pos", "docids", "freqs", "cur_docid",
-        "q_weight", "max_weight", "block_max_scores", "term_id",
+        "q_weight", "max_weight", "block_max_scores", "term_id", "bound_scale",
     )
 
     def __init__(self, n, block_maxs, endpoints, freq_offsets, payload,
@@ -71,6 +71,11 @@ class Cursor:
         self.term_id = term_id
         self.q_weight = np.float32(0)
         self.max_weight = np.float32(0)
+        # >1 only in float64 scoring mode: the stored per-block maxima are
+        # float32, so a tiny inflation keeps them valid upper bounds for
+        # float64-computed scores (never causes false exclusion, only
+        # marginally less pruning)
+        self.bound_scale = np.float32(1.0)
         self._decode_block(0)
 
     def _decode_block(self, b: int) -> None:
@@ -127,7 +132,7 @@ class Cursor:
         b = self.shallow_block_for(d)
         if b >= self.nblocks:
             return np.float32(0)
-        return self.q_weight * self.block_max_scores[b]
+        return self.q_weight * self.block_max_scores[b] * self.bound_scale
 
     def block_last_doc(self, d: int) -> int:
         b = self.shallow_block_for(d)
@@ -423,7 +428,9 @@ def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
             block_max_scores=row.block_max_scores, term_id=row.term_id,
         )
         c.q_weight = _qtw(int(row.qf), int(row.n), num_docs, DT)
-        c.max_weight = DT(c.q_weight * DT(row.max_weight))
+        if DT is np.float64:
+            c.bound_scale = np.float64(1.0 + 1e-5)
+        c.max_weight = DT(c.q_weight * DT(row.max_weight) * DT(c.bound_scale))
         cursors.append(c)
     return cursors
 
@@ -450,7 +457,9 @@ def run_queries(
 
     DT = np.float32 if dtype == "float32" else np.float64
     num_docs = index.num_docs
-    norm_bc = spark.sparkContext.broadcast(index.norm_lens)
+    norm_bc = spark.sparkContext.broadcast(
+        index.norm_lens if dtype == "float32" else index.norm_lens64
+    )
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     kernel = KERNELS[algo]
@@ -479,3 +488,88 @@ def run_queries(
         )
 
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
+
+
+BOOL_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+
+def run_boolean_queries(
+    spark: SparkSession, index, queries, mode: str = "and"
+) -> DataFrame:
+    """Boolean AND (leapfrog intersection) / OR (k-way union) over the
+    compressed index; returns (query_id, doc_id). (ref queries.hpp:34-130)"""
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+            schema=T.StructType([
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("terms", T.ArrayType(T.LongType()), False),
+            ]),
+        )
+    num_docs = index.num_docs
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    fn = boolean_and if mode == "and" else boolean_or
+
+    qterms = (
+        queries.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(index.segments, "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "doc_id"])
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                                num_docs)
+        docs = fn(cursors, num_docs)
+        return pd.DataFrame({"query_id": qid, "doc_id": docs})
+
+    return joined.groupBy("query_id").applyInPandas(run_one, schema=BOOL_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("freq", T.LongType(), False),
+    ]
+)
+
+
+def decoded_postings(index) -> DataFrame:
+    """Full decode of every segment back to (term_id, doc_id, freq) — the
+    reference's check_index / verify_collection protocol
+    (include/ds2i/verify_collection.hpp:7-52) as a distributed job."""
+    from dint_spark.dint.codec import decode_list
+
+    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dd = docs_dict_bc.value
+        fd = freqs_dict_bc.value
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                docs, freqs = decode_list(
+                    bytes(row.payload), int(row.n),
+                    np.asarray(row.block_maxs, dtype=np.int64),
+                    np.asarray(row.endpoints, dtype=np.int64), dd, fd,
+                )
+                outs.append(pd.DataFrame({
+                    "term_id": int(row.term_id), "doc_id": docs, "freq": freqs,
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return index.segments.select(
+        "term_id", "n", "block_maxs", "endpoints", "payload"
+    ).mapInPandas(run, schema=DECODED_SCHEMA)

@@ -1,0 +1,126 @@
+"""DINT codec property tests (FIXTURES.md F2, mirrors
+test/test_block_posting_list.cpp and test_generic_sequence.hpp)."""
+
+import numpy as np
+import pytest
+
+from dint_spark.dint.codec import (
+    bic_decode,
+    bic_encode,
+    decode_list,
+    encode_list,
+)
+from dint_spark.dint.dictionary import DintDictionary
+
+
+def mkpats(stream: np.ndarray, limit=2000) -> list[bytes]:
+    pats, seen = [], set()
+    for s in (16, 8, 4, 2, 1):
+        for i in range(0, len(stream) // s * s, s):
+            p = stream[i: i + s].astype("<u4").tobytes()
+            if p not in seen:
+                seen.add(p)
+                pats.append(p)
+    return pats[:limit]
+
+
+def roundtrip(docs, freqs, docs_dict, freqs_dict, optimal):
+    payload, bmax, endp, foff = encode_list(docs, freqs, docs_dict,
+                                            freqs_dict, optimal=optimal)
+    dd, ff = decode_list(payload, len(docs), bmax, endp, docs_dict, freqs_dict)
+    assert np.array_equal(dd, docs)
+    assert np.array_equal(ff, freqs)
+    assert bmax[-1] == docs[-1]
+    assert (np.diff(endp) > 0).all()
+    return payload
+
+
+@pytest.mark.parametrize("optimal", [True, False])
+def test_random_roundtrip(optimal):
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        universe = 20000
+        n = int(universe / rng.uniform(1.1, 11))
+        docs = np.sort(rng.choice(universe, size=n, replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 257, size=n).astype(np.int64)
+        gaps = np.diff(docs, prepend=-1) - 1
+        dd = DintDictionary.build(mkpats(gaps.astype(np.uint32)))
+        fd = DintDictionary.build(mkpats((freqs - 1).astype(np.uint32)))
+        roundtrip(docs, freqs, dd, fd, optimal)
+
+
+@pytest.mark.parametrize("n", [1, 2, 15, 16, 17, 255, 256, 257, 511, 512, 4097])
+def test_lengths_and_runs(n):
+    # all-consecutive docs -> gap-0 runs -> run codewords; freqs all 1
+    docs = np.arange(n, dtype=np.int64) + 7
+    freqs = np.ones(n, dtype=np.int64)
+    empty = DintDictionary.build([])
+    payload = roundtrip(docs, freqs, empty, empty, True)
+    if n >= 256:
+        # dense blocks compress to run codewords: far below 1 byte/posting
+        assert len(payload) < n
+
+
+def test_large_gap_exceptions():
+    rng = np.random.default_rng(1)
+    # gaps straddling the 2-byte/4-byte exception boundary
+    gaps = rng.integers(60000, 200000, size=600).astype(np.int64)
+    gaps[::7] = 65535
+    gaps[3::7] = 65536
+    docs = np.cumsum(gaps + 1) - 1
+    freqs = rng.integers(1, 300, size=600).astype(np.int64)
+    empty = DintDictionary.build([])
+    for optimal in (True, False):
+        roundtrip(docs, freqs, empty, empty, optimal)
+
+
+def test_values_above_24bit():
+    # docids near 2^31 (endpoint of supported universe per shard)
+    docs = np.array([2**31 - 10, 2**31 - 3, 2**31 - 1], dtype=np.int64)
+    freqs = np.array([1, 2, 3], dtype=np.int64)
+    empty = DintDictionary.build([])
+    roundtrip(docs, freqs, empty, empty, True)
+
+
+def test_bic_roundtrip_edges():
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 3, 10, 100, 255):
+        vals = rng.integers(0, 1000, size=n).astype(np.uint32)
+        data = bic_encode(vals, int(vals.sum()))
+        out, _ = bic_decode(data, 0, n, int(vals.sum()))
+        assert np.array_equal(out, vals)
+        data = bic_encode(vals, -1)
+        out, _ = bic_decode(data, 0, n, -1)
+        assert np.array_equal(out, vals)
+    # all-zero block (freqs of an all-1 run)
+    vals = np.zeros(100, dtype=np.uint32)
+    data = bic_encode(vals, 0)
+    assert len(data) == 0
+    out, _ = bic_decode(data, 0, 100, 0)
+    assert np.array_equal(out, vals)
+
+
+def test_optimal_never_larger_than_greedy():
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        docs = np.sort(rng.choice(100000, size=3000, replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 5, size=3000).astype(np.int64)
+        gaps = np.diff(docs, prepend=-1) - 1
+        dd = DintDictionary.build(mkpats(gaps.astype(np.uint32)))
+        fd = DintDictionary.build(mkpats((freqs - 1).astype(np.uint32)))
+        p_opt, *_ = encode_list(docs, freqs, dd, fd, optimal=True)
+        p_greedy, *_ = encode_list(docs, freqs, dd, fd, optimal=False)
+        assert len(p_opt) <= len(p_greedy)
+
+
+def test_dictionary_serialization_roundtrip():
+    rng = np.random.default_rng(5)
+    pats = [rng.integers(0, 100, size=s).astype("<u4").tobytes()
+            for s in (16, 8, 4, 2, 1) for _ in range(10)]
+    # dedupe (build asserts uniqueness implicitly via encode_map)
+    pats = list(dict.fromkeys(pats))
+    d = DintDictionary.build(pats)
+    d2 = DintDictionary.from_bytes(d.to_bytes())
+    assert d.content_hash() == d2.content_hash()
+    assert d.num_used == d2.num_used
+    assert d.encode_map == d2.encode_map

@@ -1,0 +1,58 @@
+"""Driver-contract smoke + correctness-gate replica at sf0.001 (the real
+driver runs the full gate at sf0.01; tests keep runtime low with a subset of
+entries covering each subsystem)."""
+
+import os
+import shutil
+
+import pytest
+
+from minidriver import compare_entry, duck_con
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "term_stats",
+    "vocab_term_ids",
+    "postings_build",
+    "dint_roundtrip",
+    "bm25_ranked_or",
+    "bm25_block_max_wand",
+    "bm25_ranked_and",
+    "boolean_and",
+    "wand_max_weights",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    shutil.rmtree("/tmp/dint_spark_entry", ignore_errors=True)
+    import __spark_entry__ as E
+
+    return E
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"query_id", "rank", "doc_id", "score"}
+
+
+def test_every_query_has_oracle_or_is_declared(entry_mod):
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 13
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_gate_subset_sf0001(spark, entry_mod, name):
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata missing")
+    con = duck_con(SF)
+    r = compare_entry(spark, con, name, entry_mod.queries()[name],
+                      entry_mod.oracle_sql()[name], SF)
+    assert r["cols_match"], (r["spark_cols"], r["duck_cols"])
+    assert r["rows"][0] == r["rows"][1], r["rows"]
+    assert r["values_match"]
