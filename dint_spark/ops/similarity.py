@@ -1,0 +1,266 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+  ann_cosine_topk   brute-force cosine top-10 for each query vector — the
+                    exactness baseline. Integer-quantized components make
+                    dot products exact int64 arithmetic, so ranking is
+                    bit-identical across engines.
+  ann_lsh_topk      random-hyperplane LSH (16 md5-derived sign planes ->
+                    16-bit bucket), multi-probe radius 3 on bucket Hamming
+                    distance, exact cosine re-rank of candidates — the
+                    scale path: candidates come from bucket blocking, not
+                    an all-pairs scan.
+
+Queries are the vectors with vec_id % 50 == 0 (deterministic, sf-scaled).
+
+Scale design: the query side is tiny and broadcast; the corpus side stays
+partitioned. Top-k per query = k rows back per query (TakeOrderedAndProject
+semantics via window rank over candidate sets, never a global sort of the
+corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dint_spark.ops.common import hash60, q6, sql_hash60, sql_q6
+
+TOPK = 10
+QUERY_MOD = 50
+EMB_SCALE = 1 << 20
+NUM_PLANES = 16
+PROBE_HAMMING = 3
+DIM = 64
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    eq = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long")
+    )
+    return e.select(
+        "vec_id",
+        eq.alias("eq"),
+        F.aggregate(
+            eq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_EMBQ_SQL = f"""
+dims AS (SELECT unnest(generate_series(1, {DIM})) AS d),
+eq AS (
+  SELECT vec_id, d.d,
+         floor(embedding[d.d]::DOUBLE * {EMB_SCALE})::BIGINT AS c
+  FROM embeddings, dims d
+),
+n2 AS (SELECT vec_id, sum(c * c)::BIGINT AS n2 FROM eq GROUP BY 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_topk (brute force)
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eqs = _emb_q(spark, sf_dir)
+    qs = eqs.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = F.broadcast(qs).crossJoin(eqs).select(
+        "query_id",
+        "vec_id",
+        _dot(F.col("q_eq"), F.col("eq")).alias("dot"),
+        "q_n2",
+        "n2",
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("q_n2").cast("double") * F.col("n2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("cos_q", q6(cos))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "cos_q")
+    )
+
+
+ANN_COSINE_SQL = f"""
+WITH {_EMBQ_SQL.strip()},
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+dots AS (
+  SELECT q.query_id, y.vec_id, sum(x.c * y.c)::BIGINT AS dot
+  FROM qids q
+  JOIN eq x ON x.vec_id = q.query_id
+  JOIN eq y ON y.d = x.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         {sql_q6('d.dot / sqrt(nq.n2::DOUBLE * nv.n2::DOUBLE)')} AS cos_q
+  FROM dots d
+  JOIN n2 nq ON nq.vec_id = d.query_id
+  JOIN n2 nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, cos_q FROM (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk (random-hyperplane LSH buckets + exact re-rank)
+# ---------------------------------------------------------------------------
+
+def _lsh_buckets(spark: SparkSession, eqs: DataFrame) -> DataFrame:
+    """16-bit hyperplane-sign bucket per vector. Plane signs are md5-derived
+    (+1 if H('pl{p}_{d}') is even), identical in the SQL oracle."""
+    planes = spark.range(NUM_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(DIM).select(F.col("id").cast("int").alias("d"))
+    pd_ = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        (
+            1
+            - 2
+            * (
+                hash60(
+                    F.concat(F.lit("pl"), F.col("p").cast("string"),
+                             F.lit("_"), F.col("d").cast("string"))
+                )
+                % 2
+            )
+        ).alias("sign"),
+    )
+    comps = eqs.select(
+        "vec_id", F.posexplode("eq").alias("d", "c")
+    )
+    contrib = comps.join(F.broadcast(pd_), "d").groupBy("vec_id", "p").agg(
+        F.sum(F.col("sign") * F.col("c")).alias("s")
+    )
+    return contrib.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(shiftleft(1L, p) AS BIGINT)"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("bucket")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eqs = _emb_q(spark, sf_dir).cache()
+    buckets = _lsh_buckets(spark, eqs)
+    ev = eqs.join(buckets, "vec_id")
+    qs = ev.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        F.broadcast(qs)
+        .crossJoin(ev)
+        .withColumn(
+            "bham",
+            F.bit_count(F.col("q_bucket").bitwiseXOR(F.col("bucket"))).cast("long"),
+        )
+        .where(F.col("bham") <= PROBE_HAMMING)
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("q_n2").cast("double") * F.col("n2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        cand.withColumn("dot", _dot(F.col("q_eq"), F.col("eq")))
+        .withColumn("cos_q", q6(cos))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "cos_q", "bham")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH {_EMBQ_SQL.strip()},
+planes AS (SELECT unnest(generate_series(0, {NUM_PLANES - 1})) AS p),
+pdims AS (
+  SELECT p.p, dm.d,
+         1 - 2 * ({sql_hash60("'pl' || p.p || '_' || (dm.d - 1)")} % 2) AS sign
+  FROM planes p, dims dm
+),
+contrib AS (
+  SELECT e.vec_id, pd.p, sum(pd.sign * e.c)::BIGINT AS s
+  FROM eq e JOIN pdims pd ON pd.d = e.d
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM contrib GROUP BY 1
+),
+qids AS (
+  SELECT b.vec_id AS query_id, b.bucket AS q_bucket
+  FROM buckets b WHERE b.vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT q.query_id, b.vec_id,
+         bit_count(xor(q.q_bucket, b.bucket))::BIGINT AS bham
+  FROM qids q, buckets b
+  WHERE bit_count(xor(q.q_bucket, b.bucket)) <= {PROBE_HAMMING}
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, c.bham, sum(x.c * y.c)::BIGINT AS dot
+  FROM cand c
+  JOIN eq x ON x.vec_id = c.query_id
+  JOIN eq y ON y.vec_id = c.vec_id AND y.d = x.d
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.query_id, d.vec_id, d.bham,
+         {sql_q6('d.dot / sqrt(nq.n2::DOUBLE * nv.n2::DOUBLE)')} AS cos_q
+  FROM dots d
+  JOIN n2 nq ON nq.vec_id = d.query_id
+  JOIN n2 nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, cos_q, bham FROM (
+  SELECT query_id, vec_id, cos_q, bham,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SPARK_QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLE_SQLS = {
+    "ann_cosine_topk": ANN_COSINE_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+}

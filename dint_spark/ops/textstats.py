@@ -1,0 +1,387 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+Operators (each has a DuckDB SQL oracle, verified by the driver):
+
+  token_stats      whitespace / alnum-regex / BPE-ish-regex token counts
+  text_quality     length, punctuation, stopword, uniqueness ratios
+  lang_id          stopword-lexicon language identification (argmax score)
+  doc_fingerprint  60-bit md5 fingerprint of the token-normalized text
+  text_fingerprint_winnow
+                   winnowing document fingerprints (Schleimer et al., SIGMOD
+                   2003): k-gram rolling hashes, rightmost-min per window
+
+All scale as single narrow projections / map-side UDFs: no shuffle except the
+final oracle-friendly ordering; at 100 TB these run as one pass over the
+text column with full column pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dint_spark.ops.common import (
+    SQL_TOKS,
+    hash60,
+    q6,
+    sql_hash60,
+    sql_q6,
+    tokens_col,
+)
+
+# ---------------------------------------------------------------------------
+# lexicons (fixed, embedded in both engines)
+# ---------------------------------------------------------------------------
+LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine"],
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "en"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pas"],
+}
+EN_STOPWORDS = LEXICONS["en"]
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+BPE_RE = "[a-z0-9]{1,4}"
+WS_RE = "[ \\t\\n]+"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# token_stats
+# ---------------------------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_remove(F.split(F.trim(F.col("text")), WS_RE), ""))
+        .cast("long").alias("n_ws_tokens"),
+        F.size(tokens_col()).cast("long").alias("n_re_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_RE), 0))
+        .cast("long").alias("n_bpe_pieces"),
+    )
+
+
+TOKEN_STATS_SQL = """
+WITH ws AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '[ \\t\\n]+'),
+                         x -> x <> ''))::BIGINT AS n_ws_tokens
+  FROM documents
+),
+re AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                         x -> x <> ''))::BIGINT AS n_re_tokens,
+         len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))::BIGINT
+           AS n_bpe_pieces
+  FROM documents
+)
+SELECT ws.doc_id, ws.n_ws_tokens, re.n_re_tokens, re.n_bpe_pieces
+FROM ws JOIN re ON ws.doc_id = re.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_quality
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    d = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^0-9a-z]", ""))
+        .cast("long").alias("n_alnum"),
+        toks.alias("toks"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_chars",
+        "n_alnum",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_tok_len"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long").alias("n_stop"),
+    )
+    nt = F.col("n_tokens")
+    safe = lambda num: F.when(nt > 0, q6(num / nt)).otherwise(F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_uniq",
+        q6(F.col("n_alnum") / F.col("n_chars")).alias("alnum_q"),
+        safe(F.col("sum_tok_len")).alias("avg_tok_len_q"),
+        safe(F.col("n_stop")).alias("stop_q"),
+        safe(F.col("n_uniq")).alias("uniq_q"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH {SQL_TOKS.strip()},
+base AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         length(regexp_replace(lower(text), '[^0-9a-z]', '', 'g'))::BIGINT
+           AS n_alnum
+  FROM documents
+),
+agg AS (
+  SELECT d.doc_id,
+         count(t.term)::BIGINT AS n_tokens,
+         count(DISTINCT t.term)::BIGINT AS n_uniq,
+         coalesce(sum(length(t.term)), 0)::BIGINT AS sum_tok_len,
+         coalesce(sum(CASE WHEN t.term IN ({_STOP_IN}) THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_stop
+  FROM documents d LEFT JOIN toks2 t ON d.doc_id = t.doc_id
+  GROUP BY 1
+)
+SELECT b.doc_id, b.n_chars, a.n_tokens, a.n_uniq,
+       {sql_q6('b.n_alnum / b.n_chars')} AS alnum_q,
+       CASE WHEN a.n_tokens > 0
+            THEN {sql_q6('a.sum_tok_len / a.n_tokens')} ELSE 0 END AS avg_tok_len_q,
+       CASE WHEN a.n_tokens > 0
+            THEN {sql_q6('a.n_stop / a.n_tokens')} ELSE 0 END AS stop_q,
+       CASE WHEN a.n_tokens > 0
+            THEN {sql_q6('a.n_uniq / a.n_tokens')} ELSE 0 END AS uniq_q
+FROM base b JOIN agg a ON b.doc_id = a.doc_id
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_id
+# ---------------------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    lex_rows = [(lang, w) for lang, ws in LEXICONS.items() for w in ws]
+    lex = spark.createDataFrame(lex_rows, ["lex_lang", "word"])
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    nt = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    hits = (
+        toks.join(F.broadcast(lex), toks.term == lex.word)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lex_lang"))
+    )
+    best = hits.withColumn("rn", w).where(F.col("rn") == 1).drop("rn")
+    return (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .join(nt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.when(
+                F.coalesce("hits", F.lit(0)) > 0,
+                q6(F.col("hits") / F.col("n_tokens")),
+            ).otherwise(F.lit(0)).alias("score_q"),
+        )
+    )
+
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LEXICONS.items() for w in ws
+)
+
+LANG_ID_SQL = f"""
+WITH {SQL_TOKS.strip()},
+lex(lex_lang, word) AS (VALUES {_LEX_VALUES}),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks2 GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, l.lex_lang, count(*)::BIGINT AS hits
+  FROM toks2 t JOIN lex l ON t.term = l.word
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lex_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lex_lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.lex_lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0)::BIGINT AS hits,
+       CASE WHEN coalesce(b.hits, 0) > 0
+            THEN {sql_q6('b.hits / nt.n_tokens')} ELSE 0 END AS score_q
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+LEFT JOIN nt ON d.doc_id = nt.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint (whole-document 60-bit hash of normalized text)
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    norm = F.array_join(tokens_col(), " ")
+    return d.select("doc_id", hash60(norm).alias("fp"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                       x -> x <> ''), ' ') AS nt
+  FROM documents
+)
+SELECT doc_id, {sql_hash60('nt')} AS fp FROM norm ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint_winnow
+# ---------------------------------------------------------------------------
+
+WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+)
+
+
+def _winnow_one(norm: str) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing selection: per window of W consecutive k-gram hashes pick
+    the rightmost minimum; dedupe selections. Positions are 1-based (SQL
+    parity). Returns (pos[], fp[])."""
+    import hashlib
+
+    L = len(norm)
+    n = L - WINNOW_K + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    enc = norm.encode()
+    H = np.fromiter(
+        (
+            int(hashlib.md5(enc[i : i + WINNOW_K]).hexdigest()[:15], 16)
+            for i in range(n)
+        ),
+        dtype=np.int64,
+        count=n,
+    )
+    sels: set[tuple[int, int]] = set()
+    if n < WINNOW_W:
+        i = n - 1 - int(np.argmin(H[::-1]))
+        sels.add((i + 1, int(H[i])))
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(H, WINNOW_W)
+        right_idx = WINNOW_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+        pos0 = np.arange(n - WINNOW_W + 1) + right_idx
+        for p in np.unique(pos0):
+            sels.add((int(p) + 1, int(H[p])))
+    arr = sorted(sels)
+    return (
+        np.array([p for p, _ in arr], dtype=np.int64),
+        np.array([h for _, h in arr], dtype=np.int64),
+    )
+
+
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    norm = d.select("doc_id", F.array_join(tokens_col(), " ").alias("nt"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                pos, fp = _winnow_one(nt)
+                if len(pos):
+                    outs.append(
+                        pd.DataFrame(
+                            {"doc_id": int(doc_id), "pos": pos, "fp": fp}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return norm.mapInPandas(run, schema=WINNOW_SCHEMA)
+
+
+WINNOW_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                       x -> x <> ''), ' ') AS nt
+  FROM documents
+),
+series AS (
+  SELECT unnest(generate_series(
+    1, (SELECT coalesce(max(length(nt)), 0) FROM norm))) AS i
+),
+grams AS (
+  SELECT doc_id, s.i, {sql_hash60(f'substr(nt, s.i, {WINNOW_K})')} AS h
+  FROM norm, series s
+  WHERE s.i <= length(nt) - {WINNOW_K} + 1
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY 1),
+ends AS (
+  SELECT c.doc_id, s.i AS e
+  FROM cnt c, series s
+  WHERE s.i BETWEEN least({WINNOW_W}, c.n) AND c.n
+),
+winmin AS (
+  SELECT e.doc_id, e.e, min(g.h) AS mn
+  FROM ends e
+  JOIN grams g ON g.doc_id = e.doc_id
+              AND g.i BETWEEN greatest(1, e.e - {WINNOW_W} + 1) AND e.e
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT w.doc_id, max(g.i)::BIGINT AS pos, w.mn AS fp
+  FROM winmin w
+  JOIN grams g ON g.doc_id = w.doc_id
+              AND g.i BETWEEN greatest(1, w.e - {WINNOW_W} + 1) AND w.e
+              AND g.h = w.mn
+  GROUP BY w.doc_id, w.e, w.mn
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
+"""
+
+
+SPARK_QUERIES = {
+    "token_stats": token_stats,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "text_fingerprint_winnow": text_fingerprint_winnow,
+}
+
+ORACLE_SQLS = {
+    "token_stats": TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_fingerprint_winnow": WINNOW_SQL,
+}

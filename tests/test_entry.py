@@ -21,6 +21,15 @@ SUBSET = [
     "bm25_ranked_and",
     "boolean_and",
     "wand_max_weights",
+    # ops suite (one per module/technique)
+    "text_quality",
+    "lang_id",
+    "text_fingerprint_winnow",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "media_frame_sample",
 ]
 
 
