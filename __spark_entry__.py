@@ -253,6 +253,47 @@ def _entry_roundtrip(spark, sf_dir):
     return decoded_postings(idx)
 
 
+def _get_variant_index(spark: SparkSession, sf_dir: str, variant_cfg: dict,
+                       tag: str):
+    key = (os.path.abspath(sf_dir), tag)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    base = f"{os.path.basename(key[0].rstrip('/'))}-{tag}-v{dint_spark.__version__}"
+    out = os.path.join("/tmp/dint_spark_entry", base)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs)
+    cfg = IndexConfig(num_buckets=4, input_tag=base, **variant_cfg)
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        try:
+            idx = load_index(spark, out)
+            _INDEX_CACHE[key] = idx
+            return idx
+        except Exception:
+            pass
+    idx = build_index(spark, pages, out, cfg)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _entry_roundtrip_multi(spark, sf_dir):
+    """check_index over the double-dictionary (multi-context) variant:
+    per-block context dictionaries (ref include/dint/multi_dictionary.hpp,
+    dint_codecs.hpp:285-458)."""
+    idx = _get_variant_index(
+        spark, sf_dir, {"dict_variant": "multi", "num_dicts": 2}, "multi2"
+    )
+    return decoded_postings(idx)
+
+
+def _entry_roundtrip_pdf(spark, sf_dir):
+    """check_index over the PDF (prefix-discounted frequencies) pattern
+    selection — the paper's alternative to DSF."""
+    idx = _get_variant_index(
+        spark, sf_dir, {"pattern_selection": "pdf"}, "pdf"
+    )
+    return decoded_postings(idx)
+
+
 _POSTINGS_SQL = (
     _PRELUDE
     + """
@@ -270,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_term_ids": _entry_vocab,
         "postings_build": _entry_postings_flat,
         "dint_roundtrip": _entry_roundtrip,
+        "dint_roundtrip_multi": _entry_roundtrip_multi,
+        "dint_roundtrip_pdf": _entry_roundtrip_pdf,
         "bm25_ranked_or": lambda s, d: _ranked(s, d, "ranked_or"),
         "bm25_wand": lambda s, d: _ranked(s, d, "wand"),
         "bm25_block_max_wand": lambda s, d: _ranked(s, d, "block_max_wand"),
@@ -388,6 +431,8 @@ FROM tf GROUP BY term ORDER BY term
         + "SELECT term_id, term, df FROM vocab ORDER BY term_id",
         "postings_build": _POSTINGS_SQL,
         "dint_roundtrip": _POSTINGS_SQL,
+        "dint_roundtrip_multi": _POSTINGS_SQL,
+        "dint_roundtrip_pdf": _POSTINGS_SQL,
         "bm25_ranked_or": _topk_or_sql(),
         "bm25_wand": _topk_or_sql(),
         "bm25_block_max_wand": _topk_or_sql(),

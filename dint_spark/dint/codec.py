@@ -415,21 +415,22 @@ def decode_block_dint(data: bytes, pos: int, n: int, table2d: np.ndarray,
     return out[:n], pos + 2 * slot
 
 
-def encode_block(vals: np.ndarray, sum_of_values: int, encode_map: dict,
+def encode_block(vals: np.ndarray, sum_of_values: int, dct,
                  optimal: bool = True) -> bytes:
-    """Reference Coder::encode semantics: blocks shorter than 256 use BIC."""
+    """Reference Coder::encode semantics: blocks shorter than 256 use BIC.
+    ``dct`` is a DintDictionary or MultiDictionary (multi prepends a 1-byte
+    per-block dictionary selector, ref include/dint/dint_codecs.hpp:410-432)."""
     if len(vals) < BLOCK_SIZE:
         return bic_encode(np.asarray(vals, dtype=np.uint32), sum_of_values)
-    return encode_block_dint(np.asarray(vals, dtype=np.uint32), encode_map,
-                             optimal=optimal)
+    return dct.encode_full_block(np.asarray(vals, dtype=np.uint32),
+                                 optimal=optimal)
 
 
-def decode_block(data: bytes, pos: int, n: int, sum_of_values: int,
-                 table2d: np.ndarray, sizes: np.ndarray
+def decode_block(data: bytes, pos: int, n: int, sum_of_values: int, dct
                  ) -> tuple[np.ndarray, int]:
     if n < BLOCK_SIZE:
         return bic_decode(data, pos, n, sum_of_values)
-    return decode_block_dint(data, pos, n, table2d, sizes)
+    return dct.decode_full_block(data, pos, n)
 
 
 # --------------------------------------------------------------------------
@@ -467,10 +468,10 @@ def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
         gaps_universe = last - block_base - (hi - lo - 1)  # sum of gaps
         endpoints[b] = len(payload)
         payload += encode_block(gaps.astype(np.uint32), gaps_universe,
-                                docs_dict.encode_map, optimal=optimal)
+                                docs_dict, optimal=optimal)
         freq_offsets[b] = len(payload)
         payload += encode_block((freqs[lo:hi] - 1).astype(np.uint32), -1,
-                                freqs_dict.encode_map, optimal=optimal)
+                                freqs_dict, optimal=optimal)
         block_maxs[b] = last
         prev = last
 
@@ -478,7 +479,7 @@ def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
 
 
 def decode_docs_block(payload: bytes, b: int, n: int, block_maxs: np.ndarray,
-                      endpoints: np.ndarray, docs_table, docs_sizes
+                      endpoints: np.ndarray, docs_dict
                       ) -> tuple[np.ndarray, int]:
     """Decode block b's docIDs. Returns (docids, end_of_docs_byte_pos)."""
     lo = b * BLOCK_SIZE
@@ -487,14 +488,14 @@ def decode_docs_block(payload: bytes, b: int, n: int, block_maxs: np.ndarray,
     base = (int(block_maxs[b - 1]) + 1) if b > 0 else 0
     universe = int(block_maxs[b]) - base - (m - 1)
     gaps, pos = decode_block(payload, int(endpoints[b]), m, universe,
-                             docs_table, docs_sizes)
+                             docs_dict)
     docids = base - 1 + np.cumsum(gaps.astype(np.int64) + 1)
     return docids, pos
 
 
-def decode_freqs_block(payload: bytes, pos: int, m: int, freqs_table,
-                       freqs_sizes) -> np.ndarray:
-    fvals, _ = decode_block(payload, pos, m, -1, freqs_table, freqs_sizes)
+def decode_freqs_block(payload: bytes, pos: int, m: int, freqs_dict
+                       ) -> np.ndarray:
+    fvals, _ = decode_block(payload, pos, m, -1, freqs_dict)
     return fvals.astype(np.int64) + 1
 
 
@@ -509,9 +510,8 @@ def decode_list(payload: bytes, n: int, block_maxs: np.ndarray,
         lo = b * BLOCK_SIZE
         hi = min(lo + BLOCK_SIZE, n)
         docids, pos = decode_docs_block(payload, b, n, block_maxs, endpoints,
-                                        docs_dict.table2d, docs_dict.sizes)
+                                        docs_dict)
         docs_out[lo:hi] = docids
         freqs_out[lo:hi] = decode_freqs_block(payload, pos, hi - lo,
-                                              freqs_dict.table2d,
-                                              freqs_dict.sizes)
+                                              freqs_dict)
     return docs_out, freqs_out

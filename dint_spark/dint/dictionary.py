@@ -127,6 +127,124 @@ class DintDictionary:
         h.update(self.sizes[: self.num_used].tobytes())
         return h.hexdigest()[:16]
 
+    # -- block codec hooks (dispatched from codec.encode_block/decode_block) -
+    def encode_full_block(self, vals: np.ndarray, optimal: bool = True) -> bytes:
+        from dint_spark.dint.codec import encode_block_dint
+
+        return encode_block_dint(vals, self.encode_map, optimal=optimal)
+
+    def decode_full_block(self, data: bytes, pos: int, n: int
+                          ) -> tuple[np.ndarray, int]:
+        from dint_spark.dint.codec import decode_block_dint
+
+        return decode_block_dint(data, pos, n, self.table2d, self.sizes)
+
+
+# --------------------------------------------------------------------------
+# multi-dictionary contexts (ref include/dint/multi_dictionary.hpp:15-52,
+# statistics_collectors.hpp:21-40, dint_codecs.hpp:285-458)
+# --------------------------------------------------------------------------
+
+NUM_SELECTOR_CLASSES = 6
+
+
+def selector_class(block_max: int) -> int:
+    """Context class of a block by the bit-width of its max value:
+    ceil_log2(ceil_log2(max+1)) clamped to 0..5 — widths <=1,2,4,8,16,else.
+    (ref statistics_collectors.hpp:21-40)"""
+    bw = int(block_max).bit_length()  # 0 for max==0
+    if bw <= 1:
+        return 0
+    return min((bw - 1).bit_length(), NUM_SELECTOR_CLASSES - 1)
+
+
+def default_class_map(num_dicts: int) -> list[int]:
+    """Map the 6 selector classes onto num_dicts dictionaries. For the
+    double-dictionary variant (num_dicts=2) classes with width <= 8 bits
+    (dense gaps / small freqs) share dict 0, wider blocks dict 1."""
+    if num_dicts >= NUM_SELECTOR_CLASSES:
+        return list(range(NUM_SELECTOR_CLASSES))
+    if num_dicts == 2:
+        return [0, 0, 0, 0, 1, 1]
+    # general: even split of the 6 classes
+    return [min(c * num_dicts // NUM_SELECTOR_CLASSES, num_dicts - 1)
+            for c in range(NUM_SELECTOR_CLASSES)]
+
+
+@dataclass
+class MultiDictionary:
+    """K context dictionaries; each full block is encoded with the dictionary
+    that yields the fewest bytes (exhaustive choice, ref
+    dint_codecs.hpp:410-432) and prefixed with a 1-byte dict selector."""
+
+    dicts: list = field(default_factory=list)
+    class_map: list = field(default_factory=lambda: default_class_map(2))
+
+    @property
+    def num_dicts(self) -> int:
+        return len(self.dicts)
+
+    def encode_full_block(self, vals: np.ndarray, optimal: bool = True) -> bytes:
+        from dint_spark.dint.codec import encode_block_dint
+
+        best: bytes | None = None
+        best_i = 0
+        for i, d in enumerate(self.dicts):
+            enc = encode_block_dint(vals, d.encode_map, optimal=optimal)
+            if best is None or len(enc) < len(best):
+                best = enc
+                best_i = i
+        return bytes([best_i]) + best
+
+    def decode_full_block(self, data: bytes, pos: int, n: int
+                          ) -> tuple[np.ndarray, int]:
+        from dint_spark.dint.codec import decode_block_dint
+
+        d = self.dicts[data[pos]]
+        return decode_block_dint(data, pos + 1, n, d.table2d, d.sizes)
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        arrays = {
+            "kind": np.array([1], dtype=np.int64),
+            "num_dicts": np.array([len(self.dicts)], dtype=np.int64),
+            "class_map": np.array(self.class_map, dtype=np.int64),
+        }
+        for i, d in enumerate(self.dicts):
+            arrays[f"sizes_{i}"] = d.sizes[: d.num_used].astype(np.int64)
+            arrays[f"table_{i}"] = d.table2d[: d.num_used].astype(np.uint32)
+            arrays[f"num_used_{i}"] = np.array([d.num_used], dtype=np.int64)
+        np.savez_compressed(buf, **arrays)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MultiDictionary":
+        with np.load(io.BytesIO(data)) as z:
+            k = int(z["num_dicts"][0])
+            dicts = []
+            for i in range(k):
+                d = DintDictionary()
+                d.num_used = int(z[f"num_used_{i}"][0])
+                d.table2d[: d.num_used] = z[f"table_{i}"]
+                d.sizes[: d.num_used] = z[f"sizes_{i}"]
+                d.prepare_for_encoding()
+                dicts.append(d)
+            return cls(dicts=dicts, class_map=[int(c) for c in z["class_map"]])
+
+    def content_hash(self) -> str:
+        h = hashlib.sha256()
+        for d in self.dicts:
+            h.update(d.content_hash().encode())
+        h.update(bytes(self.class_map))
+        return h.hexdigest()[:16]
+
+
+def load_dictionary(data: bytes):
+    """Artifact dispatcher: MultiDictionary artifacts carry a 'kind' array."""
+    with np.load(io.BytesIO(data)) as z:
+        is_multi = "kind" in z.files
+    return (MultiDictionary if is_multi else DintDictionary).from_bytes(data)
+
 
 def select_patterns_dsf(
     stats: list[tuple[bytes, int, int]],
@@ -148,3 +266,64 @@ def select_patterns_dsf(
     ]
     kept.sort(key=lambda r: (-r[2], -r[1], r[0]))
     return [pat for pat, _, _ in kept[:max_patterns]]
+
+
+def select_patterns_pdf(
+    stats: list[tuple[bytes, int, int]],
+    total_integers: int,
+    max_patterns: int = NUM_ENTRIES - RESERVED,
+    eps_threshold: float = EPS / 1000,
+) -> list[bytes]:
+    """PDF — Prefix-Discounted Frequencies (the paper's alternative to DSF;
+    the reference snapshot ships only DSF, see scripts/build_dint_indexes.py:5
+    which names both strategies).
+
+    Greedy selection by current (discounted) frequency: when a pattern P of
+    size s is selected, the frequencies of its two aligned halves (and
+    recursively their halves) are discounted by freq(P), because occurrences
+    of P already cover those occurrences of its sub-patterns. Implemented as
+    a lazy max-heap: popped entries whose cached freq is stale are re-pushed
+    with the updated value. Deterministic: ties break (size desc, bytes asc).
+    """
+    import heapq
+
+    freq: dict[tuple[bytes, int], int] = {}
+    for pat, size, f in stats:
+        if size == 1 or pattern_saving(size, f, total_integers) > eps_threshold:
+            freq[(pat, size)] = f
+
+    heap = [(-f, -size, pat) for (pat, size), f in freq.items()]
+    heapq.heapify(heap)
+    out: list[bytes] = []
+    selected: set[tuple[bytes, int]] = set()
+    while heap and len(out) < max_patterns:
+        nf, nsize, pat = heapq.heappop(heap)
+        size = -nsize
+        key = (pat, size)
+        cur = freq.get(key, 0)
+        if key in selected:
+            continue
+        if -nf != cur:  # stale: re-insert with discounted frequency
+            if cur > 0:
+                heapq.heappush(heap, (-cur, nsize, pat))
+            continue
+        if cur <= 0:
+            continue
+        selected.add(key)
+        out.append(pat)
+        # discount all aligned power-of-two sub-windows
+        s = size // 2
+        while s >= 1:
+            w = 4 * s
+            for off in range(0, 4 * size, w):
+                sub = (pat[off: off + w], s)
+                if sub in freq:
+                    freq[sub] = max(0, freq[sub] - cur)
+            s //= 2
+    return out
+
+
+SELECTORS = {
+    "dsf": select_patterns_dsf,
+    "pdf": select_patterns_pdf,
+}

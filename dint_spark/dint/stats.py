@@ -1,15 +1,22 @@
-"""Pattern-statistics collection + DSF dictionary learning as Spark jobs.
+"""Pattern-statistics collection + dictionary learning as Spark jobs.
 
 The reference's single-threaded hash map pass
 (include/dint/block_statistics.hpp:45-109, statistics_collectors.hpp:82-119)
 becomes: mapInPandas over postings emitting partially-aggregated
-(stream, pattern, size, freq) rows -> Catalyst hash aggregation -> cost
+(stream, sel, pattern, size, freq) rows -> Catalyst hash aggregation -> cost
 filter -> TakeOrderedAndProject top-(65536-7) -> tiny driver collect that
 materializes the broadcastable dictionary.
 
 For each list, the docs stream is delta-gapped (d[i]-d[i-1]-1) and the freqs
 stream is (f-1); aligned windows of sizes 16/8/4/2/1 are counted (per-size
-tails ignored), matching the reference's "adjusted" collector.
+tails ignored), matching the reference's "adjusted" collector. In the
+multi-dictionary variant, windows are accumulated per 256-int block under
+the block's selector class (bit-width of the block max, ref
+statistics_collectors.hpp:21-40), and one dictionary is built per mapped
+context (ref block_statistics.hpp:171-359).
+
+Pattern selection: DSF (reference default) or PDF (paper variant), see
+dictionary.SELECTORS.
 """
 
 from __future__ import annotations
@@ -22,12 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dint_spark.dint.codec import NUM_ENTRIES, RESERVED, TARGET_SIZES
-from dint_spark.dint.dictionary import CODEWORD_BITS, EPS, INITIAL_BPI, DintDictionary
+from dint_spark.dint.codec import BLOCK_SIZE, NUM_ENTRIES, RESERVED, TARGET_SIZES
+from dint_spark.dint.dictionary import (
+    CODEWORD_BITS,
+    EPS,
+    INITIAL_BPI,
+    NUM_SELECTOR_CLASSES,
+    SELECTORS,
+    DintDictionary,
+    MultiDictionary,
+    default_class_map,
+    selector_class,
+)
 
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("stream", T.StringType(), False),
+        T.StructField("sel", T.IntegerType(), False),
         T.StructField("pattern", T.BinaryType(), False),
         T.StructField("size", T.IntegerType(), False),
         T.StructField("freq", T.LongType(), False),
@@ -35,8 +53,8 @@ STATS_SCHEMA = T.StructType(
 )
 
 
-def _collect_windows(vals: np.ndarray, acc: dict) -> None:
-    """Count aligned windows of each target size over one stream."""
+def _collect_windows(vals: np.ndarray, acc: dict, sel: int) -> None:
+    """Count aligned windows of each target size over one stream segment."""
     m = len(vals)
     vals = np.ascontiguousarray(vals, dtype="<u4")
     for s in TARGET_SIZES:
@@ -51,12 +69,23 @@ def _collect_windows(vals: np.ndarray, acc: dict) -> None:
         w = 4 * s
         for i, cnt in enumerate(counts):
             key = ub[i * w: (i + 1) * w]
-            k2 = (key, s)
+            k2 = (key, s, sel)
             acc[k2] = acc.get(k2, 0) + int(cnt)
 
 
-def collect_pattern_stats(postings: DataFrame) -> DataFrame:
-    """-> (stream, pattern, size, freq) partially aggregated per task."""
+def _collect_stream(vals: np.ndarray, acc: dict, per_block: bool) -> None:
+    if not per_block:
+        _collect_windows(vals, acc, 0)
+        return
+    for lo in range(0, len(vals), BLOCK_SIZE):
+        block = vals[lo: lo + BLOCK_SIZE]
+        sel = selector_class(int(block.max())) if len(block) else 0
+        _collect_windows(block, acc, sel)
+
+
+def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
+                          ) -> DataFrame:
+    """-> (stream, sel, pattern, size, freq) partially aggregated per task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc_docs: dict = {}
@@ -65,32 +94,42 @@ def collect_pattern_stats(postings: DataFrame) -> DataFrame:
             for docs, freqs in zip(pdf["doc_ids"], pdf["freqs"]):
                 docs = np.asarray(docs, dtype=np.int64)
                 gaps = np.diff(docs, prepend=-1) - 1
-                _collect_windows(gaps.astype(np.uint32), acc_docs)
+                _collect_stream(gaps.astype(np.uint32), acc_docs,
+                                per_block_contexts)
                 fvals = np.asarray(freqs, dtype=np.int64) - 1
-                _collect_windows(fvals.astype(np.uint32), acc_freqs)
+                _collect_stream(fvals.astype(np.uint32), acc_freqs,
+                                per_block_contexts)
         rows = []
         for stream, acc in (("docs", acc_docs), ("freqs", acc_freqs)):
-            for (pat, size), freq in acc.items():
-                rows.append((stream, pat, size, freq))
+            for (pat, size, sel), freq in acc.items():
+                rows.append((stream, sel, pat, size, freq))
         if rows:
-            yield pd.DataFrame(rows, columns=["stream", "pattern", "size", "freq"])
+            yield pd.DataFrame(
+                rows, columns=["stream", "sel", "pattern", "size", "freq"]
+            )
 
-    return postings.select("doc_ids", "freqs").mapInPandas(run, schema=STATS_SCHEMA)
+    return postings.select("doc_ids", "freqs").mapInPandas(
+        run, schema=STATS_SCHEMA
+    )
 
 
 def learn_dictionaries(
-    postings: DataFrame, optimal_filter: bool = True
-) -> tuple[DintDictionary, DintDictionary, dict]:
-    """Run the stats job + DSF selection; returns (docs_dict, freqs_dict,
+    postings: DataFrame,
+    selection: str = "dsf",
+    variant: str = "single",
+    num_dicts: int = 2,
+) -> tuple[object, object, dict]:
+    """Run the stats job + pattern selection; returns (docs_dict, freqs_dict,
     info). One Spark action; everything after the top-k collect is driver-
-    side on <= 2*65529 tiny rows."""
+    side on <= 2*K*65529 tiny rows."""
     total_integers = postings.select(
         F.sum(F.size("doc_ids")).alias("t")
     ).collect()[0]["t"] or 0
+    multi = variant == "multi"
 
     stats = (
-        collect_pattern_stats(postings)
-        .groupBy("stream", "pattern", "size")
+        collect_pattern_stats(postings, per_block_contexts=multi)
+        .groupBy("stream", "sel", "pattern", "size")
         .agg(F.sum("freq").alias("freq"))
     )
 
@@ -103,19 +142,48 @@ def learn_dictionaries(
     filtered = stats.where((F.col("size") == 1) | (saving > F.lit(thr)))
 
     max_patterns = NUM_ENTRIES - RESERVED
-    dicts = {}
+    select = SELECTORS[selection]
+    class_map = default_class_map(num_dicts)
+    dicts: dict[str, object] = {}
     for stream in ("docs", "freqs"):
-        top = (
-            filtered.where(F.col("stream") == stream)
-            .orderBy(F.desc("freq"), F.desc("size"), F.asc("pattern"))
-            .limit(max_patterns)
-            .collect()
-        )
-        dicts[stream] = DintDictionary.build([r["pattern"] for r in top])
+        if not multi:
+            top = (
+                filtered.where(F.col("stream") == stream)
+                .orderBy(F.desc("freq"), F.desc("size"), F.asc("pattern"))
+                .limit(max_patterns * 2 if selection == "pdf" else max_patterns)
+                .collect()
+            )
+            rows = [(r["pattern"], r["size"], r["freq"]) for r in top]
+            dicts[stream] = DintDictionary.build(
+                select(rows, total_integers, max_patterns=max_patterns)
+            )
+        else:
+            sub_dicts = []
+            for di in range(num_dicts):
+                sels = [c for c in range(NUM_SELECTOR_CLASSES)
+                        if class_map[c] == di]
+                top = (
+                    filtered.where(
+                        (F.col("stream") == stream) & F.col("sel").isin(sels)
+                    )
+                    .groupBy("pattern", "size")
+                    .agg(F.sum("freq").alias("freq"))
+                    .orderBy(F.desc("freq"), F.desc("size"), F.asc("pattern"))
+                    .limit(max_patterns * 2 if selection == "pdf" else max_patterns)
+                    .collect()
+                )
+                rows = [(r["pattern"], r["size"], r["freq"]) for r in top]
+                sub_dicts.append(
+                    DintDictionary.build(
+                        select(rows, total_integers, max_patterns=max_patterns)
+                    )
+                )
+            dicts[stream] = MultiDictionary(dicts=sub_dicts,
+                                            class_map=class_map)
 
     info = {
         "total_integers": int(total_integers),
-        "docs_dict_entries": dicts["docs"].num_used,
-        "freqs_dict_entries": dicts["freqs"].num_used,
+        "variant": variant,
+        "selection": selection,
     }
     return dicts["docs"], dicts["freqs"], info

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from dint_spark.bm25 import BM25
 from dint_spark.dint.codec import encode_list
-from dint_spark.dint.dictionary import DintDictionary
+from dint_spark.dint.dictionary import DintDictionary, load_dictionary
 from dint_spark.dint.stats import learn_dictionaries
 from dint_spark.postings import DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs
 from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
@@ -66,6 +66,12 @@ class IndexConfig:
     num_buckets: int = 8
     tokenizer_version: str = "nfc-lower-alnum-v1"
     input_tag: str = ""
+    # "single" = one dictionary per stream (reference single_packed);
+    # "multi" = per-context dictionaries chosen per block (multi_packed,
+    # num_dicts=2 -> the double-dictionary variant)
+    dict_variant: str = "single"
+    pattern_selection: str = "dsf"  # or "pdf" (paper variant)
+    num_dicts: int = 2
 
     def config_hash(self) -> str:
         return hashlib.sha256(
@@ -203,16 +209,21 @@ def build_index(
     dict_freqs_path = os.path.join(out_dir, "dict_freqs.npz")
     if not done("dicts"):
         t1 = time.time()
-        docs_dict, freqs_dict, info = learn_dictionaries(postings)
+        docs_dict, freqs_dict, info = learn_dictionaries(
+            postings,
+            selection=config.pattern_selection,
+            variant=config.dict_variant,
+            num_dicts=config.num_dicts,
+        )
         with open(dict_docs_path, "wb") as f:
             f.write(docs_dict.to_bytes())
         with open(dict_freqs_path, "wb") as f:
             f.write(freqs_dict.to_bytes())
         mark("dicts", wall_s=time.time() - t1, **info)
     with open(dict_docs_path, "rb") as f:
-        docs_dict = DintDictionary.from_bytes(f.read())
+        docs_dict = load_dictionary(f.read())
     with open(dict_freqs_path, "rb") as f:
-        freqs_dict = DintDictionary.from_bytes(f.read())
+        freqs_dict = load_dictionary(f.read())
 
     # -- step 4: encode per term-range bucket (resumable) -------------------
     num_terms = spark.read.parquet(vocab_path).count()
@@ -290,9 +301,9 @@ class Index:
         self.num_terms = meta["num_terms"]
         self.avg_len = meta["avg_len"]
         with open(os.path.join(out_dir, "dict_docs.npz"), "rb") as f:
-            self.docs_dict = DintDictionary.from_bytes(f.read())
+            self.docs_dict = load_dictionary(f.read())
         with open(os.path.join(out_dir, "dict_freqs.npz"), "rb") as f:
-            self.freqs_dict = DintDictionary.from_bytes(f.read())
+            self.freqs_dict = load_dictionary(f.read())
         self.avg_len_f64 = meta.get("avg_len_f64", meta["avg_len"])
         self._norm_lens = None
         self._norm_lens64 = None

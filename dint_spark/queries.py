@@ -45,7 +45,7 @@ class Cursor:
 
     __slots__ = (
         "n", "block_maxs", "endpoints", "freq_offsets", "payload", "universe",
-        "docs_table", "docs_sizes", "freqs_table", "freqs_sizes",
+        "docs_dict", "freqs_dict",
         "nblocks", "cur_block", "pos", "docids", "freqs", "cur_docid",
         "q_weight", "max_weight", "block_max_scores", "term_id", "bound_scale",
     )
@@ -59,10 +59,8 @@ class Cursor:
         self.freq_offsets = np.asarray(freq_offsets, dtype=np.int64)
         self.payload = bytes(payload)
         self.universe = int(universe)
-        self.docs_table = docs_dict.table2d
-        self.docs_sizes = docs_dict.sizes
-        self.freqs_table = freqs_dict.table2d
-        self.freqs_sizes = freqs_dict.sizes
+        self.docs_dict = docs_dict
+        self.freqs_dict = freqs_dict
         self.nblocks = len(self.block_maxs)
         self.block_max_scores = (
             np.asarray(block_max_scores, dtype=np.float32)
@@ -81,7 +79,7 @@ class Cursor:
     def _decode_block(self, b: int) -> None:
         docids, _ = decode_docs_block(
             self.payload, b, self.n, self.block_maxs, self.endpoints,
-            self.docs_table, self.docs_sizes,
+            self.docs_dict,
         )
         self.docids = docids
         self.freqs = None  # lazy (ref dict_posting_list.hpp:164-169)
@@ -118,7 +116,7 @@ class Cursor:
             m = len(self.docids)
             fvals, _ = decode_block(
                 self.payload, int(self.freq_offsets[self.cur_block]), m, -1,
-                self.freqs_table, self.freqs_sizes,
+                self.freqs_dict,
             )
             self.freqs = fvals.astype(np.int64) + 1
         return int(self.freqs[self.pos])

@@ -71,11 +71,11 @@ def build_dicts(plists) -> tuple[DintDictionary, DintDictionary]:
     for docs, freqs in plists.values():
         total += len(docs)
         gaps = np.diff(docs, prepend=-1) - 1
-        _collect_windows(gaps.astype(np.uint32), acc_docs)
-        _collect_windows((freqs - 1).astype(np.uint32), acc_freqs)
+        _collect_windows(gaps.astype(np.uint32), acc_docs, 0)
+        _collect_windows((freqs - 1).astype(np.uint32), acc_freqs, 0)
     out = []
     for acc in (acc_docs, acc_freqs):
-        stats = [(pat, size, freq) for (pat, size), freq in acc.items()]
+        stats = [(pat, size, freq) for (pat, size, _), freq in acc.items()]
         out.append(DintDictionary.build(select_patterns_dsf(stats, total)))
     return out[0], out[1]
 
