@@ -117,6 +117,10 @@ def main() -> None:
     timings["bm25_ranked_or_500q"] = time.time() - t0
 
     t0 = time.time()
+    run_queries(spark, idx, workload, algo="ranked_or_vec", k=TOPK).count()
+    timings["bm25_ranked_or_vec_500q"] = time.time() - t0
+
+    t0 = time.time()
     run_queries(spark, idx, workload, algo="maxscore", k=TOPK).count()
     timings["bm25_maxscore_500q"] = time.time() - t0
 

@@ -232,10 +232,18 @@ def build_index(
     freqs_bc = spark.sparkContext.broadcast(freqs_dict)
     encode_udf = make_encode_udf(docs_bc, freqs_bc, avg_len, config.optimal_parse)
 
-    for bucket in range(config.num_buckets):
+    # encode buckets CONCURRENTLY (Spark FIFO-schedules the jobs; each is a
+    # mapInPandas over an explicit repartition so every core stays busy even
+    # when a bucket's term range spans few parquet files) — the parallel
+    # pipelined build of ref semiasync_queue.hpp at job granularity
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    par = max(spark.sparkContext.defaultParallelism, config.num_buckets)
+    manifest_lock = threading.Lock()
+
+    def encode_bucket(bucket: int) -> None:
         key = str(bucket)
-        if key in manifest["buckets"]:
-            continue
         tb = time.time()
         lo = bucket * terms_per_bucket
         hi = lo + terms_per_bucket
@@ -243,6 +251,7 @@ def build_index(
         part = postings.where((F.col("term_id") >= lo) & (F.col("term_id") < hi))
         segs = (
             part.select("term_id", "doc_ids", "freqs", "lens")
+            .repartition(par)
             .mapInPandas(encode_udf, schema=SEGMENTS_SCHEMA)
         )
         segs.write.mode("overwrite").parquet(seg_path)
@@ -257,7 +266,7 @@ def build_index(
             .collect()[0]
         )
         postings_count = m["postings"] or 0
-        manifest["buckets"][key] = {
+        entry = {
             "term_lo": lo,
             "term_hi": hi,
             "lists": m["lists"],
@@ -274,7 +283,15 @@ def build_index(
                 "input_tag": config.input_tag,
             },
         }
-        _atomic_write_json(manifest_path, manifest)
+        with manifest_lock:
+            manifest["buckets"][key] = entry
+            _atomic_write_json(manifest_path, manifest)
+
+    todo = [b for b in range(config.num_buckets)
+            if str(b) not in manifest["buckets"]]
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+            list(ex.map(encode_bucket, todo))
 
     if "meta" not in manifest["steps"]:
         mark(

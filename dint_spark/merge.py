@@ -1,0 +1,207 @@
+"""Index merging: combine two built indexes (or postings tables) into one
+globally sorted term-partitioned index.
+
+This is the reference's ordered merge of sub-indexes
+(include/dint/dict_freq_index.hpp:119-122, semiasync_queue commit ordering)
+lifted to whole-index granularity, expressed as Spark sort-merge shuffle:
+
+  merge_postings   array-level merge of two postings tables sharing one
+                   term-id space (doc collisions sum tf)
+  merge_indexes    full merge of two independently built indexes over
+                   DISJOINT corpora: unify vocabularies (term ids re-ranked
+                   by combined df), offset the right index's doc ids, merge
+                   posting arrays, then resume the standard build pipeline
+                   (dict learn + encode) over the merged corpus files.
+
+Merging N indexes = folding merge_indexes; each merge is one join-shuffle on
+term strings + one term-range write. If both inputs were built from
+url-sorted halves of one corpus, the merged index is byte-equivalent to the
+single-shot build (asserted in tests/test_merge.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dint_spark.ids import add_dense_index
+from dint_spark.index import Index, IndexConfig, build_index
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("df", T.IntegerType(), False),
+        T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
+        T.StructField("freqs", T.ArrayType(T.LongType()), False),
+        T.StructField("lens", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def _merge_arrays(da, fa, la, db, fb, lb):
+    """Two-way sorted merge; duplicate doc -> tf summed, len must agree."""
+    docs = np.concatenate([da, db])
+    freqs = np.concatenate([fa, fb])
+    lens = np.concatenate([la, lb])
+    order = np.argsort(docs, kind="stable")
+    docs, freqs, lens = docs[order], freqs[order], lens[order]
+    if len(docs) > 1:
+        dup = np.flatnonzero(docs[1:] == docs[:-1])
+        if len(dup):
+            np.add.at(freqs, dup, freqs[dup + 1])
+            keep = np.ones(len(docs), dtype=bool)
+            keep[dup + 1] = False
+            docs, freqs, lens = docs[keep], freqs[keep], lens[keep]
+    return docs, freqs, lens
+
+
+def merge_postings(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """Merge two postings tables over the SAME term-id space. One shuffle
+    (the full-outer join on term_id); per-row numpy merge of sorted arrays."""
+    a = pa.select(
+        "term_id",
+        F.col("doc_ids").alias("da"),
+        F.col("freqs").alias("fa"),
+        F.col("lens").alias("la"),
+    )
+    b = pb.select(
+        "term_id",
+        F.col("doc_ids").alias("db"),
+        F.col("freqs").alias("fb"),
+        F.col("lens").alias("lb"),
+    )
+    joined = a.join(b, "term_id", "full_outer")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = np.empty(0, dtype=np.int64)
+
+        def arr(v):
+            return (
+                empty
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else np.asarray(v, dtype=np.int64)
+            )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                docs, freqs, lens = _merge_arrays(
+                    arr(r.da), arr(r.fa), arr(r.la),
+                    arr(r.db), arr(r.fb), arr(r.lb),
+                )
+                rows.append(
+                    (int(r.term_id), len(docs), docs.tolist(),
+                     freqs.tolist(), lens.tolist())
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["term_id", "df", "doc_ids", "freqs", "lens"]
+                )
+
+    return joined.mapInPandas(run, schema=POSTINGS_SCHEMA)
+
+
+def _remap_postings(postings: DataFrame, vocab_old: DataFrame,
+                    vocab_new: DataFrame, doc_offset: int) -> DataFrame:
+    """Map term ids old->new via term strings; shift doc ids by doc_offset."""
+    mapping = (
+        vocab_old.select("term", F.col("term_id").alias("old_id"))
+        .join(vocab_new.select("term", F.col("term_id").alias("new_id")), "term")
+        .select("old_id", "new_id")
+    )
+    p = postings.join(
+        F.broadcast(mapping), postings.term_id == mapping.old_id
+    )
+    shift = F.transform("doc_ids", lambda d: d + F.lit(doc_offset))
+    return p.select(
+        F.col("new_id").alias("term_id"),
+        "df",
+        shift.alias("doc_ids"),
+        "freqs",
+        "lens",
+    )
+
+
+def merge_indexes(
+    spark: SparkSession,
+    dir_a: str,
+    dir_b: str,
+    out_dir: str,
+    config: IndexConfig | None = None,
+) -> Index:
+    """Merge two built indexes over disjoint corpora into a fresh index at
+    out_dir. Vocabularies are unified (term ids re-ranked by combined df,
+    ties term asc — the same total order as build_vocab); index B's doc ids
+    are offset by A's num_docs; the standard resumable build pipeline then
+    learns dictionaries and encodes segments from the merged corpus files."""
+    config = config or IndexConfig()
+    ia, ib = Index(spark, dir_a), Index(spark, dir_b)
+    os.makedirs(out_dir, exist_ok=True)
+    offset = ia.num_docs
+
+    # ---- unified vocab: combined df, same (df desc, term asc) dense rank --
+    va = ia.vocab().select("term", "df")
+    vb = ib.vocab().select("term", "df")
+    combined = (
+        va.unionByName(vb).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    vocab = add_dense_index(
+        combined, [F.col("df").desc(), F.col("term").asc()], "term_id"
+    )
+    vocab.write.mode("overwrite").parquet(os.path.join(out_dir, "vocab.parquet"))
+    vocab = spark.read.parquet(os.path.join(out_dir, "vocab.parquet"))
+
+    # ---- doclens: B shifted after A ---------------------------------------
+    dla = spark.read.parquet(os.path.join(dir_a, "doclens.parquet"))
+    dlb = spark.read.parquet(os.path.join(dir_b, "doclens.parquet"))
+    dl = dla.unionByName(
+        dlb.select((F.col("doc_id") + offset).alias("doc_id"), "len")
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(out_dir, "doclens.parquet"))
+
+    # ---- postings: remap term ids, offset B docs, sorted-array merge ------
+    pa = _remap_postings(
+        spark.read.parquet(os.path.join(dir_a, "postings.parquet")),
+        ia.vocab(), vocab, 0,
+    )
+    pb = _remap_postings(
+        spark.read.parquet(os.path.join(dir_b, "postings.parquet")),
+        ib.vocab(), vocab, offset,
+    )
+    merged = merge_postings(pa, pb)
+    (
+        merged.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, config.num_buckets),
+            "term_id",
+        )
+        .sortWithinPartitions("term_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings.parquet"))
+    )
+
+    # ---- resume the standard pipeline from the corpus checkpoint ----------
+    from dataclasses import asdict
+
+    manifest = {
+        "config": asdict(config),
+        "config_hash": config.config_hash(),
+        "steps": {
+            "corpus": {
+                "ts": time.time(),
+                "merged_from": [os.path.abspath(dir_a), os.path.abspath(dir_b)],
+            }
+        },
+        "buckets": {},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    # pages=None is safe: the corpus step is already checkpointed
+    return build_index(spark, None, out_dir, config)

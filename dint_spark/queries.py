@@ -121,6 +121,13 @@ class Cursor:
             self.freqs = fvals.astype(np.int64) + 1
         return int(self.freqs[self.pos])
 
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full-list decode (docs, freqs) for the vectorized bulk kernel."""
+        from dint_spark.dint.codec import decode_list
+
+        return decode_list(self.payload, self.n, self.block_maxs,
+                           self.endpoints, self.docs_dict, self.freqs_dict)
+
     # -- block-max WAND shallow pointers (no decode) ------------------------
     def shallow_block_for(self, d: int) -> int:
         """Index of the block that would contain the first docid >= d."""
@@ -203,6 +210,34 @@ def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
         q.insert(score, cur_doc)
         cur_doc = next_doc
     return q.finalize()
+
+
+def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+    """Vectorized exhaustive DAAT: numerically identical to ranked_or.
+
+    Per-doc accumulation order is term_id asc (the cursor order), exactly as
+    the scalar loop adds matching cursors per doc — each list contributes one
+    float32 add per doc, in the same sequence, with elementwise-identical
+    IEEE ops, so scores are bit-equal to ranked_or. Docid space is compacted
+    via the union of list docids (no dense num_docs array), so the kernel is
+    partition-safe at 10^12-doc scale.
+    """
+    if not cursors:
+        return []
+    lists = []
+    for c in cursors:  # arrive sorted by term_id (build_cursors)
+        docs, freqs = c.decode_all()
+        lists.append((c, docs, freqs))
+    union = np.unique(np.concatenate([d for _, d, _ in lists]))
+    scores = np.zeros(len(union), dtype=DT)
+    for c, docs, freqs in lists:
+        pos = np.searchsorted(union, docs)
+        nl = np.asarray(norm_lens)[docs].astype(DT, copy=False)
+        f = freqs.astype(DT)
+        dtw = f / (f + DT(1.2) * (DT(1.0) - DT(0.5) + DT(0.5) * nl))
+        scores[pos] += c.q_weight * dtw
+    order = np.lexsort((union, -scores))[:k]
+    return [(int(union[i]), float(scores[i])) for i in order]
 
 
 def ranked_and(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
@@ -398,6 +433,7 @@ def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
 
 KERNELS = {
     "ranked_or": lambda cs, nl, nd, k, DT: ranked_or(cs, nl, nd, k, DT),
+    "ranked_or_vec": lambda cs, nl, nd, k, DT: ranked_or_vec(cs, nl, nd, k, DT),
     "ranked_and": lambda cs, nl, nd, k, DT: ranked_and(cs, nl, nd, k, DT),
     "wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=False),
     "block_max_wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=True),

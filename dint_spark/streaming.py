@@ -1,0 +1,158 @@
+"""Structured-Streaming ingestion + incremental index maintenance.
+
+The reference is batch-only; this module adds the streaming front door a
+production 10^12-doc pipeline needs, composed from the existing batch
+engine:
+
+  stream_ingest   readStream over a pages directory -> foreachBatch writes
+                  idempotent staged batches (exactly-once via the streaming
+                  checkpoint + overwrite-by-batch-id), maintaining a tiny
+                  JSON state file (batch count, row counts, lineage)
+  compact         build (or rebuild) the index over everything staged so
+                  far — the batch pipeline is already resumable, so
+                  compaction after more batches re-runs only what changed
+                  fully when the corpus grew (corpus-derived steps)
+  compact_incremental
+                  delta path: build a small index over ONLY the new batches
+                  and merge_indexes it with the existing one — the
+                  streaming analogue of the reference's sub-index merge
+
+Watermarks/stateful operators are not needed for index build (it is an
+append-only accumulation); event-time correctness is by batch lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from dint_spark.corpus import PAGES_SCHEMA
+from dint_spark.index import Index, IndexConfig, build_index
+from dint_spark.merge import merge_indexes
+
+
+def _state_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "ingest_state.json")
+
+
+def _load_state(work_dir: str) -> dict:
+    p = _state_path(work_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"batches": {}, "compacted_batches": [], "generation": 0}
+
+
+def _save_state(work_dir: str, state: dict) -> None:
+    tmp = _state_path(work_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, _state_path(work_dir))
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Ingest pages parquet files appearing under input_path into staged
+    batches at work_dir/staged/batch=N. Returns the updated state."""
+    os.makedirs(work_dir, exist_ok=True)
+    state = _load_state(work_dir)
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        out = os.path.join(work_dir, "staged", f"batch={batch_id}")
+        # overwrite => idempotent on retry; checkpoint => exactly-once ids
+        batch_df.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        st = _load_state(work_dir)
+        st["batches"][str(batch_id)] = {"rows": int(n), "ts": time.time()}
+        _save_state(work_dir, st)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
+    return _load_state(work_dir)
+
+
+def _staged_pages(spark: SparkSession, work_dir: str, batch_ids: list[str]):
+    paths = [
+        os.path.join(work_dir, "staged", f"batch={b}") for b in sorted(
+            batch_ids, key=int
+        )
+    ]
+    return spark.read.parquet(*paths)
+
+
+def compact(
+    spark: SparkSession, work_dir: str, config: IndexConfig | None = None
+) -> Index:
+    """Full compaction: build the index over every staged batch. Writes to a
+    fresh generation dir so readers of the previous index are unaffected
+    (atomic cutover via state.generation)."""
+    state = _load_state(work_dir)
+    batch_ids = list(state["batches"].keys())
+    if not batch_ids:
+        raise ValueError("nothing staged to compact")
+    gen = state["generation"] + 1
+    out = os.path.join(work_dir, f"index-gen{gen}")
+    pages = _staged_pages(spark, work_dir, batch_ids)
+    cfg = config or IndexConfig(input_tag=f"stream-gen{gen}")
+    idx = build_index(spark, pages, out, cfg)
+    state["generation"] = gen
+    state["compacted_batches"] = sorted(batch_ids, key=int)
+    _save_state(work_dir, state)
+    return idx
+
+
+def compact_incremental(
+    spark: SparkSession, work_dir: str, config: IndexConfig | None = None
+) -> Index:
+    """Delta compaction: index only the batches staged since the last
+    compaction, then merge with the existing index (sub-index merge)."""
+    state = _load_state(work_dir)
+    prev_gen = state["generation"]
+    done = set(state["compacted_batches"])
+    new_ids = [b for b in state["batches"] if b not in done]
+    if prev_gen == 0 or not done:
+        return compact(spark, work_dir, config)
+    if not new_ids:
+        return Index(spark, os.path.join(work_dir, f"index-gen{prev_gen}"))
+
+    gen = prev_gen + 1
+    delta_dir = os.path.join(work_dir, f"delta-gen{gen}")
+    cfg = config or IndexConfig(input_tag=f"stream-gen{gen}")
+    from dataclasses import replace
+
+    delta_cfg = replace(cfg, input_tag=f"{cfg.input_tag}-delta")
+    build_index(
+        spark, _staged_pages(spark, work_dir, new_ids), delta_dir, delta_cfg
+    )
+    out = os.path.join(work_dir, f"index-gen{gen}")
+    idx = merge_indexes(
+        spark,
+        os.path.join(work_dir, f"index-gen{prev_gen}"),
+        delta_dir,
+        out,
+        cfg,
+    )
+    state["generation"] = gen
+    state["compacted_batches"] = sorted(done | set(new_ids), key=int)
+    _save_state(work_dir, state)
+    return idx

@@ -20,6 +20,7 @@ from dint_spark.queries import (
     maxscore,
     ranked_and,
     ranked_or,
+    ranked_or_vec,
     wand,
 )
 
@@ -33,11 +34,12 @@ def collection():
     return plists, doclens, N, queries, docs_dict, freqs_dict, segs, norm
 
 
-@pytest.mark.parametrize("algo", ["ranked_or", "wand", "bmw"])
+@pytest.mark.parametrize("algo", ["ranked_or", "ranked_or_vec", "wand", "bmw"])
 def test_exact_float32_rank_identity(collection, algo):
     plists, doclens, N, queries, dd, fd, segs, norm = collection
     fn = {
         "ranked_or": lambda cs: ranked_or(cs, norm, N, 10),
+        "ranked_or_vec": lambda cs: ranked_or_vec(cs, norm, N, 10),
         "wand": lambda cs: wand(cs, norm, N, 10),
         "bmw": lambda cs: wand(cs, norm, N, 10, block_max=True),
     }[algo]
