@@ -95,7 +95,9 @@ def main() -> None:
     seg = idx.segments.cache()
     seg.count()  # warmup: touch all segment bytes (ref dict_freq_index.hpp:183-198)
     t0 = time.time()
-    n_postings = decoded_postings(idx).count()
+    n_postings = decoded_postings(
+        idx, parallelism=spark.sparkContext.defaultParallelism * 2
+    ).count()
     t_decode = time.time() - t0
     timings["decode_full_index"] = t_decode
     ints_per_sec = 2 * n_postings / t_decode  # docs + freqs streams

@@ -503,7 +503,7 @@ def run_queries(
         .groupBy("query_id", "term_id")
         .agg(F.count("*").alias("qf"))
     )
-    joined = qterms.join(index.segments, "term_id")
+    joined = qterms.join(_pruned_segments(index, qterms), "term_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -522,6 +522,21 @@ def run_queries(
         )
 
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
+
+
+def _pruned_segments(index, qterms: DataFrame) -> DataFrame:
+    """Push the batch's touched term_ids INTO the parquet scan.
+
+    The qterms side is broadcast in the join, so without this the segments
+    scan reads the entire index. Segments are term-sorted parquet, so an
+    explicit IN-filter prunes to the touched row groups (the Spark analogue
+    of the reference's Elias-Fano endpoint random access,
+    dict_freq_index.hpp:174-181). The distinct-term collect is tiny (bounded
+    by the query batch's vocabulary)."""
+    terms = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    if not terms or len(terms) > 100_000:
+        return index.segments
+    return index.segments.where(F.col("term_id").isin(terms))
 
 
 BOOL_SCHEMA = T.StructType(
@@ -555,7 +570,7 @@ def run_boolean_queries(
         .groupBy("query_id", "term_id")
         .agg(F.count("*").alias("qf"))
     )
-    joined = qterms.join(index.segments, "term_id")
+    joined = qterms.join(_pruned_segments(index, qterms), "term_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -578,10 +593,12 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decoded_postings(index) -> DataFrame:
+def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     """Full decode of every segment back to (term_id, doc_id, freq) — the
     reference's check_index / verify_collection protocol
-    (include/ds2i/verify_collection.hpp:7-52) as a distributed job."""
+    (include/ds2i/verify_collection.hpp:7-52) as a distributed job.
+    ``parallelism`` forces a repartition so the decode saturates all cores
+    even when segments sit in few parquet files (bench protocol)."""
     from dint_spark.dint.codec import decode_list
 
     docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
@@ -604,6 +621,9 @@ def decoded_postings(index) -> DataFrame:
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return index.segments.select(
+    seg = index.segments.select(
         "term_id", "n", "block_maxs", "endpoints", "payload"
-    ).mapInPandas(run, schema=DECODED_SCHEMA)
+    )
+    if parallelism:
+        seg = seg.repartition(parallelism)
+    return seg.mapInPandas(run, schema=DECODED_SCHEMA)
