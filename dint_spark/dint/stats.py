@@ -139,7 +139,11 @@ def learn_dictionaries(
     saving = F.col("freq") * (
         F.lit(INITIAL_BPI) * F.col("size") - F.lit(CODEWORD_BITS)
     )
-    filtered = stats.where((F.col("size") == 1) | (saving > F.lit(thr)))
+    # persist: the per-stream (and per-context) top-k collects below would
+    # otherwise re-run the whole stats scan once each
+    filtered = stats.where(
+        (F.col("size") == 1) | (saving > F.lit(thr))
+    ).persist()
 
     max_patterns = NUM_ENTRIES - RESERVED
     select = SELECTORS[selection]
@@ -181,6 +185,7 @@ def learn_dictionaries(
             dicts[stream] = MultiDictionary(dicts=sub_dicts,
                                             class_map=class_map)
 
+    filtered.unpersist()
     info = {
         "total_integers": int(total_integers),
         "variant": variant,

@@ -59,11 +59,25 @@ for _ in range(3):
     t0 = time.time()
     run_queries(spark, idx, queries, algo="block_max_wand", k=10).count()
     runs.append(time.time() - t0)
+vruns = []
+for _ in range(2):
+    t0 = time.time()
+    run_queries(spark, idx, queries, algo="ranked_or_vec", k=10).count()
+    vruns.append(time.time() - t0)
 
+steps = idx.manifest["steps"]
+phases = {{
+    "corpus_s": steps.get("corpus", {{}}).get("wall_s"),
+    "dicts_s": steps.get("dicts", {{}}).get("wall_s"),
+    "encode_sum_s": sum(b["wall_s"] for b in idx.manifest["buckets"].values()),
+    "encode_max_s": max(b["wall_s"] for b in idx.manifest["buckets"].values()),
+}}
 with open(out, "w") as f:
     json.dump({{"cores": cores, "build_s": t_build,
                "build_docs_per_sec": num_docs / t_build,
-               "query_s": min(runs), "qps": 500 / min(runs)}}, f)
+               "query_s": min(runs), "qps": 500 / min(runs),
+               "vec_query_s": min(vruns), "vec_qps": 500 / min(vruns),
+               "phases": phases}}, f)
 shutil.rmtree(idx_dir, ignore_errors=True)
 spark.stop()
 """
