@@ -53,12 +53,40 @@ class DintDictionary:
         default_factory=lambda: np.ones(NUM_ENTRIES, dtype=np.int64)
     )
     num_used: int = RESERVED
-    encode_map: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         # reserved run codes 2..6 decode 256/128/64/32/16 zeros
         for i, run_len in enumerate(RUN_LENS):
             self.sizes[EXCEPTIONS + i] = run_len
+        self._encode_map: dict | None = None
+
+    # -- broadcast-friendly pickling ----------------------------------------
+    # Executors receive only the compacted numpy arrays; the (large) python
+    # encode-map dict is rebuilt lazily per worker on first encode. This
+    # keeps broadcast deserialization cheap (measured: eager 65k-entry dict
+    # pickles dominated task startup at high core counts).
+    def __getstate__(self) -> dict:
+        return {
+            "table": np.ascontiguousarray(self.table2d[: self.num_used]),
+            "sizes": np.ascontiguousarray(self.sizes[: self.num_used]),
+            "num_used": self.num_used,
+        }
+
+    def __setstate__(self, state: dict) -> None:
+        self.table2d = np.zeros((NUM_ENTRIES, MAX_ENTRY_SIZE), dtype=np.uint32)
+        self.sizes = np.ones(NUM_ENTRIES, dtype=np.int64)
+        self.num_used = state["num_used"]
+        self.table2d[: self.num_used] = state["table"]
+        self.sizes[: self.num_used] = state["sizes"]
+        for i, run_len in enumerate(RUN_LENS):
+            self.sizes[EXCEPTIONS + i] = run_len
+        self._encode_map = None
+
+    @property
+    def encode_map(self) -> dict:
+        if self._encode_map is None:
+            self.prepare_for_encoding()
+        return self._encode_map
 
     @classmethod
     def build(cls, patterns: list[bytes]) -> "DintDictionary":
@@ -73,7 +101,6 @@ class DintDictionary:
             d.table2d[code, : len(arr)] = arr
             d.sizes[code] = len(arr)
         d.num_used = RESERVED + len(patterns)
-        d.prepare_for_encoding()
         return d
 
     def prepare_for_encoding(self) -> None:
@@ -97,7 +124,7 @@ class DintDictionary:
                 m[key] = code
         for i, run_len in enumerate(RUN_LENS):
             m[bytes(4 * run_len)] = EXCEPTIONS + i
-        self.encode_map = m
+        self._encode_map = m
 
     # -- artifact -----------------------------------------------------------
     def to_bytes(self) -> bytes:
@@ -118,7 +145,6 @@ class DintDictionary:
             d.num_used = num_used
             d.table2d[:num_used] = z["table"]
             d.sizes[:num_used] = z["sizes"]
-        d.prepare_for_encoding()
         return d
 
     def content_hash(self) -> str:
@@ -227,7 +253,6 @@ class MultiDictionary:
                 d.num_used = int(z[f"num_used_{i}"][0])
                 d.table2d[: d.num_used] = z[f"table_{i}"]
                 d.sizes[: d.num_used] = z[f"sizes_{i}"]
-                d.prepare_for_encoding()
                 dicts.append(d)
             return cls(dicts=dicts, class_map=[int(c) for c in z["class_map"]])
 

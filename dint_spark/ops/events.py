@@ -89,7 +89,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSIONIZE_SQL = f"""
 WITH e AS (
-  SELECT user_id, event_id, epoch(ts)::BIGINT AS tsec FROM events
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tsec FROM events
 ),
 gapped AS (
   SELECT user_id, event_id, tsec,
@@ -104,7 +104,7 @@ sess AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM gapped
 )
-SELECT user_id, session_idx,
+SELECT user_id, session_idx::BIGINT AS session_idx,
        count(*)::BIGINT AS n_events,
        min(tsec) AS session_start,
        max(tsec) AS session_end

@@ -480,7 +480,9 @@ def run_queries(
     """Distributed batch retrieval. queries: DataFrame(query_id, terms
     array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
     """
+    local_terms = None
     if not isinstance(queries, DataFrame):
+        local_terms = sorted({int(t) for ts in queries for t in ts})
         queries = spark.createDataFrame(
             [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
             schema=T.StructType([
@@ -503,7 +505,7 @@ def run_queries(
         .groupBy("query_id", "term_id")
         .agg(F.count("*").alias("qf"))
     )
-    joined = qterms.join(_pruned_segments(index, qterms), "term_id")
+    joined = qterms.join(_pruned_segments(index, qterms, local_terms), "term_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -524,7 +526,8 @@ def run_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
 
 
-def _pruned_segments(index, qterms: DataFrame) -> DataFrame:
+def _pruned_segments(index, qterms: DataFrame,
+                     local_terms: list[int] | None = None) -> DataFrame:
     """Push the batch's touched term_ids INTO the parquet scan.
 
     The qterms side is broadcast in the join, so without this the segments
@@ -533,7 +536,11 @@ def _pruned_segments(index, qterms: DataFrame) -> DataFrame:
     of the reference's Elias-Fano endpoint random access,
     dict_freq_index.hpp:174-181). The distinct-term collect is tiny (bounded
     by the query batch's vocabulary)."""
-    terms = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    terms = (
+        local_terms
+        if local_terms is not None
+        else [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    )
     if not terms or len(terms) > 100_000:
         return index.segments
     return index.segments.where(F.col("term_id").isin(terms))
@@ -552,7 +559,9 @@ def run_boolean_queries(
 ) -> DataFrame:
     """Boolean AND (leapfrog intersection) / OR (k-way union) over the
     compressed index; returns (query_id, doc_id). (ref queries.hpp:34-130)"""
+    local_terms = None
     if not isinstance(queries, DataFrame):
+        local_terms = sorted({int(t) for ts in queries for t in ts})
         queries = spark.createDataFrame(
             [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
             schema=T.StructType([
@@ -570,7 +579,7 @@ def run_boolean_queries(
         .groupBy("query_id", "term_id")
         .agg(F.count("*").alias("qf"))
     )
-    joined = qterms.join(_pruned_segments(index, qterms), "term_id")
+    joined = qterms.join(_pruned_segments(index, qterms, local_terms), "term_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
