@@ -44,20 +44,28 @@ _U32 = np.dtype("<u4")
 # --------------------------------------------------------------------------
 
 class BitWriter:
-    """LSB-first bit packer over little-endian u32 words (matches the
-    reference's bit_writer so bpi accounting is comparable)."""
+    """LSB-first bit packer over little-endian u64 words (matches the
+    reference's bit_writer so bpi accounting is comparable); each write is
+    O(1) (a bigint accumulator would make the k-th write O(k))."""
 
-    __slots__ = ("_acc", "_nbits")
+    __slots__ = ("_words", "_nbits")
 
     def __init__(self) -> None:
-        self._acc = 0
+        self._words = [0]
         self._nbits = 0
 
     def write(self, bits: int, length: int) -> None:
         if length == 0:
             return
-        self._acc |= (bits & ((1 << length) - 1)) << self._nbits
+        bits &= (1 << length) - 1
+        off = self._nbits & 63
+        w = self._nbits >> 6
         self._nbits += length
+        while len(self._words) <= self._nbits >> 6:
+            self._words.append(0)
+        self._words[w] |= (bits << off) & 0xFFFFFFFFFFFFFFFF
+        if off + length > 64:
+            self._words[w + 1] |= bits >> (64 - off)
 
     def write_int(self, val: int, u: int) -> None:
         """Centered minimal binary code of val in [0, u)."""
@@ -84,23 +92,32 @@ class BitWriter:
 
     def getvalue(self) -> bytes:
         nbytes = (self._nbits + 7) // 8
-        return self._acc.to_bytes(nbytes, "little") if nbytes else b""
+        buf = b"".join(x.to_bytes(8, "little") for x in self._words)
+        return buf[:nbytes]
 
 
 class BitReader:
-    __slots__ = ("_acc", "_pos", "_nbits")
+    """LSB-first reader over little-endian u64 words; each read is O(1)
+    (a bigint accumulator would make read k of an n-bit stream O(n))."""
+
+    __slots__ = ("_words", "_pos")
 
     def __init__(self, data: bytes) -> None:
-        self._acc = int.from_bytes(data, "little")
+        pad = (-len(data)) % 8 + 8
+        self._words = np.frombuffer(data + b"\x00" * pad, dtype="<u8").tolist()
         self._pos = 0
-        self._nbits = len(data) * 8
 
     def read(self, length: int) -> int:
         if length == 0:
             return 0
-        val = (self._acc >> self._pos) & ((1 << length) - 1)
-        self._pos += length
-        return val
+        p = self._pos
+        w = p >> 6
+        off = p & 63
+        val = self._words[w] >> off
+        if off + length > 64:
+            val |= self._words[w + 1] << (64 - off)
+        self._pos = p + length
+        return val & ((1 << length) - 1)
 
     def read_int(self, u: int) -> int:
         b = u.bit_length() - 1
@@ -349,70 +366,94 @@ def _optimal_parse(vals, runs, matches, encode_map, raw, n) -> bytes:
 # DINT block decode (vectorized gather over the rectangular dict layout)
 # --------------------------------------------------------------------------
 
+def _decode_codes(codes: np.ndarray, n: int, table2d: np.ndarray,
+                  sizes: np.ndarray) -> tuple[np.ndarray, int]:
+    """Decode exactly n ints from an array of u16 codeword slots; returns
+    (values, slots_consumed).
+
+    Two passes: (1) a Python scan over only the *flagged* slots (code < 2)
+    resolves which are real exception codes vs. literal value slots that
+    happen to look like one — O(#exceptions), the only sequential part;
+    (2) one vectorized batch over the whole stream: per-slot output widths,
+    cumulative offsets, a single dictionary gather/scatter, and a single
+    scatter of exception literals. Zero-run codewords decode to zeros and
+    need no write.
+    """
+    codes = codes.astype(np.int64, copy=False)
+    nslots = len(codes)
+    flagged = np.flatnonzero(codes < EXCEPTIONS)
+
+    out_w = sizes[codes]
+    real = widths = None
+    if len(flagged):
+        nf = len(flagged)
+        real_l = np.empty(nf, dtype=np.int64)
+        width_l = np.empty(nf, dtype=np.int64)
+        nreal = 0
+        i = 0
+        fl = flagged.tolist()
+        cl = codes  # numpy is fine for scalar reads here
+        while i < nf:
+            p = fl[i]
+            w = 3 if cl[p] == 1 else 2
+            real_l[nreal] = p
+            width_l[nreal] = w
+            nreal += 1
+            end = p + w
+            i += 1
+            while i < nf and fl[i] < end:
+                i += 1
+        real = real_l[:nreal]
+        widths = width_l[:nreal]
+        out_w = out_w.copy()
+        out_w[real] = 1
+        vs = real + 1
+        out_w[vs[vs < nslots]] = 0
+        big = real[widths == 3] + 2
+        out_w[big[big < nslots]] = 0
+
+    cum = np.cumsum(out_w)
+    k = int(np.searchsorted(cum, n, side="left")) + 1
+    k = min(k, nslots)
+    total_out = int(cum[k - 1]) if k else 0
+    offs = cum - out_w  # output start offset per slot
+
+    out = np.zeros(max(total_out, n) + MAX_ENTRY_SIZE, dtype=np.uint32)
+    cw_mask = (out_w[:k] > 0) & (codes[:k] >= RESERVED)
+    cw = np.flatnonzero(cw_mask)
+    if len(cw):
+        dsz = out_w[cw]
+        gathered = table2d[codes[cw]]  # (k, 16)
+        colmask = np.arange(MAX_ENTRY_SIZE)[None, :] < dsz[:, None]
+        flat = (offs[cw][:, None] + np.arange(MAX_ENTRY_SIZE)[None, :])[colmask]
+        out[flat] = gathered[colmask]
+
+    slots = k
+    if real is not None:
+        inb = real < k
+        rr = real[inb]
+        ww = widths[inb]
+        small = rr[ww == 2]
+        large = rr[ww == 3]
+        out[offs[small]] = codes[small + 1]
+        if len(large):
+            out[offs[large]] = (codes[large + 1]
+                                | (codes[large + 2] << 16)).astype(np.uint32)
+        # a trailing exception consumes its value slots too
+        if len(rr) and rr[-1] == k - 1:
+            slots = int(rr[-1] + ww[-1])
+
+    return out[:n], slots
+
+
 def decode_block_dint(data: bytes, pos: int, n: int, table2d: np.ndarray,
                       sizes: np.ndarray) -> tuple[np.ndarray, int]:
-    """Decode n ints from a u16 codeword stream starting at byte ``pos``.
-
-    Fully vectorized when the stream has no exceptions; otherwise the stream
-    is processed as vectorized spans between (rare) exception codewords.
-    """
+    """Decode n ints from a u16 codeword stream starting at byte ``pos``."""
     # upper bound on u16 slots: every int could be a large exception (3 slots)
     max_slots = min((len(data) - pos) // 2, 3 * n + 4)
     codes = np.frombuffer(data, dtype=_U16, count=max_slots, offset=pos)
-
-    out = np.zeros(n + BLOCK_SIZE + MAX_ENTRY_SIZE, dtype=np.uint32)
-    produced = 0
-    slot = 0
-    csizes = sizes[codes.astype(np.int64) % len(sizes)]  # size per slot IF codeword
-    exc_positions = np.flatnonzero(codes < EXCEPTIONS)
-
-    ep = 0  # index into exc_positions
-    while produced < n:
-        # next exception slot at/after `slot`
-        while ep < len(exc_positions) and exc_positions[ep] < slot:
-            ep += 1
-        nxt = exc_positions[ep] if ep < len(exc_positions) else max_slots
-
-        if nxt > slot:
-            # vectorized span of pure codewords in [slot, nxt)
-            span = codes[slot:nxt].astype(np.int64)
-            ssz = csizes[slot:nxt].astype(np.int64)
-            cum = np.cumsum(ssz)
-            need = n - produced
-            # how many codewords until we have decoded `need` ints
-            k = int(np.searchsorted(cum, need, side="left")) + 1
-            k = min(k, len(span))
-            span = span[:k]
-            ssz = ssz[:k]
-            total = int(ssz.sum())
-            seg = np.zeros(total, dtype=np.uint32)
-            # dictionary entries (code >= RESERVED): gather rows; runs decode
-            # to zeros and need no write
-            dict_mask = span >= RESERVED
-            if dict_mask.any():
-                dspan = span[dict_mask]
-                dsz = ssz[dict_mask]
-                offs = np.concatenate([[0], np.cumsum(ssz)])[:-1][dict_mask]
-                gathered = table2d[dspan]  # (k, 16)
-                colmask = np.arange(MAX_ENTRY_SIZE)[None, :] < dsz[:, None]
-                flat_targets = (offs[:, None] + np.arange(MAX_ENTRY_SIZE)[None, :])[colmask]
-                seg[flat_targets] = gathered[colmask]
-            out[produced: produced + total] = seg
-            produced += total
-            slot += k
-        else:
-            # exception at `nxt`
-            code = int(codes[nxt])
-            if code == 1:
-                val = int(codes[nxt + 1]) | (int(codes[nxt + 2]) << 16)
-                slot = nxt + 3
-            else:
-                val = int(codes[nxt + 1])
-                slot = nxt + 2
-            out[produced] = val
-            produced += 1
-
-    return out[:n], pos + 2 * slot
+    vals, slot = _decode_codes(codes, n, table2d, sizes)
+    return vals, pos + 2 * slot
 
 
 def encode_block(vals: np.ndarray, sum_of_values: int, dct,
@@ -476,6 +517,121 @@ def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
         prev = last
 
     return bytes(payload), block_maxs, endpoints, freq_offsets
+
+
+def _concat_decode(payload: bytes, starts: np.ndarray, ends: np.ndarray,
+                   table2d: np.ndarray, sizes: np.ndarray,
+                   count_per_block: int) -> np.ndarray:
+    """Decode several byte-spans of u16 codewords (one per full block) in a
+    single vectorized pass over their concatenation. Each span must decode to
+    exactly ``count_per_block`` ints."""
+    arr8 = np.frombuffer(payload, dtype=np.uint8)
+    lens = ends - starts  # even: u16 codeword streams
+    cum = np.cumsum(lens)
+    total = int(cum[-1])
+    # gather all span bytes with one fancy-index (no per-span frombuffer)
+    idx = np.arange(total, dtype=np.int64)
+    idx += np.repeat(starts - (cum - lens), lens)
+    codes = arr8[idx].view(_U16)
+    vals, _ = _decode_codes(codes, count_per_block * len(starts), table2d,
+                            sizes)
+    return vals
+
+
+def _decode_grouped(payload: bytes, starts: np.ndarray, ends: np.ndarray,
+                    dct, count_per_block: int) -> np.ndarray:
+    """Like _concat_decode but dispatching per-block dictionary selectors for
+    MultiDictionary streams (1 selector byte per block,
+    ref include/dint/dint_codecs.hpp:410-432)."""
+    dicts = getattr(dct, "dicts", None)
+    if dicts is None:
+        return _concat_decode(payload, starts, ends, dct.table2d, dct.sizes,
+                              count_per_block)
+    sel = np.frombuffer(payload, dtype=np.uint8)[starts]
+    out = np.empty(count_per_block * len(starts), dtype=np.uint32)
+    span = np.arange(count_per_block)
+    for s in np.unique(sel):
+        idx = np.flatnonzero(sel == s)
+        d = dicts[int(s)]
+        vals = _concat_decode(payload, starts[idx] + 1, ends[idx], d.table2d,
+                              d.sizes, count_per_block)
+        out[(idx[:, None] * count_per_block + span[None, :]).ravel()] = vals
+    return out
+
+
+def decode_blocks_bulk(payload: bytes, n: int, block_maxs: np.ndarray,
+                       endpoints: np.ndarray, freq_offsets: np.ndarray,
+                       blocks: np.ndarray, docs_dict, freqs_dict=None
+                       ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Decode a sorted subset of a list's blocks, vectorized ACROSS blocks.
+
+    Returns (docids, freqs-or-None) concatenated in block order. Full
+    256-int blocks are decoded in one numpy pass over their concatenated
+    codeword spans (the "SIMD-style Arrow batch decode" path — per-block
+    numpy call overhead was the decode bottleneck, ~100us/block); the tail
+    block and BIC-coded short lists use the per-block path. Skipping freqs
+    keeps frequency decoding lazy (ref dict_posting_list.hpp:164-169).
+    """
+    payload = bytes(payload)
+    blocks = np.asarray(blocks, dtype=np.int64)
+    nblocks = len(block_maxs)
+    ends = np.empty(nblocks, dtype=np.int64)
+    ends[:-1] = np.asarray(endpoints, dtype=np.int64)[1:]
+    ends[-1] = len(payload)
+
+    full = blocks[(blocks + 1) * BLOCK_SIZE <= n]
+    tail = blocks[(blocks + 1) * BLOCK_SIZE > n]
+    docs_parts: list[np.ndarray] = []
+    freqs_parts: list[np.ndarray] = []
+
+    if len(full):
+        starts = np.asarray(endpoints, dtype=np.int64)[full]
+        mids = np.asarray(freq_offsets, dtype=np.int64)[full]
+        gaps = _decode_grouped(payload, starts, mids, docs_dict, BLOCK_SIZE)
+        g = gaps.astype(np.int64) + 1
+        S = np.cumsum(g)
+        base = np.where(full > 0,
+                        np.asarray(block_maxs, dtype=np.int64)[full - 1] + 1,
+                        0)
+        # docid[i in block j] = base_j - 1 + (S[i] - S[start_j - 1])
+        sprev = np.empty(len(full), dtype=np.int64)
+        sprev[0] = 0
+        sprev[1:] = S[np.arange(1, len(full)) * BLOCK_SIZE - 1]
+        docs_parts.append(S + np.repeat(base - 1 - sprev, BLOCK_SIZE))
+        if freqs_dict is not None:
+            fvals = _decode_grouped(payload, mids, ends[full], freqs_dict,
+                                    BLOCK_SIZE)
+            freqs_parts.append(fvals.astype(np.int64) + 1)
+
+    for b in tail:
+        docids, pos = decode_docs_block(payload, int(b), n, block_maxs,
+                                        endpoints, docs_dict)
+        docs_parts.append(docids)
+        if freqs_dict is not None:
+            freqs_parts.append(decode_freqs_block(
+                payload, int(freq_offsets[int(b)]), len(docids), freqs_dict))
+
+    docs = (np.concatenate(docs_parts) if len(docs_parts) != 1
+            else docs_parts[0])
+    if freqs_dict is None:
+        return docs, None
+    freqs = (np.concatenate(freqs_parts) if len(freqs_parts) != 1
+             else freqs_parts[0])
+    return docs, freqs
+
+
+def decode_list_bulk(payload: bytes, n: int, block_maxs: np.ndarray,
+                     endpoints: np.ndarray, freq_offsets: np.ndarray,
+                     docs_dict, freqs_dict
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Full-list decode through the bulk cross-block path."""
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    docs, freqs = decode_blocks_bulk(
+        payload, n, np.asarray(block_maxs, dtype=np.int64),
+        np.asarray(endpoints, dtype=np.int64),
+        np.asarray(freq_offsets, dtype=np.int64),
+        np.arange(nblocks), docs_dict, freqs_dict)
+    return docs, freqs
 
 
 def decode_docs_block(payload: bytes, b: int, n: int, block_maxs: np.ndarray,

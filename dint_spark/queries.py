@@ -28,6 +28,8 @@ traffic is k rows per query, mirroring the reference's q/s protocol.
 from __future__ import annotations
 
 import heapq
+import os
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -122,11 +124,8 @@ class Cursor:
         return int(self.freqs[self.pos])
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        """Full-list decode (docs, freqs) for the vectorized bulk kernel."""
-        from dint_spark.dint.codec import decode_list
-
-        return decode_list(self.payload, self.n, self.block_maxs,
-                           self.endpoints, self.docs_dict, self.freqs_dict)
+        """Full-list decode (docs, freqs), via the worker-level LRU."""
+        return _cached_full_decode(self)
 
     # -- block-max WAND shallow pointers (no decode) ------------------------
     def shallow_block_for(self, d: int) -> int:
@@ -144,6 +143,40 @@ class Cursor:
         if b >= self.nblocks:
             return self.universe
         return int(self.block_maxs[b])
+
+
+# Worker-process-level LRU of fully-decoded posting lists. Zipfian query
+# logs hit the same head terms constantly; decoding each list once per
+# *worker* instead of once per *query* is the single biggest q/s lever.
+# Keyed by content (term_id, n, last docid, payload prefix) so distinct
+# indexes coexisting in one process (tests) cannot alias. Bounded so a
+# 1000-executor deployment holds just its hot set per worker.
+_LIST_CACHE: OrderedDict = OrderedDict()
+_LIST_CACHE_BYTES = 0
+_LIST_CACHE_CAP = int(os.environ.get("DINT_SPARK_DECODE_CACHE_MB", "64")) * 2**20
+
+
+def _cache_key(c: "Cursor") -> tuple:
+    return (c.term_id, c.n, int(c.block_maxs[-1]), c.payload[:24])
+
+
+def _cached_full_decode(c: "Cursor") -> tuple[np.ndarray, np.ndarray]:
+    global _LIST_CACHE_BYTES
+    key = _cache_key(c)
+    hit = _LIST_CACHE.get(key)
+    if hit is not None:
+        _LIST_CACHE.move_to_end(key)
+        return hit
+    from dint_spark.dint.codec import decode_list_bulk
+
+    docs, freqs = decode_list_bulk(c.payload, c.n, c.block_maxs, c.endpoints,
+                                   c.freq_offsets, c.docs_dict, c.freqs_dict)
+    _LIST_CACHE[key] = (docs, freqs)
+    _LIST_CACHE_BYTES += docs.nbytes + freqs.nbytes
+    while _LIST_CACHE_BYTES > _LIST_CACHE_CAP and _LIST_CACHE:
+        _, (d, f) = _LIST_CACHE.popitem(last=False)
+        _LIST_CACHE_BYTES -= d.nbytes + f.nbytes
+    return docs, freqs
 
 
 class TopK:
@@ -388,6 +421,171 @@ def _bubble_down(ordered, i: int) -> None:
             break
 
 
+def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
+                       DT=np.float32):
+    """Block-level vectorized BMW: exact same top-k as ranked_or, with the
+    per-doc Python loop replaced by numpy over 256-int blocks.
+
+    Two phases:
+      1. bootstrap: exactly score the docs of each list's single best block
+         (by q_weight x block_max_score); theta = k-th best of those scores.
+      2. survival on the aligned interval grid: docid space is partitioned
+         at the union of all lists' 256-block boundaries, so each list's
+         covering block is constant on every interval; the interval's upper
+         bound is the sequential float32 sum, in term_id order, of
+         q_i * bms_i[covering block] (0 for exhausted lists). Every addend
+         dominates the corresponding scoring addend and f32 addition is
+         monotone, so ub(t) >= score(d) for any doc d in interval t;
+         pruning is strict (ub < theta) so boundary ties are kept. Docs in
+         surviving intervals are scored exactly (vectorized, zero-padded
+         adds in term_id order are bit-identical to ranked_or's
+         accumulation). This is the Ding & Suel block-max bound — per-block
+         LOCAL maxima of every list, not global maxima of the others — which
+         is what makes the pruning bite on skewed multi-term queries.
+
+    At 10^12-doc scale this is the operative query kernel: per-query Python
+    work is O(num_lists x num_blocks), all postings math is Arrow/numpy.
+    (ref block-max metadata: our extension of include/ds2i/wand_data.hpp;
+    pruning logic per Ding & Suel BMW.)
+    """
+    if not cursors:
+        return []
+    m = len(cursors)
+    nl_arr = np.asarray(norm_lens)
+    mw = [c.max_weight for c in cursors]  # DT scalars, term_id order
+
+    from dint_spark.dint.codec import BLOCK_SIZE as _BS
+
+    from dint_spark.dint.codec import decode_blocks_bulk as _dbb
+
+    # per-cursor decoded-span state: (sorted block ids, concat docs, concat
+    # freqs or None). Served from the worker-level full-list LRU when the
+    # list is hot or mostly needed; otherwise a subset bulk-decode.
+    span_cache: list[dict] = [{"blocks": None} for _ in cursors]
+
+    def _slice_blocks(c, docs, freqs, have: np.ndarray, blocks: np.ndarray):
+        """Select `blocks` out of arrays decoded for block set `have`."""
+        if len(have) == len(blocks):
+            return docs, freqs
+        pos = np.searchsorted(have, blocks)
+        lens = np.minimum((blocks + 1) * _BS, c.n) - blocks * _BS
+        keep = (np.arange(_BS)[None, :] < lens[:, None]).ravel()
+        ulens = np.minimum((have + 1) * _BS, c.n) - have * _BS
+        uoffs = np.concatenate([[0], np.cumsum(ulens)])
+        sel = (uoffs[pos][:, None] + np.arange(_BS)[None, :]).ravel()[keep]
+        return docs[sel], (freqs[sel] if freqs is not None else None)
+
+    def get_span(ci: int, blocks: np.ndarray, want_freqs: bool):
+        """Concatenated (docs, freqs) of `blocks` (sorted), bulk-decoded."""
+        c = cursors[ci]
+        all_blocks = np.arange(c.nblocks)
+        hit = _LIST_CACHE.get(_cache_key(c))
+        if hit is None and len(blocks) * 2 > c.nblocks:
+            hit = _cached_full_decode(c)
+        if hit is not None:
+            return _slice_blocks(c, hit[0], hit[1], all_blocks, blocks)
+        sc = span_cache[ci]
+        have = sc["blocks"]
+        if (have is None or len(np.setdiff1d(blocks, have, assume_unique=True))
+                or (want_freqs and sc["freqs"] is None)):
+            union = (blocks if have is None
+                     else np.union1d(have, blocks))
+            # keep freqs once decoded so a later regrow can't lose them
+            want_freqs = want_freqs or (have is not None
+                                        and sc["freqs"] is not None)
+            docs, freqs = _dbb(c.payload, c.n, c.block_maxs, c.endpoints,
+                               c.freq_offsets, union, c.docs_dict,
+                               c.freqs_dict if want_freqs else None)
+            sc["blocks"], sc["docs"], sc["freqs"] = union, docs, freqs
+        return _slice_blocks(c, sc["docs"], sc["freqs"], sc["blocks"], blocks)
+
+    K1 = DT(1.2)
+    NORM = DT(1.0) - DT(0.5)  # 1 - b
+
+    def exact_scores(C: np.ndarray) -> np.ndarray:
+        scores = np.zeros(len(C), dtype=DT)
+        nlC = nl_arr[C].astype(DT, copy=False)
+        dtw_denom = K1 * (NORM + DT(0.5) * nlC)
+        for ci, c in enumerate(cursors):  # term_id order == accumulation order
+            blk = np.searchsorted(c.block_maxs, C, side="left")
+            valid = blk < c.nblocks
+            need = np.unique(blk[valid])
+            if not len(need):
+                continue
+            docs, freqs = get_span(ci, need, want_freqs=True)
+            cm = C[valid]
+            idx = np.searchsorted(docs, cm)
+            idx2 = np.minimum(idx, len(docs) - 1)
+            found = docs[idx2] == cm
+            contrib = np.zeros(len(C), dtype=DT)
+            f = freqs[idx2].astype(DT)
+            dtw = f / (f + dtw_denom[valid])
+            contrib[np.flatnonzero(valid)] = np.where(
+                found, c.q_weight * dtw, DT(0))
+            scores = scores + contrib  # adding exact 0 keeps f32 bit-identity
+        return scores
+
+    # ---- phase 1: bootstrap threshold ------------------------------------
+    parts0 = []
+    for ci, c in enumerate(cursors):
+        b = int(np.argmax(c.block_max_scores))
+        parts0.append(get_span(ci, np.array([b], dtype=np.int64), False)[0])
+    C0 = np.unique(np.concatenate(parts0))
+    s0 = exact_scores(C0)
+    theta = np.partition(s0, len(s0) - k)[len(s0) - k] if len(s0) >= k else None
+
+    # ---- phase 2: aligned-interval survival + exact scoring --------------
+    # B[t] = last docid of interval t; interval t covers (B[t-1], B[t]].
+    B = np.unique(np.concatenate([c.block_maxs for c in cursors]))
+    nt = len(B)
+    starts = np.empty(nt, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = B[:-1] + 1
+    cover = []  # per list: covering block index per interval
+    for c in cursors:
+        cover.append(np.searchsorted(c.block_maxs, starts, side="left"))
+    if theta is None:
+        cand = np.ones(nt, dtype=bool)
+    else:
+        ub = np.zeros(nt, dtype=DT)
+        for ci, c in enumerate(cursors):  # sequential f32 fold, term order
+            bi = cover[ci]
+            valid = bi < c.nblocks
+            u = np.zeros(nt, dtype=DT)
+            u[valid] = (c.q_weight
+                        * c.block_max_scores.astype(DT)[bi[valid]]
+                        * c.bound_scale)
+            ub = ub + u
+        cand = ub >= theta
+    parts = [C0]
+    cand_t = np.flatnonzero(cand)
+    needs = []
+    for ci, c in enumerate(cursors):
+        bi = cover[ci][cand_t]
+        needs.append(np.unique(bi[bi < c.nblocks]))
+    # adaptive: when pruning keeps most blocks anyway, the interval filter
+    # only adds overhead — fall back to exhaustive candidates (still exact,
+    # = ranked_or_vec over the bulk-decoded lists)
+    exhaustive = (sum(len(nd) for nd in needs)
+                  > 0.5 * sum(c.nblocks for c in cursors))
+    for ci, c in enumerate(cursors):
+        if exhaustive:
+            docs, _ = get_span(ci, np.arange(c.nblocks), want_freqs=False)
+            parts.append(docs)
+        elif len(needs[ci]):
+            docs, _ = get_span(ci, needs[ci], want_freqs=False)
+            iv = np.searchsorted(B, docs, side="left")
+            parts.append(docs[cand[iv]])
+    C = np.unique(np.concatenate(parts))
+    # bootstrap docs are already scored; only score the new candidates
+    new = C[~np.isin(C, C0, assume_unique=True)]
+    s_new = exact_scores(new) if len(new) else np.empty(0, dtype=DT)
+    allC = np.concatenate([C0, new])
+    allS = np.concatenate([s0, s_new])
+    order = np.lexsort((allC, -allS))[:k]
+    return [(int(allC[i]), float(allS[i])) for i in order]
+
+
 def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
     """ref queries.hpp:459-573."""
     q = TopK(k)
@@ -407,21 +605,38 @@ def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
         score = DT(0)
         norm_len = DT(norm_lens[cur_doc])
         next_doc = num_docs
+        matches = []  # (term_id, q_weight, freq) of every matched cursor
         for i in range(non_essential, len(ordered)):
             c = ordered[i]
             if c.docid() == cur_doc:
-                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+                matches.append((c.term_id, c.q_weight, c.freq()))
+                score = score + c.q_weight * _dtw(matches[-1][2], norm_len, DT)
                 c.next()
             if c.docid() < next_doc:
                 next_doc = c.docid()
 
+        fully_scored = True
         for i in range(non_essential - 1, -1, -1):
             if not q.would_enter(score + ub[i]):
+                fully_scored = False
                 break
             c = ordered[i]
             c.next_geq(cur_doc)
             if c.docid() == cur_doc:
-                score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
+                matches.append((c.term_id, c.q_weight, c.freq()))
+                score = score + c.q_weight * _dtw(matches[-1][2], norm_len, DT)
+
+        if fully_scored:
+            # canonical term_id accumulation order: scores (hence docid
+            # tie-breaks) become bit-identical to ranked_or for every doc
+            # that was completely evaluated. Partially-scored docs keep the
+            # running sum — it cannot enter the heap (<= threshold), matching
+            # the reference's pruning (queries.hpp:528-556), whose scores are
+            # only 0.1%-close; ours are exact except at pruning boundaries.
+            matches.sort(key=lambda t: t[0])
+            score = DT(0)
+            for _, qw, f in matches:
+                score = score + qw * _dtw(f, norm_len, DT)
 
         if q.insert(score, cur_doc):
             while non_essential < len(ordered) and not q.would_enter(ub[non_essential]):
@@ -437,6 +652,7 @@ KERNELS = {
     "ranked_and": lambda cs, nl, nd, k, DT: ranked_and(cs, nl, nd, k, DT),
     "wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=False),
     "block_max_wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=True),
+    "block_max_wand_vec": lambda cs, nl, nd, k, DT: block_max_wand_vec(cs, nl, nd, k, DT),
     "maxscore": lambda cs, nl, nd, k, DT: maxscore(cs, nl, nd, k, DT),
 }
 
@@ -608,7 +824,7 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     (include/ds2i/verify_collection.hpp:7-52) as a distributed job.
     ``parallelism`` forces a repartition so the decode saturates all cores
     even when segments sit in few parquet files (bench protocol)."""
-    from dint_spark.dint.codec import decode_list
+    from dint_spark.dint.codec import decode_list_bulk
 
     docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
@@ -619,10 +835,11 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
         for pdf in batches:
             outs = []
             for row in pdf.itertuples():
-                docs, freqs = decode_list(
+                docs, freqs = decode_list_bulk(
                     bytes(row.payload), int(row.n),
                     np.asarray(row.block_maxs, dtype=np.int64),
-                    np.asarray(row.endpoints, dtype=np.int64), dd, fd,
+                    np.asarray(row.endpoints, dtype=np.int64),
+                    np.asarray(row.freq_offsets, dtype=np.int64), dd, fd,
                 )
                 outs.append(pd.DataFrame({
                     "term_id": int(row.term_id), "doc_id": docs, "freq": freqs,
@@ -631,7 +848,7 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
                 yield pd.concat(outs, ignore_index=True)
 
     seg = index.segments.select(
-        "term_id", "n", "block_maxs", "endpoints", "payload"
+        "term_id", "n", "block_maxs", "endpoints", "freq_offsets", "payload"
     )
     if parallelism:
         seg = seg.repartition(parallelism)

@@ -15,6 +15,7 @@ from fixtures import (
     oracle_topk,
 )
 from dint_spark.queries import (
+    block_max_wand_vec,
     boolean_and,
     boolean_or,
     maxscore,
@@ -34,7 +35,8 @@ def collection():
     return plists, doclens, N, queries, docs_dict, freqs_dict, segs, norm
 
 
-@pytest.mark.parametrize("algo", ["ranked_or", "ranked_or_vec", "wand", "bmw"])
+@pytest.mark.parametrize(
+    "algo", ["ranked_or", "ranked_or_vec", "wand", "bmw", "bmw_vec"])
 def test_exact_float32_rank_identity(collection, algo):
     plists, doclens, N, queries, dd, fd, segs, norm = collection
     fn = {
@@ -42,6 +44,7 @@ def test_exact_float32_rank_identity(collection, algo):
         "ranked_or_vec": lambda cs: ranked_or_vec(cs, norm, N, 10),
         "wand": lambda cs: wand(cs, norm, N, 10),
         "bmw": lambda cs: wand(cs, norm, N, 10, block_max=True),
+        "bmw_vec": lambda cs: block_max_wand_vec(cs, norm, N, 10),
     }[algo]
     for q in queries:
         oracle = oracle_topk(q, plists, doclens, N, k=10)
