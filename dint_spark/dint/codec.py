@@ -213,33 +213,64 @@ def _zero_run_lengths(vals: np.ndarray) -> np.ndarray:
     return run[:n]
 
 
-def _match_codes(vals: np.ndarray, encode_map: dict, n: int) -> dict[int, np.ndarray]:
+def _match_codes(vals: np.ndarray, dct, n: int) -> dict[int, np.ndarray]:
     """For each target size s, code of the dictionary pattern equal to
-    vals[i:i+s] for every start i (or -1). Bulk lookup via byte views."""
-    raw = np.ascontiguousarray(vals, dtype=_U32).tobytes()
+    vals[i:i+s] for every start i (or -1).
+
+    Vectorized: every window of size s becomes a void-dtype blob; one
+    searchsorted against the dictionary's sorted pattern table resolves all
+    n windows at once (vs. n python dict lookups)."""
+    from dint_spark.dint.dictionary import fold_hash
+
+    lookup = dct.lookup_tables()
+    vals64 = vals.astype(np.uint64)
     out: dict[int, np.ndarray] = {}
     for s in TARGET_SIZES:
         codes = np.full(n, -1, dtype=np.int64)
-        if n >= s:
-            get = encode_map.get
-            width = 4 * s
-            codes_list = [get(raw[4 * i: 4 * i + width], -1)
-                          for i in range(n - s + 1)]
-            codes[: n - s + 1] = codes_list
+        m = n - s + 1
+        entry = lookup.get(s)
+        if m > 0 and entry is not None:
+            if entry[0] == "num":
+                _, keys, pcodes, mat = entry
+                if s == 1:
+                    wkeys = vals64[:m]
+                else:
+                    cols = np.lib.stride_tricks.sliding_window_view(vals64, s)
+                    wkeys = fold_hash(cols, s)
+                idx = np.searchsorted(keys, wkeys)
+                idx2 = np.minimum(idx, len(keys) - 1)
+                hit = keys[idx2] == wkeys
+                if s > 2 and hit.any():
+                    # exact verification against the raw patterns (hash path)
+                    cand = mat[idx2]
+                    for j in range(s):
+                        hit &= cand[:, j] == vals[j: m + j]
+                codes[:m][hit] = pcodes[idx2[hit]]
+            else:
+                _, pats, pcodes = entry
+                win = np.lib.stride_tricks.sliding_window_view(vals, s)
+                blobs = np.ascontiguousarray(win).view(
+                    np.dtype((np.void, 4 * s))).ravel()
+                idx = np.searchsorted(pats, blobs)
+                idx2 = np.minimum(idx, len(pats) - 1)
+                hit = pats[idx2] == blobs
+                codes[:m][hit] = pcodes[idx2[hit]]
         out[s] = codes
     return out
 
 
-def encode_block_dint(vals: np.ndarray, encode_map: dict,
+def encode_block_dint(vals: np.ndarray, dct,
                       optimal: bool = True) -> bytes:
     """Encode one full 256-int block (or, per reference semantics, any
     length when used for tails of pattern matching) as a u16 codeword
-    stream."""
+    stream. ``dct`` is a DintDictionary (its sorted lookup tables drive the
+    vectorized window matcher; its encode_map serves tail lookups)."""
     n = len(vals)
     vals = np.ascontiguousarray(vals, dtype=_U32)
     runs = _zero_run_lengths(vals)
-    matches = _match_codes(vals, encode_map, n)
+    matches = _match_codes(vals, dct, n)
     raw = vals.tobytes()
+    encode_map = dct.encode_map
 
     if not optimal:
         return _greedy_parse(vals, runs, matches, encode_map, raw, n)

@@ -37,6 +37,20 @@ CODEWORD_BITS = 16.0
 INITIAL_BPI = 3 * CODEWORD_BITS  # 48
 EPS = 0.0001
 
+_FOLD_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def fold_hash(cols_u64: np.ndarray, s: int) -> np.ndarray:
+    """Multiply-fold u64 hash over the s u32-columns of each row (wrapping
+    arithmetic; deterministic on both dict and window side). s<=2 is packed
+    exactly (injective), so only s>=4 relies on verification."""
+    if s == 1:
+        return cols_u64[:, 0].copy() if cols_u64.ndim == 2 else cols_u64
+    if s == 2:
+        return cols_u64[:, 0] | (cols_u64[:, 1] << np.uint64(32))
+    mult = (np.uint64(2) * np.arange(s, dtype=np.uint64) + np.uint64(1)) * _FOLD_C
+    return (cols_u64 * mult[None, :]).sum(axis=1, dtype=np.uint64)
+
 
 def pattern_saving(size: int, freq: int, total_integers: int) -> float:
     return freq * (INITIAL_BPI * size - CODEWORD_BITS) / total_integers
@@ -81,12 +95,49 @@ class DintDictionary:
         for i, run_len in enumerate(RUN_LENS):
             self.sizes[EXCEPTIONS + i] = run_len
         self._encode_map = None
+        self._lookup = None
 
     @property
     def encode_map(self) -> dict:
         if self._encode_map is None:
             self.prepare_for_encoding()
         return self._encode_map
+
+    def lookup_tables(self) -> dict:
+        """Per-size numeric lookup for the vectorized window matcher
+        (codec._match_codes): one u64 searchsorted resolves all windows of a
+        block at once (vs. per-window python dict lookups).
+
+        key design: s=1 -> the u32 value; s=2 -> exact packed u64; s>=4 ->
+        a multiply-fold u64 hash with exact verification against the raw
+        pattern matrix (and a build-time duplicate-hash check, so matching
+        stays deterministic-exact, never probabilistic)."""
+        if getattr(self, "_lookup", None) is None:
+            by_size: dict[int, list] = {}
+            for pat, code in self.encode_map.items():
+                by_size.setdefault(len(pat) // 4, []).append((pat, code))
+            lookup = {}
+            for s, items in by_size.items():
+                codes = np.array([c for _, c in items], dtype=np.int64)
+                mat = np.frombuffer(b"".join(p for p, _ in items),
+                                    dtype="<u4").reshape(len(items), s)
+                keys = fold_hash(mat.astype(np.uint64), s)
+                order = np.argsort(keys, kind="stable")
+                keys = keys[order]
+                if s > 2 and len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+                    # hash ties among dict patterns: disambiguate by also
+                    # keeping byte order within ties (searchsorted would be
+                    # ambiguous) -- fall back to the exact void path
+                    pats = np.frombuffer(b"".join(p for p, _ in sorted(items)),
+                                         dtype=np.dtype((np.void, 4 * s)))
+                    lookup[s] = ("void", pats,
+                                 np.array([c for _, c in sorted(items)],
+                                          dtype=np.int64))
+                else:
+                    lookup[s] = ("num", keys, codes[order],
+                                 np.ascontiguousarray(mat[order]))
+            self._lookup = lookup
+        return self._lookup
 
     @classmethod
     def build(cls, patterns: list[bytes]) -> "DintDictionary":
@@ -157,7 +208,7 @@ class DintDictionary:
     def encode_full_block(self, vals: np.ndarray, optimal: bool = True) -> bytes:
         from dint_spark.dint.codec import encode_block_dint
 
-        return encode_block_dint(vals, self.encode_map, optimal=optimal)
+        return encode_block_dint(vals, self, optimal=optimal)
 
     def decode_full_block(self, data: bytes, pos: int, n: int
                           ) -> tuple[np.ndarray, int]:
@@ -216,7 +267,7 @@ class MultiDictionary:
         best: bytes | None = None
         best_i = 0
         for i, d in enumerate(self.dicts):
-            enc = encode_block_dint(vals, d.encode_map, optimal=optimal)
+            enc = encode_block_dint(vals, d, optimal=optimal)
             if best is None or len(enc) < len(best):
                 best = enc
                 best_i = i
