@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ranked_or": lambda s, d: _ranked(s, d, "ranked_or"),
         "bm25_wand": lambda s, d: _ranked(s, d, "wand"),
         "bm25_block_max_wand": lambda s, d: _ranked(s, d, "block_max_wand"),
+        "bm25_block_max_wand_vec": lambda s, d: _ranked(s, d, "block_max_wand_vec"),
         "bm25_maxscore": lambda s, d: _ranked(s, d, "maxscore"),
         "bm25_ranked_and": lambda s, d: _ranked_and(s, d),
         "boolean_and": _entry_boolean_and,
@@ -436,6 +437,7 @@ FROM tf GROUP BY term ORDER BY term
         "bm25_ranked_or": _topk_or_sql(),
         "bm25_wand": _topk_or_sql(),
         "bm25_block_max_wand": _topk_or_sql(),
+        "bm25_block_max_wand_vec": _topk_or_sql(),
         "bm25_maxscore": _topk_or_sql(),
         "bm25_ranked_and": _topk_and_sql(),
         "boolean_and": _BOOL_AND_SQL,

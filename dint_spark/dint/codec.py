@@ -523,6 +523,14 @@ def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
     n = len(docs)
     docs = np.asarray(docs, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
+    # DINT is a u32 codec (ref uses u32 docIDs/freqs throughout). At
+    # 10^12-doc scale docids are sharded: each segment shard stores dense
+    # shard-local u32 ids + a base offset. Guard against silent wraparound.
+    if n and (int(docs[0]) < 0 or int(docs[-1]) > 0xFFFFFFFF
+              or int(freqs.max(initial=1)) > 0x100000000):
+        raise ValueError("posting list exceeds the u32 codec domain "
+                         "(docid gaps or freqs >= 2^32); shard the docid "
+                         "space (see README 'Scale design')")
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     payload = bytearray()
     block_maxs = np.empty(nblocks, dtype=np.int64)

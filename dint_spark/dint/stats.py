@@ -53,34 +53,42 @@ STATS_SCHEMA = T.StructType(
 )
 
 
-def _collect_windows(vals: np.ndarray, acc: dict, sel: int) -> None:
-    """Count aligned windows of each target size over one stream segment."""
+def _window_blobs(vals: np.ndarray, pend: dict, sel: int) -> None:
+    """Append the aligned windows of each target size (as void blobs) to the
+    pending per-(sel,size) arrays — no per-window python work."""
     m = len(vals)
     vals = np.ascontiguousarray(vals, dtype="<u4")
     for s in TARGET_SIZES:
         nwin = m // s
         if nwin == 0:
             continue
-        windows = vals[: nwin * s].reshape(nwin, s)
-        # void view -> one comparable blob per window, then C-speed unique
-        blobs = windows.view(f"V{4 * s}").ravel()
-        uniq, counts = np.unique(blobs, return_counts=True)
-        ub = uniq.tobytes()
-        w = 4 * s
-        for i, cnt in enumerate(counts):
-            key = ub[i * w: (i + 1) * w]
-            k2 = (key, s, sel)
-            acc[k2] = acc.get(k2, 0) + int(cnt)
+        blobs = vals[: nwin * s].reshape(nwin, s).view(f"V{4 * s}").ravel()
+        pend.setdefault((sel, s), []).append(blobs)
 
 
-def _collect_stream(vals: np.ndarray, acc: dict, per_block: bool) -> None:
+def _collect_stream(vals: np.ndarray, pend: dict, per_block: bool) -> None:
     if not per_block:
-        _collect_windows(vals, acc, 0)
+        _window_blobs(vals, pend, 0)
         return
     for lo in range(0, len(vals), BLOCK_SIZE):
         block = vals[lo: lo + BLOCK_SIZE]
         sel = selector_class(int(block.max())) if len(block) else 0
-        _collect_windows(block, acc, sel)
+        _window_blobs(block, pend, sel)
+
+
+def _merge_pending(pend: dict, acc: dict) -> None:
+    """One np.unique per (sel,size) over the whole batch, then one python
+    pass over the (few) distinct patterns — replaces per-list dict loops
+    (measured: the python accumulation dominated the stats job)."""
+    for (sel, s), lst in pend.items():
+        blobs = lst[0] if len(lst) == 1 else np.concatenate(lst)
+        uniq, counts = np.unique(blobs, return_counts=True)
+        ub = uniq.tobytes()
+        w = 4 * s
+        for i, cnt in enumerate(counts.tolist()):
+            k2 = (ub[i * w: (i + 1) * w], s, sel)
+            acc[k2] = acc.get(k2, 0) + cnt
+    pend.clear()
 
 
 def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
@@ -90,15 +98,21 @@ def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc_docs: dict = {}
         acc_freqs: dict = {}
+        pend_docs: dict = {}
+        pend_freqs: dict = {}
         for pdf in batches:
             for docs, freqs in zip(pdf["doc_ids"], pdf["freqs"]):
                 docs = np.asarray(docs, dtype=np.int64)
                 gaps = np.diff(docs, prepend=-1) - 1
-                _collect_stream(gaps.astype(np.uint32), acc_docs,
+                _collect_stream(gaps.astype(np.uint32), pend_docs,
                                 per_block_contexts)
                 fvals = np.asarray(freqs, dtype=np.int64) - 1
-                _collect_stream(fvals.astype(np.uint32), acc_freqs,
+                _collect_stream(fvals.astype(np.uint32), pend_freqs,
                                 per_block_contexts)
+            # merge once per Arrow batch: bounds pending-buffer memory while
+            # amortizing np.unique over thousands of lists
+            _merge_pending(pend_docs, acc_docs)
+            _merge_pending(pend_freqs, acc_freqs)
         rows = []
         for stream, acc in (("docs", acc_docs), ("freqs", acc_freqs)):
             for (pat, size, sel), freq in acc.items():

@@ -41,14 +41,20 @@ def add_dense_index(
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
+    # persist the INPUT first: repartitionByRange runs a separate sampling
+    # job over its child, which would otherwise recompute the entire
+    # upstream pipeline (measured: dominated the corpus phase, and got
+    # worse with more cores)
+    src = df.persist()
     ranged = (
-        df.repartitionByRange(num_partitions, *order_by)
+        src.repartitionByRange(num_partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
     counts = {r["__pid"]: r["cnt"] for r in
               ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    src.unpersist()
     offsets = {}
     acc = 0
     for pid in sorted(counts):

@@ -183,7 +183,9 @@ def build_index(
         dl2 = spark.read.parquet(doclens_path)
         vocab2 = spark.read.parquet(vocab_path)
         tdf = term_doc_freqs(docs, vocab2)
-        postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk)
+        # persist before the range write: repartitionByRange's sampling job
+        # would otherwise recompute the whole explode+agg+join pipeline
+        postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk).persist()
         (
             postings.repartitionByRange(
                 max(spark.sparkContext.defaultParallelism, config.num_buckets),
@@ -193,6 +195,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(postings_path)
         )
+        postings.unpersist()
         docs.unpersist()
         mark("corpus", wall_s=time.time() - t0)
 

@@ -722,6 +722,14 @@ def run_queries(
         .agg(F.count("*").alias("qf"))
     )
     joined = qterms.join(_pruned_segments(index, qterms, local_terms), "term_id")
+    # fine-grained explicit hash partitioning on query_id: per-query kernel
+    # cost is heavily skewed (head-term queries cost 10-100x tail ones), so
+    # a batch of Q queries over only `shuffle.partitions` partitions is
+    # bounded by its unluckiest partition. ~2-4 queries per partition keeps
+    # every core busy; groupBy reuses this partitioning (no extra exchange),
+    # and AQE does not coalesce user-specified repartitions.
+    joined = joined.repartition(
+        spark.sparkContext.defaultParallelism * 8, "query_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):

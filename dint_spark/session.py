@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # The postings build groups millions of (term,doc,tf) rows per task
+        # into arrays via collect_list; ObjectHashAggregate's default
+        # 128-key fallback-to-sort threshold cripples it (measured 3x).
+        # Memory stays bounded by the partition's own data either way.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                str(1 << 22))
         # Arrow is the transport for every pandas UDF in this engine.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

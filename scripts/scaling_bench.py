@@ -54,11 +54,11 @@ tids = vocab["term_id"].to_numpy()
 n_queries = int(os.environ.get("SCALING_QUERIES", "500"))
 queries = [[int(t) for t in rng.choice(tids, size=int(rng.integers(1, 6)), p=p)]
            for _ in range(n_queries)]
-run_queries(spark, idx, queries, algo="block_max_wand", k=10).count()  # warmup
+run_queries(spark, idx, queries, algo="block_max_wand_vec", k=10).count()  # warmup
 runs = []
 for _ in range(3):
     t0 = time.time()
-    run_queries(spark, idx, queries, algo="block_max_wand", k=10).count()
+    run_queries(spark, idx, queries, algo="block_max_wand_vec", k=10).count()
     runs.append(time.time() - t0)
 vruns = []
 for _ in range(2):

@@ -14,7 +14,7 @@ import numpy as np
 from dint_spark.bm25 import BM25
 from dint_spark.dint.codec import encode_list
 from dint_spark.dint.dictionary import DintDictionary, select_patterns_dsf
-from dint_spark.dint.stats import _collect_windows
+from dint_spark.dint.stats import _merge_pending, _window_blobs
 from dint_spark.queries import Cursor, _qtw
 
 VOCAB = 2000
@@ -67,12 +67,16 @@ def build_dicts(plists) -> tuple[DintDictionary, DintDictionary]:
     """Driver-side stats + DSF (small-scale mirror of the Spark stats job)."""
     acc_docs: dict = {}
     acc_freqs: dict = {}
+    pend_docs: dict = {}
+    pend_freqs: dict = {}
     total = 0
     for docs, freqs in plists.values():
         total += len(docs)
         gaps = np.diff(docs, prepend=-1) - 1
-        _collect_windows(gaps.astype(np.uint32), acc_docs, 0)
-        _collect_windows((freqs - 1).astype(np.uint32), acc_freqs, 0)
+        _window_blobs(gaps.astype(np.uint32), pend_docs, 0)
+        _window_blobs((freqs - 1).astype(np.uint32), pend_freqs, 0)
+    _merge_pending(pend_docs, acc_docs)
+    _merge_pending(pend_freqs, acc_freqs)
     out = []
     for acc in (acc_docs, acc_freqs):
         stats = [(pat, size, freq) for (pat, size, _), freq in acc.items()]
