@@ -120,6 +120,14 @@ def main() -> None:
     run_queries(spark, idx, workload, algo="block_max_wand", k=TOPK).count()
     timings["bm25_bmw_500q"] = time.time() - t0
 
+    # batched throughput: a 2000-query batch amortizes the per-job fixed
+    # cost (~4s scan+join+schedule) that dominates 500-query batches
+    big = make_query_workload(vocab_pdf, 2000, SEED + 1)
+    t0 = time.time()
+    run_queries(spark, idx, big, algo="block_max_wand_vec", k=TOPK).count()
+    t_big = time.time() - t0
+    timings["bm25_bmw_vec_2000q"] = t_big
+
     t0 = time.time()
     run_queries(spark, idx, workload, algo="ranked_or_vec", k=TOPK).count()
     timings["bm25_ranked_or_vec_500q"] = time.time() - t0
@@ -153,6 +161,7 @@ def main() -> None:
         "build_docs_per_sec": round(num_docs / t_build, 1),
         "decode_ints_per_sec": round(ints_per_sec, 0),
         "bm25_queries_per_sec": round(NUM_QUERIES / t_bmw, 1),
+        "bm25_batch2000_queries_per_sec": round(2000 / t_big, 1),
         "cpus": cpus,
     }
     print(json.dumps(result))

@@ -122,8 +122,17 @@ def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
                 rows, columns=["stream", "sel", "pattern", "size", "freq"]
             )
 
-    return postings.select("doc_ids", "freqs").mapInPandas(
-        run, schema=STATS_SCHEMA
+    # the postings checkpoint is term-range-sorted, so head-term files hold
+    # orders of magnitude more postings than tail files; without a spread
+    # the stats pass is bounded by one straggler task (measured). A random
+    # round-robin repartition costs one shuffle of the arrays and makes the
+    # python collector embarrassingly parallel.
+    spark = postings.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism * 4, 16)
+    return (
+        postings.select("doc_ids", "freqs")
+        .repartition(nparts)
+        .mapInPandas(run, schema=STATS_SCHEMA)
     )
 
 

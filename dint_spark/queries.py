@@ -750,6 +750,103 @@ def run_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
 
 
+def run_queries_broadcast(
+    spark: SparkSession,
+    index,
+    queries: list,
+    algo: str = "block_max_wand_vec",
+    k: int = 10,
+    dtype: str = "float32",
+    max_broadcast_bytes: int = 1 << 29,
+) -> DataFrame:
+    """Serving-style batch retrieval: the touched segments are broadcast
+    once, queries (tiny rows) are the only thing that moves per batch.
+
+    This is the document-partitioned serving pattern of web search: each
+    shard holds its doc range's complete index in executor memory and every
+    query fans out to all shards, whose local exact top-k merge into the
+    global exact top-k. In this engine one shard = one index (docid
+    sharding per README "Scale design" gives N shards at 10^12 docs); the
+    shuffle-based run_queries remains the path for indexes too large to
+    pin in memory. Compared to the join path it moves no posting bytes per
+    query — the join duplicated every head-term payload into every query's
+    shuffle group, which dominated batch wall time.
+    """
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    rows = (
+        _pruned_segments(index, None, local_terms)
+        .select("term_id", "n", "block_maxs", "block_max_scores",
+                "endpoints", "freq_offsets", "payload", "max_weight")
+        .collect()
+    )
+    seg_map = {}
+    total = 0
+    for r in rows:
+        payload = bytes(r["payload"])
+        total += len(payload) + 200
+        seg_map[int(r["term_id"])] = (
+            int(r["n"]),
+            np.asarray(r["block_maxs"], dtype=np.int64),
+            np.asarray(r["block_max_scores"], dtype=np.float32),
+            np.asarray(r["endpoints"], dtype=np.int64),
+            np.asarray(r["freq_offsets"], dtype=np.int64),
+            payload,
+            float(r["max_weight"]),
+        )
+    if total > max_broadcast_bytes:
+        raise ValueError(
+            f"pruned segments ({total} bytes) exceed the broadcast budget; "
+            "use run_queries (shuffle path) or shard the index")
+    DT = np.float32 if dtype == "float32" else np.float64
+    num_docs = index.num_docs
+    seg_bc = spark.sparkContext.broadcast(seg_map)
+    norm_bc = spark.sparkContext.broadcast(
+        index.norm_lens if dtype == "float32" else index.norm_lens64)
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    kernel = KERNELS[algo]
+
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    ).repartition(spark.sparkContext.defaultParallelism * 4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        segs = seg_bc.value
+        dd = docs_dict_bc.value
+        fd = freqs_dict_bc.value
+        norm = norm_bc.value
+        scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+        for pdf in batches:
+            outs = []
+            for qid, terms in zip(pdf["query_id"], pdf["terms"]):
+                from collections import Counter
+
+                cursors = []
+                for tid, qf in sorted(Counter(int(t) for t in terms).items()):
+                    seg = segs.get(tid)
+                    if seg is None:
+                        continue
+                    n, bmax, bms, endp, foff, payload, mw = seg
+                    c = Cursor(n, bmax, endp, foff, payload, num_docs, dd,
+                               fd, block_max_scores=bms, term_id=tid)
+                    c.q_weight = _qtw(qf, n, num_docs, DT)
+                    c.bound_scale = scale
+                    c.max_weight = DT(c.q_weight * DT(mw) * c.bound_scale)
+                    cursors.append(c)
+                topk = kernel(cursors, norm, num_docs, k, DT) if cursors else []
+                for rank, (doc, score) in enumerate(topk, 1):
+                    outs.append((int(qid), rank, doc, score))
+            if outs:
+                yield pd.DataFrame(
+                    outs, columns=["query_id", "rank", "doc_id", "score"])
+
+    return qdf.mapInPandas(run, schema=TOPK_SCHEMA)
+
+
 def _pruned_segments(index, qterms: DataFrame,
                      local_terms: list[int] | None = None) -> DataFrame:
     """Push the batch's touched term_ids INTO the parquet scan.

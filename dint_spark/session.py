@@ -51,10 +51,35 @@ def get_spark(
         # 128-key fallback-to-sort threshold cripples it (measured 3x).
         # Memory stays bounded by the partition's own data either way.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-                str(1 << 22))
+                str(1 << 17))
+        # Preload numpy/pandas/pyarrow in the worker daemon so forked
+        # python workers start warm (see dint_spark/daemon.py: the stock
+        # daemon paid ~2s import per worker, a 30-80s storm at local[32]),
+        # and keep idle workers alive between JVM-heavy phases.
+        .config("spark.python.daemon.module", "dint_spark.daemon")
+        # the daemon module must be importable in the spawned worker python
+        # regardless of the driver's cwd (on a cluster --py-files covers it)
+        .config("spark.executorEnv.PYTHONPATH",
+                os.pathsep.join(
+                    p for p in [os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                        os.environ.get("PYTHONPATH", "")] if p))
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "64")
         # Arrow is the transport for every pandas UDF in this engine.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # rows carrying whole posting lists are WIDE: 4096 head-term rows
+        # is hundreds of MB in flight per worker; cap batches by BYTES so
+        # 32 concurrent pandas workers don't blow memory (measured: the
+        # encode stage degraded 6x at local[32] on 100k docs without this)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 << 20))
+        # same row-count-vs-bytes hazard on the parquet scan side: 4096-row
+        # columnar batches of head-term posting arrays OOMed a 16 GiB
+        # executor; 32 rows bounds the worst-case batch to ~100 MB even
+        # with multi-MB head rows, while slim-table scans lose only batch
+        # bookkeeping (micro-seconds per 32 rows)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "32")
         # Posting-list arrays for head terms are wide; keep task results sane.
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")

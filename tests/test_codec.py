@@ -7,7 +7,9 @@ import pytest
 from dint_spark.dint.codec import (
     bic_decode,
     bic_encode,
+    decode_blocks_bulk,
     decode_list,
+    decode_list_bulk,
     encode_list,
 )
 from dint_spark.dint.dictionary import DintDictionary
@@ -32,6 +34,23 @@ def roundtrip(docs, freqs, docs_dict, freqs_dict, optimal):
     assert np.array_equal(ff, freqs)
     assert bmax[-1] == docs[-1]
     assert (np.diff(endp) > 0).all()
+    # bulk cross-block path must agree with the per-block path exactly
+    db, fb = decode_list_bulk(payload, len(docs), bmax, endp, foff,
+                              docs_dict, freqs_dict)
+    assert np.array_equal(db, docs) and np.array_equal(fb, freqs)
+    nblocks = len(bmax)
+    if nblocks > 1:
+        rng = np.random.default_rng(len(docs))
+        sub = np.unique(rng.integers(0, nblocks, size=min(nblocks, 3)))
+        ds, fs = decode_blocks_bulk(payload, len(docs), bmax, endp, foff,
+                                    sub, docs_dict, freqs_dict)
+        exp_d = np.concatenate([docs[b * 256:(b + 1) * 256] for b in sub])
+        exp_f = np.concatenate([freqs[b * 256:(b + 1) * 256] for b in sub])
+        assert np.array_equal(ds, exp_d) and np.array_equal(fs, exp_f)
+        # docs-only (lazy freqs) subset
+        ds2, fs2 = decode_blocks_bulk(payload, len(docs), bmax, endp, foff,
+                                      sub, docs_dict, None)
+        assert np.array_equal(ds2, exp_d) and fs2 is None
     return payload
 
 
@@ -124,3 +143,21 @@ def test_dictionary_serialization_roundtrip():
     assert d.content_hash() == d2.content_hash()
     assert d.num_used == d2.num_used
     assert d.encode_map == d2.encode_map
+
+
+def test_u32_domain_guard():
+    """encode_list must reject lists outside the u32 codec domain instead of
+    silently wrapping (docid sharding handles >2^32 corpora, README)."""
+    empty = DintDictionary.build([])
+    docs = np.array([5, 2**33], dtype=np.int64)
+    freqs = np.array([1, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="u32"):
+        encode_list(docs, freqs, empty, empty)
+    docs = np.array([5, 9], dtype=np.int64)
+    freqs = np.array([1, 2**33], dtype=np.int64)
+    with pytest.raises(ValueError, match="u32"):
+        encode_list(docs, freqs, empty, empty)
+    # boundary: max valid docid / freq pass
+    docs = np.array([0xFFFFFFFF - 1, 0xFFFFFFFF], dtype=np.int64)
+    freqs = np.array([2**32, 1], dtype=np.int64)
+    encode_list(docs, freqs, empty, empty)

@@ -124,3 +124,23 @@ def test_config_mismatch_rejected(spark, index):
     with pytest.raises(ValueError):
         build_index(spark, pages, IDX_DIR,
                     IndexConfig(num_buckets=8, input_tag="other"))
+
+
+def test_broadcast_serving_path_agrees(spark, index):
+    """run_queries_broadcast (document-sharded serving pattern, no payload
+    shuffle) must equal the shuffle path exactly."""
+    from dint_spark.queries import run_queries_broadcast
+
+    vocab = index.vocab().orderBy("term_id").limit(500).collect()
+    tids = [r["term_id"] for r in vocab]
+    import numpy as np
+    rng = np.random.default_rng(13)
+    queries = [[int(t) for t in rng.choice(tids, size=int(rng.integers(1, 6)))]
+               for _ in range(40)]
+    queries.append([tids[0]])
+    queries.append([10**9])  # unknown term -> no rows
+    a = sorted(run_queries(spark, index, queries,
+                           algo="block_max_wand_vec", k=10).collect())
+    b = sorted(run_queries_broadcast(spark, index, queries,
+                                     algo="block_max_wand_vec", k=10).collect())
+    assert a == b
