@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from dint_spark.corpus import generate_pages, pages_from_documents
 from dint_spark.index import IndexConfig, build_index
-from dint_spark.queries import decoded_postings, run_queries
+from dint_spark.queries import decode_rate_stats, decoded_postings, run_queries
 from dint_spark.session import get_spark
 
 NUM_QUERIES = 500
@@ -101,6 +101,9 @@ def main() -> None:
     t_decode = time.time() - t0
     timings["decode_full_index"] = t_decode
     ints_per_sec = 2 * n_postings / t_decode  # docs + freqs streams
+    # vroom protocol: in-loop decode rate, free of job-scheduling overhead
+    rate = decode_rate_stats(
+        idx, parallelism=spark.sparkContext.defaultParallelism * 2)
 
     # ---- query workload: 500 queries, 1 warmup + 3 timed ------------------
     vocab_pdf = idx.vocab().select("term_id", "df").toPandas()
@@ -160,6 +163,7 @@ def main() -> None:
         "freqs_bpi": round(m["freqs_bpi"], 3),
         "build_docs_per_sec": round(num_docs / t_build, 1),
         "decode_ints_per_sec": round(ints_per_sec, 0),
+        "decode_ints_per_sec_core": round(rate["ints_per_sec_core"], 0),
         "bm25_queries_per_sec": round(NUM_QUERIES / t_bmw, 1),
         "bm25_batch2000_queries_per_sec": round(2000 / t_big, 1),
         "cpus": cpus,

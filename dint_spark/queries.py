@@ -923,6 +923,57 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+DECODE_RATE_SCHEMA = T.StructType([
+    T.StructField("n_ints", T.LongType(), False),
+    T.StructField("decode_secs", T.DoubleType(), False),
+])
+
+
+def decode_rate_stats(index, parallelism: int | None = None) -> dict:
+    """The reference's vroom decode protocol (vroom_env/decode.cpp:47-70):
+    time ONLY the decode loop, worker-side, and report ints/sec.
+
+    Returns {"ints", "decode_secs", "ints_per_sec_core"} where
+    ints_per_sec_core = total ints / summed in-loop seconds — the per-core
+    decode rate, independent of Spark job overhead (which dominates
+    wall-clock at small scale and is amortized at any real one).
+    """
+    import time as _time
+
+    from dint_spark.dint.codec import decode_list_bulk
+
+    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dd = docs_dict_bc.value
+        fd = freqs_dict_bc.value
+        ints = 0
+        secs = 0.0
+        for pdf in batches:
+            for row in pdf.itertuples():
+                payload = bytes(row.payload)
+                n = int(row.n)
+                bmax = np.asarray(row.block_maxs, dtype=np.int64)
+                endp = np.asarray(row.endpoints, dtype=np.int64)
+                foff = np.asarray(row.freq_offsets, dtype=np.int64)
+                t0 = _time.perf_counter()
+                decode_list_bulk(payload, n, bmax, endp, foff, dd, fd)
+                secs += _time.perf_counter() - t0
+                ints += 2 * n
+        yield pd.DataFrame({"n_ints": [ints], "decode_secs": [secs]})
+
+    seg = index.segments.select(
+        "n", "block_maxs", "endpoints", "freq_offsets", "payload")
+    if parallelism:
+        seg = seg.repartition(parallelism)
+    rows = seg.mapInPandas(run, schema=DECODE_RATE_SCHEMA).collect()
+    ints = sum(r["n_ints"] for r in rows)
+    secs = sum(r["decode_secs"] for r in rows)
+    return {"ints": int(ints), "decode_secs": secs,
+            "ints_per_sec_core": ints / secs if secs else 0.0}
+
+
 def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     """Full decode of every segment back to (term_id, doc_id, freq) — the
     reference's check_index / verify_collection protocol
