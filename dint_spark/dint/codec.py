@@ -664,6 +664,15 @@ def decode_list_bulk(payload: bytes, n: int, block_maxs: np.ndarray,
                      docs_dict, freqs_dict
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Full-list decode through the bulk cross-block path."""
+    if n < BLOCK_SIZE:
+        # short BIC list: skip the block-subset machinery entirely (these
+        # lists are per-list-overhead-bound; see BASELINE.md decode notes)
+        base = 0
+        universe = int(block_maxs[0]) - (n - 1)
+        gaps, pos = bic_decode(bytes(payload), 0, n, universe)
+        docids = np.cumsum(gaps.astype(np.int64) + 1) - 1
+        fvals, _ = bic_decode(bytes(payload), int(freq_offsets[0]), n, -1)
+        return docids, fvals.astype(np.int64) + 1
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     docs, freqs = decode_blocks_bulk(
         payload, n, np.asarray(block_maxs, dtype=np.int64),
