@@ -30,6 +30,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dint_spark.corpus import generate_pages, pages_from_documents
@@ -90,6 +91,12 @@ def main() -> None:
                           shuffle_partitions=shuffle)
         spark.range(1).count()  # fail fast if executors can't launch
     except Exception:
+        # stop the half-created session first: getOrCreate would otherwise
+        # return the existing broken session and ignore the new master
+        try:
+            SparkSession.getActiveSession() and SparkSession.getActiveSession().stop()
+        except Exception:
+            pass
         master = f"local[{min(n_cpus, 8)}]"
         spark = get_spark("dint_spark_bench", master=master)
     timings: dict[str, float] = {}

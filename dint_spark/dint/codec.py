@@ -527,9 +527,11 @@ def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
     # 10^12-doc scale docids are sharded: each segment shard stores dense
     # shard-local u32 ids + a base offset. Guard against silent wraparound.
     if n and (int(docs[0]) < 0 or int(docs[-1]) > 0xFFFFFFFF
-              or int(freqs.max(initial=1)) > 0x100000000):
+              or int(freqs.max(initial=1)) > 0x100000000
+              or int(freqs.min(initial=1)) < 1):
         raise ValueError("posting list exceeds the u32 codec domain "
-                         "(docid gaps or freqs >= 2^32); shard the docid "
+                         "(docid gaps, freqs >= 2^32, or freqs < 1 — the "
+                         "f-1 transform would wrap); shard the docid "
                          "space (see README 'Scale design')")
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     payload = bytearray()

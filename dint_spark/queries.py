@@ -50,6 +50,7 @@ class Cursor:
         "docs_dict", "freqs_dict",
         "nblocks", "cur_block", "pos", "docids", "freqs", "cur_docid",
         "q_weight", "max_weight", "block_max_scores", "term_id", "bound_scale",
+        "_ckey",
     )
 
     def __init__(self, n, block_maxs, endpoints, freq_offsets, payload,
@@ -76,6 +77,7 @@ class Cursor:
         # float64-computed scores (never causes false exclusion, only
         # marginally less pruning)
         self.bound_scale = np.float32(1.0)
+        self._ckey = None
         self._decode_block(0)
 
     def _decode_block(self, b: int) -> None:
@@ -113,6 +115,17 @@ class Cursor:
             self.pos += int(np.searchsorted(self.docids[self.pos:], lb, side="left"))
             self.cur_docid = int(self.docids[self.pos])
 
+    def move(self, pos: int) -> None:
+        """Random access by position (ref dict_posting_list.hpp:149-158)."""
+        if pos >= self.n:
+            self.cur_docid = self.universe
+            return
+        b = pos // BLOCK_SIZE
+        if b != self.cur_block:
+            self._decode_block(b)
+        self.pos = pos - b * BLOCK_SIZE
+        self.cur_docid = int(self.docids[self.pos])
+
     def freq(self) -> int:
         if self.freqs is None:
             m = len(self.docids)
@@ -148,16 +161,20 @@ class Cursor:
 # Worker-process-level LRU of fully-decoded posting lists. Zipfian query
 # logs hit the same head terms constantly; decoding each list once per
 # *worker* instead of once per *query* is the single biggest q/s lever.
-# Keyed by content (term_id, n, last docid, payload prefix) so distinct
-# indexes coexisting in one process (tests) cannot alias. Bounded so a
-# 1000-executor deployment holds just its hot set per worker.
+# Keyed by a FULL-payload digest (term_id, n, len, hash of all bytes):
+# freqs live in the payload too, so two lists with identical docids but
+# different freqs — or a rebuilt index on a never-expiring worker
+# (idleTimeoutSeconds=0) — cannot alias. Bounded so a 1000-executor
+# deployment holds just its hot set per worker.
 _LIST_CACHE: OrderedDict = OrderedDict()
 _LIST_CACHE_BYTES = 0
 _LIST_CACHE_CAP = int(os.environ.get("DINT_SPARK_DECODE_CACHE_MB", "64")) * 2**20
 
 
 def _cache_key(c: "Cursor") -> tuple:
-    return (c.term_id, c.n, int(c.block_maxs[-1]), c.payload[:24])
+    if c._ckey is None:
+        c._ckey = (c.term_id, c.n, len(c.payload), hash(c.payload))
+    return c._ckey
 
 
 def _cached_full_decode(c: "Cursor") -> tuple[np.ndarray, np.ndarray]:
@@ -479,8 +496,11 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
         """Concatenated (docs, freqs) of `blocks` (sorted), bulk-decoded."""
         c = cursors[ci]
         all_blocks = np.arange(c.nblocks)
-        hit = _LIST_CACHE.get(_cache_key(c))
-        if hit is None and len(blocks) * 2 > c.nblocks:
+        key = _cache_key(c)
+        hit = _LIST_CACHE.get(key)
+        if hit is not None:
+            _LIST_CACHE.move_to_end(key)  # LRU order reflects hits
+        elif len(blocks) * 2 > c.nblocks:
             hit = _cached_full_decode(c)
         if hit is not None:
             return _slice_blocks(c, hit[0], hit[1], all_blocks, blocks)
@@ -773,17 +793,26 @@ def run_queries_broadcast(
     shuffle group, which dominated batch wall time.
     """
     local_terms = sorted({int(t) for ts in queries for t in ts})
+    pruned = _pruned_segments(index, None, local_terms)
+    # size pre-check BEFORE collecting: an oversized term set must raise the
+    # intended ValueError, not hit driver maxResultSize/OOM inside collect()
+    est = pruned.agg(
+        F.sum(F.length("payload")).alias("b"), F.count("*").alias("c")
+    ).collect()[0]
+    total = int(est["b"] or 0) + 200 * int(est["c"] or 0)
+    if total > max_broadcast_bytes:
+        raise ValueError(
+            f"pruned segments ({total} bytes) exceed the broadcast budget; "
+            "use run_queries (shuffle path) or shard the index")
     rows = (
-        _pruned_segments(index, None, local_terms)
+        pruned
         .select("term_id", "n", "block_maxs", "block_max_scores",
                 "endpoints", "freq_offsets", "payload", "max_weight")
         .collect()
     )
     seg_map = {}
-    total = 0
     for r in rows:
         payload = bytes(r["payload"])
-        total += len(payload) + 200
         seg_map[int(r["term_id"])] = (
             int(r["n"]),
             np.asarray(r["block_maxs"], dtype=np.int64),
@@ -793,10 +822,6 @@ def run_queries_broadcast(
             payload,
             float(r["max_weight"]),
         )
-    if total > max_broadcast_bytes:
-        raise ValueError(
-            f"pruned segments ({total} bytes) exceed the broadcast budget; "
-            "use run_queries (shuffle path) or shard the index")
     DT = np.float32 if dtype == "float32" else np.float64
     num_docs = index.num_docs
     seg_bc = spark.sparkContext.broadcast(seg_map)

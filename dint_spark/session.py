@@ -46,9 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # The postings build groups millions of (term,doc,tf) rows per task
-        # into arrays via collect_list; ObjectHashAggregate's default
-        # 128-key fallback-to-sort threshold cripples it (measured 3x).
+        # The postings chunk-merge (postings.py merged step) and index merge
+        # still use collect_list over pre-assembled array rows;
+        # ObjectHashAggregate's default 128-key fallback-to-sort threshold
+        # cripples those (measured 3x on the round-1 collect_list build).
         # Memory stays bounded by the partition's own data either way.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 str(1 << 17))

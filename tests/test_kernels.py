@@ -117,3 +117,41 @@ def test_enumerator_laws(collection):
             else:
                 assert c.docid() == docs[j]
                 assert c.freq() == freqs[j]
+
+
+def test_cursor_move(collection):
+    """Q3 move(pos) random access (ref dict_posting_list.hpp:149-158)."""
+    plists, doclens, N, queries, dd, fd, segs, norm = collection
+    rng = np.random.default_rng(13)
+    for t in rng.choice(list(plists), size=10, replace=False):
+        docs, freqs = plists[int(t)]
+        c = make_cursors([int(t)], segs, dd, fd, norm, N)[0]
+        for pos in rng.integers(0, len(docs) + 2, size=20).tolist():
+            c.move(int(pos))
+            if pos >= len(docs):
+                assert c.docid() == N
+            else:
+                assert c.docid() == docs[pos]
+                assert c.freq() == freqs[pos]
+
+
+def test_decode_cache_no_freq_aliasing(collection):
+    """Regression (ADVICE r2): two lists with identical docids but different
+    freqs must not share a worker-LRU entry — the old prefix-based key
+    aliased them and served stale frequencies."""
+    plists, doclens, N, queries, dd, fd, segs, norm = collection
+    t = int(next(iter(plists)))
+    docs, freqs = plists[t]
+    c1 = make_cursors([t], segs, dd, fd, norm, N)[0]
+    d1, f1 = c1.decode_all()
+    assert np.array_equal(d1, docs) and np.array_equal(f1, freqs)
+    # same docids, different freqs -> different payload bytes after the docs
+    # stream; the old key (term_id, n, last docid, payload[:24]) collided
+    # whenever the docs stream filled the 24-byte prefix
+    freqs2 = freqs.copy()
+    freqs2[-1] += 1
+    seg2 = build_segments({t: (docs, freqs2)}, doclens, dd, fd)[0]
+    c2 = make_cursors([t], seg2, dd, fd, norm, N)[0]
+    d2, f2 = c2.decode_all()
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(f2, freqs2), "stale freqs served from the LRU"
