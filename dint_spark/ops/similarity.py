@@ -136,26 +136,27 @@ ORDER BY query_id, rank
 # ann_lsh_topk (random-hyperplane LSH buckets + exact re-rank)
 # ---------------------------------------------------------------------------
 
+def plane_signs() -> list[tuple[int, int, int]]:
+    """(plane, dim, sign) hyperplane components, sign = +1 iff
+    H('pl{p}_{d}') is even with H = first-60-bits-of-md5 — computed
+    driver-side (a 16x64 constant) so the bucket plan needs no crossJoin;
+    bit-identical to the SQL oracle's md5 derivation."""
+    import hashlib
+
+    out = []
+    for p in range(NUM_PLANES):
+        for d in range(DIM):
+            h = int(hashlib.md5(f"pl{p}_{d}".encode()).hexdigest()[:15], 16)
+            out.append((p, d, 1 - 2 * (h % 2)))
+    return out
+
+
 def _lsh_buckets(spark: SparkSession, eqs: DataFrame) -> DataFrame:
     """16-bit hyperplane-sign bucket per vector. Plane signs are md5-derived
     (+1 if H('pl{p}_{d}') is even), identical in the SQL oracle."""
-    planes = spark.range(NUM_PLANES).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(DIM).select(F.col("id").cast("int").alias("d"))
-    pd_ = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        (
-            1
-            - 2
-            * (
-                hash60(
-                    F.concat(F.lit("pl"), F.col("p").cast("string"),
-                             F.lit("_"), F.col("d").cast("string"))
-                )
-                % 2
-            )
-        ).alias("sign"),
-    )
+    pd_ = spark.createDataFrame(plane_signs(), ["p", "d", "sign"]).select(
+        F.col("p").cast("int"), F.col("d").cast("int"),
+        F.col("sign").cast("int"))
     comps = eqs.select(
         "vec_id", F.posexplode("eq").alias("d", "c")
     )
@@ -170,7 +171,21 @@ def _lsh_buckets(spark: SparkSession, eqs: DataFrame) -> DataFrame:
     )
 
 
+def probe_masks(bits: int, radius: int) -> list[tuple[int, int]]:
+    """All (mask, popcount) with popcount <= radius over `bits` bits — the
+    multi-probe set: {b XOR mask} enumerates EXACTLY the Hamming-<=radius
+    ball around bucket b (C(16,<=3) = 697 probes)."""
+    return [(m, bin(m).count("1")) for m in range(1 << bits)
+            if bin(m).count("1") <= radius]
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query explodes into its 697 probe buckets
+    (the exact Hamming-<=3 ball of its 16-bit code) and equi-joins the
+    bucketed corpus on `bucket` — a broadcast HASH join touching only
+    colliding vectors, never a crossJoin scan of the corpus per query
+    (round-1 plan; output is identical by construction since the probe set
+    IS the Hamming ball). Exact cosine re-ranks the candidates."""
     eqs = _emb_q(spark, sf_dir).cache()
     buckets = _lsh_buckets(spark, eqs)
     ev = eqs.join(buckets, "vec_id")
@@ -180,15 +195,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("q_n2"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand = (
-        F.broadcast(qs)
-        .crossJoin(ev)
-        .withColumn(
-            "bham",
-            F.bit_count(F.col("q_bucket").bitwiseXOR(F.col("bucket"))).cast("long"),
-        )
-        .where(F.col("bham") <= PROBE_HAMMING)
+    mask_lits = F.array(*[F.lit(m) for m, _ in probe_masks(NUM_PLANES,
+                                                           PROBE_HAMMING)])
+    probes = (
+        # explode the literal probe-mask array: a Generate node, not a join —
+        # the whole candidate plan stays BroadcastHashJoin-only
+        qs.withColumn("mask", F.explode(mask_lits))
+        .withColumn("bucket", F.col("q_bucket").bitwiseXOR(F.col("mask")))
+        .withColumn("bham", F.bit_count(F.col("mask")).cast("long"))
+        .drop("mask", "q_bucket")
     )
+    # each (query, vector) pair matches at most ONE probe row (the mask is
+    # the XOR of the two buckets), so no dedup is needed
+    cand = ev.join(F.broadcast(probes), "bucket")
     cos = F.col("dot") / F.sqrt(
         F.col("q_n2").cast("double") * F.col("n2").cast("double")
     )
@@ -203,8 +222,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_LSH_SQL = f"""
-WITH {_EMBQ_SQL.strip()},
+# the bucket derivation, shared with dedup_embedding's oracle (references
+# the eq/dims CTEs of _EMBQ_SQL)
+LSH_BUCKETS_SQL = f"""
 planes AS (SELECT unnest(generate_series(0, {NUM_PLANES - 1})) AS p),
 pdims AS (
   SELECT p.p, dm.d,
@@ -220,7 +240,12 @@ buckets AS (
   SELECT vec_id,
          sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
   FROM contrib GROUP BY 1
-),
+)
+"""
+
+ANN_LSH_SQL = f"""
+WITH {_EMBQ_SQL.strip()},
+{LSH_BUCKETS_SQL.strip()},
 qids AS (
   SELECT b.vec_id AS query_id, b.bucket AS q_bucket
   FROM buckets b WHERE b.vec_id % {QUERY_MOD} = 0
