@@ -294,6 +294,79 @@ def _entry_roundtrip_pdf(spark, sf_dir):
     return decoded_postings(idx)
 
 
+def _entry_roundtrip_chunked(spark, sf_dir):
+    """check_index over a build whose head terms are FORCED over the
+    seg_chunk threshold (bounded per-term segment rows, round-2): every
+    term splits into multiple disjoint doc-range rows, and the full decode
+    must still reproduce the exact postings."""
+    idx = _get_variant_index(
+        spark, sf_dir, {"seg_chunk": 64, "skew_chunk": 32}, "chunked"
+    )
+    return decoded_postings(idx)
+
+
+def _entry_bm25_chunked(spark, sf_dir):
+    """BMW top-10 over the chunk-split index: multi-row cursor composition
+    must rank identically to the SQL oracle."""
+    idx = _get_variant_index(
+        spark, sf_dir, {"seg_chunk": 64, "skew_chunk": 32}, "chunked"
+    )
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand", k=100,
+                      dtype="float64")
+    return _rank_quantized(raw)
+
+
+def _get_sharded_index(spark: SparkSession, sf_dir: str):
+    from dint_spark.sharding import ShardedIndex, build_sharded_index
+
+    key = (os.path.abspath(sf_dir), "sharded2")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    base = f"{os.path.basename(key[0].rstrip('/'))}-sharded2-v{dint_spark.__version__}"
+    out = os.path.join("/tmp/dint_spark_entry", base)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs)
+    cfg = IndexConfig(num_buckets=2, input_tag=base)
+    if os.path.exists(os.path.join(out, "shards.json")):
+        try:
+            sidx = ShardedIndex(spark, out)
+            _INDEX_CACHE[key] = sidx
+            return sidx
+        except Exception:
+            pass
+    sidx = build_sharded_index(spark, pages, out, num_shards=2, config=cfg)
+    _INDEX_CACHE[key] = sidx
+    return sidx
+
+
+def _entry_bm25_sharded(spark, sf_dir):
+    """BMW top-10 over the two-shard docid-sharded index (document-
+    partitioned serving with global (N, df, avg_len) statistics)."""
+    from dint_spark.sharding import run_queries_sharded
+
+    sidx = _get_sharded_index(spark, sf_dir)
+    raw = run_queries_sharded(spark, sidx, QUERY_SPECS,
+                              algo="block_max_wand", k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
+def _rank_quantized(raw):
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id")
+    )
+    return (
+        raw.withColumn("score_q", F.floor(F.col("score") * 1e9).cast("long"))
+        .withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("qrank").cast("int").alias("rank"),
+            "doc_id",
+            "score_q",
+        )
+    )
+
+
 _POSTINGS_SQL = (
     _PRELUDE
     + """
@@ -313,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dint_roundtrip": _entry_roundtrip,
         "dint_roundtrip_multi": _entry_roundtrip_multi,
         "dint_roundtrip_pdf": _entry_roundtrip_pdf,
+        "dint_roundtrip_chunked": _entry_roundtrip_chunked,
+        "bm25_bmw_chunked": _entry_bm25_chunked,
+        "bm25_bmw_sharded": _entry_bm25_sharded,
         "bm25_ranked_or": lambda s, d: _ranked(s, d, "ranked_or"),
         "bm25_wand": lambda s, d: _ranked(s, d, "wand"),
         "bm25_block_max_wand": lambda s, d: _ranked(s, d, "block_max_wand"),
@@ -434,6 +510,9 @@ FROM tf GROUP BY term ORDER BY term
         "dint_roundtrip": _POSTINGS_SQL,
         "dint_roundtrip_multi": _POSTINGS_SQL,
         "dint_roundtrip_pdf": _POSTINGS_SQL,
+        "dint_roundtrip_chunked": _POSTINGS_SQL,
+        "bm25_bmw_chunked": _topk_or_sql(),
+        "bm25_bmw_sharded": _topk_or_sql(),
         "bm25_ranked_or": _topk_or_sql(),
         "bm25_wand": _topk_or_sql(),
         "bm25_block_max_wand": _topk_or_sql(),

@@ -178,12 +178,22 @@ class DintDictionary:
         self._encode_map = m
 
     # -- artifact -----------------------------------------------------------
+    # B8 pack_policy (ref dictionary_building_utils.hpp:241-293 +
+    # single_dictionary.hpp:125-151): compaction is a TABLE-STORAGE
+    # optimization — every selected entry keeps its codeword, but an entry
+    # that is a prefix of a longer entry stores no bytes of its own; its
+    # descriptor (size<<24 | offset) points into the longer entry's slot
+    # (the reference resolves this with std::search over the packed table).
+    # It cannot change bpi (the encoded stream references codewords, not
+    # offsets); it shrinks the serialized dictionary artifact.
     def to_bytes(self) -> bytes:
+        descriptors, flat = _pack_entries(
+            self.table2d, self.sizes, RESERVED, self.num_used)
         buf = io.BytesIO()
         np.savez_compressed(
             buf,
-            sizes=self.sizes[: self.num_used].astype(np.int64),
-            table=self.table2d[: self.num_used].astype(np.uint32),
+            descriptors=descriptors,
+            flat=flat,
             num_used=np.array([self.num_used], dtype=np.int64),
         )
         return buf.getvalue()
@@ -194,8 +204,12 @@ class DintDictionary:
             num_used = int(z["num_used"][0])
             d = cls()
             d.num_used = num_used
-            d.table2d[:num_used] = z["table"]
-            d.sizes[:num_used] = z["sizes"]
+            if "table" in z.files:  # round-1 dense artifact
+                d.table2d[:num_used] = z["table"]
+                d.sizes[:num_used] = z["sizes"]
+            else:
+                _unpack_entries(z["descriptors"], z["flat"], RESERVED,
+                                d.table2d, d.sizes)
         return d
 
     def content_hash(self) -> str:
@@ -215,6 +229,60 @@ class DintDictionary:
         from dint_spark.dint.codec import decode_block_dint
 
         return decode_block_dint(data, pos, n, self.table2d, self.sizes)
+
+
+def _pack_entries(table2d: np.ndarray, sizes: np.ndarray, start: int,
+                  num_used: int) -> tuple[np.ndarray, np.ndarray]:
+    """pack_policy compaction of entries [start, num_used): dedupe +
+    prefix-drop for STORAGE (every entry keeps a descriptor; dropped
+    prefixes point into their superseding entry's offset).
+
+    Returns (descriptors u32[num_used-start] with (size-1)<<24 | offset,
+    flat u32 packed table). Deterministic: survivors are laid out in
+    descending size then codeword order; a prefix binds to the first
+    registered superseding slot."""
+    entries = []
+    for code in range(start, num_used):
+        s = int(sizes[code])
+        entries.append((code, table2d[code, :s].astype("<u4").tobytes(), s))
+    # survivors: entries that are NOT a proper prefix of any other entry.
+    # Entry sizes are powers of two, so the set of all proper power-of-two
+    # prefixes of all entries decides membership in O(n log MAX_ENTRY_SIZE).
+    # (Identical duplicates cannot occur: selection dedupes patterns.)
+    prefix_set: set[bytes] = set()
+    for _, key, s in entries:
+        t = s // 2
+        while t >= 1:
+            prefix_set.add(key[: 4 * t])
+            t //= 2
+    survivors = [e for e in entries if e[1] not in prefix_set]
+    # lay out survivors longest-first so every prefix lookup hits a start
+    survivors.sort(key=lambda e: (-e[2], e[0]))
+    flat = bytearray()
+    offset_of: dict[bytes, int] = {}
+    for _, key, s in survivors:
+        off = len(flat) // 4
+        flat += key
+        # register this slot for the entry itself and all power-of-two
+        # prefixes (entry sizes are powers of two <= 16)
+        t = s
+        while t >= 1:
+            offset_of.setdefault(key[: 4 * t], off)
+            t //= 2
+    descriptors = np.empty(len(entries), dtype=np.uint32)
+    for i, (_, key, s) in enumerate(entries):
+        descriptors[i] = np.uint32(((s - 1) << 24) | offset_of[key])
+    return descriptors, np.frombuffer(bytes(flat), dtype="<u4")
+
+
+def _unpack_entries(descriptors: np.ndarray, flat: np.ndarray, start: int,
+                    table2d: np.ndarray, sizes: np.ndarray) -> None:
+    for i, d in enumerate(np.asarray(descriptors, dtype=np.uint64)):
+        s = int(d >> np.uint64(24)) + 1
+        off = int(d & np.uint64((1 << 24) - 1))
+        code = start + i
+        table2d[code, :s] = flat[off: off + s]
+        sizes[code] = s
 
 
 # --------------------------------------------------------------------------

@@ -40,12 +40,14 @@ from dint_spark.bm25 import BM25
 from dint_spark.dint.codec import encode_list
 from dint_spark.dint.dictionary import DintDictionary, load_dictionary
 from dint_spark.dint.stats import learn_dictionaries
-from dint_spark.postings import DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs
+from dint_spark.postings import (
+    DEFAULT_SEG_CHUNK, DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs)
 from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
 
 SEGMENTS_SCHEMA = T.StructType(
     [
         T.StructField("term_id", T.LongType(), False),
+        T.StructField("seg_id", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),
         T.StructField("block_maxs", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_scores", T.ArrayType(T.FloatType()), False),
@@ -63,6 +65,7 @@ SEGMENTS_SCHEMA = T.StructType(
 class IndexConfig:
     optimal_parse: bool = True
     skew_chunk: int = DEFAULT_SKEW_CHUNK
+    seg_chunk: int = DEFAULT_SEG_CHUNK
     num_buckets: int = 8
     tokenizer_version: str = "nfc-lower-alnum-v1"
     input_tag: str = ""
@@ -98,8 +101,9 @@ def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
         avg = np.float32(avg_len)
         for pdf in batches:
             out_rows = []
-            for term_id, docs, freqs, lens in zip(
-                pdf["term_id"], pdf["doc_ids"], pdf["freqs"], pdf["lens"]
+            for term_id, seg_id, docs, freqs, lens in zip(
+                pdf["term_id"], pdf["seg_id"], pdf["doc_ids"], pdf["freqs"],
+                pdf["lens"]
             ):
                 docs = np.asarray(docs, dtype=np.int64)
                 freqs = np.asarray(freqs, dtype=np.int64)
@@ -116,6 +120,7 @@ def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
                 out_rows.append(
                     (
                         int(term_id),
+                        int(seg_id),
                         len(docs),
                         bmax.tolist(),
                         bms.tolist(),
@@ -141,8 +146,17 @@ def build_index(
     pages: DataFrame,
     out_dir: str,
     config: IndexConfig | None = None,
+    corpus_docs: DataFrame | None = None,
+    vocab_df: DataFrame | None = None,
+    avg_len_override: float | None = None,
 ) -> "Index":
-    """Build (or resume building) the index at out_dir."""
+    """Build (or resume building) the index at out_dir.
+
+    Sharded builds (sharding.build_sharded_index) pass a prepared corpus:
+    `corpus_docs` = (doc_id, tokens) with SHARD-LOCAL dense doc ids,
+    `vocab_df` = the GLOBAL vocabulary (term ids shared across shards), and
+    `avg_len_override` = the GLOBAL average document length, so per-shard
+    BM25 norms match the unsharded build exactly."""
     config = config or IndexConfig()
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -173,19 +187,26 @@ def build_index(
 
     # -- step 1: tokenize + ids + doclens + vocab ---------------------------
     if not done("corpus"):
-        docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
+        if corpus_docs is not None:
+            docs = corpus_docs.select("doc_id", "tokens")
+        else:
+            docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
         docs = docs.persist()
         dl = doclens(docs)
         dl.write.mode("overwrite").parquet(doclens_path)
-        vocab = build_vocab(docs)
+        vocab = vocab_df if vocab_df is not None else build_vocab(docs)
         vocab.write.mode("overwrite").parquet(vocab_path)
         # -- step 2: postings (the shuffle core), term-sorted checkpoint ----
         dl2 = spark.read.parquet(doclens_path)
         vocab2 = spark.read.parquet(vocab_path)
-        tdf = term_doc_freqs(docs, vocab2)
+        # persist tdf: build_postings consumes it on two branches (the
+        # seg-assignment counts and the main assembly), and without the
+        # persist the explode+agg+vocab-join pipeline runs twice
+        tdf = term_doc_freqs(docs, vocab2).persist()
         # persist before the range write: repartitionByRange's sampling job
-        # would otherwise recompute the whole explode+agg+join pipeline
-        postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk).persist()
+        # would otherwise recompute the whole assembly pipeline
+        postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk,
+                                  seg_chunk=config.seg_chunk).persist()
         (
             postings.repartitionByRange(
                 max(spark.sparkContext.defaultParallelism, config.num_buckets),
@@ -196,6 +217,7 @@ def build_index(
             .parquet(postings_path)
         )
         postings.unpersist()
+        tdf.unpersist()
         docs.unpersist()
         mark("corpus", wall_s=time.time() - t0)
 
@@ -204,7 +226,9 @@ def build_index(
         F.count("*").alias("n"), F.sum("len").alias("s"), F.max("doc_id").alias("m")
     ).collect()[0]
     num_docs = agg["n"]
-    avg_len = float(np.float32(agg["s"] / num_docs))
+    avg_len_f64 = (float(avg_len_override) if avg_len_override is not None
+                   else agg["s"] / num_docs)
+    avg_len = float(np.float32(avg_len_f64))
     postings = spark.read.parquet(postings_path)
 
     # -- step 3: learn DINT dictionaries (create_or_load semantics) ---------
@@ -253,7 +277,7 @@ def build_index(
         seg_path = os.path.join(out_dir, "segments", f"bucket={bucket}")
         part = postings.where((F.col("term_id") >= lo) & (F.col("term_id") < hi))
         segs = (
-            part.select("term_id", "doc_ids", "freqs", "lens")
+            part.select("term_id", "seg_id", "doc_ids", "freqs", "lens")
             .repartition(par)
             .mapInPandas(encode_udf, schema=SEGMENTS_SCHEMA)
         )
@@ -302,7 +326,7 @@ def build_index(
             num_docs=int(num_docs),
             num_terms=int(num_terms),
             avg_len=avg_len,
-            avg_len_f64=float(agg["s"] / num_docs),
+            avg_len_f64=float(avg_len_f64),
             total_wall_s=time.time() - t0,
         )
     return load_index(spark, out_dir)
@@ -333,6 +357,13 @@ class Index:
     @property
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "segments"))
+
+    @property
+    def terms_per_bucket(self) -> int:
+        """Term-range width of each bucket=K partition dir (drives
+        bucket-level partition pruning for wide query batches)."""
+        b0 = self.manifest["buckets"]["0"]
+        return max(1, int(b0["term_hi"]) - int(b0["term_lo"]))
 
     @property
     def lens(self) -> np.ndarray:

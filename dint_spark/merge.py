@@ -38,6 +38,7 @@ from dint_spark.index import Index, IndexConfig, build_index
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term_id", T.LongType(), False),
+        T.StructField("seg_id", T.LongType(), False),
         T.StructField("df", T.IntegerType(), False),
         T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
         T.StructField("freqs", T.ArrayType(T.LongType()), False),
@@ -63,50 +64,66 @@ def _merge_arrays(da, fa, la, db, fb, lb):
     return docs, freqs, lens
 
 
-def merge_postings(pa: DataFrame, pb: DataFrame) -> DataFrame:
-    """Merge two postings tables over the SAME term-id space. One shuffle
-    (the full-outer join on term_id); per-row numpy merge of sorted arrays."""
-    a = pa.select(
-        "term_id",
-        F.col("doc_ids").alias("da"),
-        F.col("freqs").alias("fa"),
-        F.col("lens").alias("la"),
+def _with_seg(p: DataFrame, side: int) -> DataFrame:
+    seg = F.col("seg_id") if "seg_id" in p.columns else F.lit(0).cast("long")
+    return p.select(
+        "term_id", F.lit(side).alias("side"), seg.alias("seg_id"),
+        "doc_ids", "freqs", "lens",
     )
-    b = pb.select(
-        "term_id",
-        F.col("doc_ids").alias("db"),
-        F.col("freqs").alias("fb"),
-        F.col("lens").alias("lb"),
+
+
+def merge_postings(pa: DataFrame, pb: DataFrame,
+                   seg_chunk: int | None = None) -> DataFrame:
+    """Merge two postings tables over the SAME term-id space; doc collisions
+    sum tf. Accepts chunked inputs (multiple seg rows per term, disjoint
+    increasing doc ranges) and emits chunked output rows of <= seg_chunk
+    postings. One shuffle (groupBy term); each term's chunks are
+    concatenated per side (already sorted) and two-way merged in numpy.
+    NB: a head term is transiently materialized in one task here — for
+    disjoint doc ranges at 10^12-doc scale use the docid-sharded build,
+    where sub-indexes concatenate without a merge."""
+    from dint_spark.postings import DEFAULT_SEG_CHUNK
+
+    seg_chunk = seg_chunk or DEFAULT_SEG_CHUNK
+    both = _with_seg(pa, 0).unionByName(_with_seg(pb, 1))
+    grouped = both.groupBy("term_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("side", "seg_id", "doc_ids", "freqs", "lens"))
+        ).alias("parts")
     )
-    joined = a.join(b, "term_id", "full_outer")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         empty = np.empty(0, dtype=np.int64)
 
-        def arr(v):
-            return (
-                empty
-                if v is None or (isinstance(v, float) and pd.isna(v))
-                else np.asarray(v, dtype=np.int64)
+        def side_arrays(parts, side):
+            sel = [p for p in parts if p["side"] == side]  # seg_id asc
+            if not sel:
+                return empty, empty, empty
+            return tuple(
+                np.concatenate([np.asarray(p[k], dtype=np.int64) for p in sel])
+                for k in ("doc_ids", "freqs", "lens")
             )
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                docs, freqs, lens = _merge_arrays(
-                    arr(r.da), arr(r.fa), arr(r.la),
-                    arr(r.db), arr(r.fb), arr(r.lb),
-                )
-                rows.append(
-                    (int(r.term_id), len(docs), docs.tolist(),
-                     freqs.tolist(), lens.tolist())
-                )
+                da, fa, la = side_arrays(r.parts, 0)
+                db, fb, lb = side_arrays(r.parts, 1)
+                docs, freqs, lens = _merge_arrays(da, fa, la, db, fb, lb)
+                for si, lo in enumerate(range(0, max(len(docs), 1), seg_chunk)):
+                    hi = min(lo + seg_chunk, len(docs))
+                    rows.append(
+                        (int(r.term_id), si, hi - lo, docs[lo:hi].tolist(),
+                         freqs[lo:hi].tolist(), lens[lo:hi].tolist())
+                    )
             if rows:
                 yield pd.DataFrame(
-                    rows, columns=["term_id", "df", "doc_ids", "freqs", "lens"]
+                    rows,
+                    columns=["term_id", "seg_id", "df", "doc_ids", "freqs",
+                             "lens"],
                 )
 
-    return joined.mapInPandas(run, schema=POSTINGS_SCHEMA)
+    return grouped.mapInPandas(run, schema=POSTINGS_SCHEMA)
 
 
 def _remap_postings(postings: DataFrame, vocab_old: DataFrame,
@@ -121,9 +138,10 @@ def _remap_postings(postings: DataFrame, vocab_old: DataFrame,
         F.broadcast(mapping), postings.term_id == mapping.old_id
     )
     shift = F.transform("doc_ids", lambda d: d + F.lit(doc_offset))
+    seg = F.col("seg_id") if "seg_id" in postings.columns else F.lit(0)
     return p.select(
         F.col("new_id").alias("term_id"),
-        "df",
+        seg.cast("long").alias("seg_id"),
         shift.alias("doc_ids"),
         "freqs",
         "lens",

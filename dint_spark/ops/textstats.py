@@ -271,40 +271,54 @@ WINNOW_SCHEMA = T.StructType(
 )
 
 
-def _winnow_one(norm: str) -> tuple[np.ndarray, np.ndarray]:
-    """Winnowing selection: per window of W consecutive k-gram hashes pick
-    the rightmost minimum; dedupe selections. Positions are 1-based (SQL
-    parity). Returns (pos[], fp[])."""
+# polynomial k-gram hash (the production path): h(i) = sum_j c[i+j] *
+# B^(K-1-j) mod M — fully vectorizable in numpy (one windowed matmul per
+# document, ~10^7 grams/sec/core measured vs ~10^5 for per-position md5)
+# and expressible as exact int64 arithmetic in the SQL oracle. Normalized
+# text is ASCII ([0-9a-z ]), so bytes == codepoints in both engines.
+POLY_B = 257
+POLY_M = 2147483647  # 2^31 - 1; K * 255 * M fits int64 pre-modulo
+POLY_POWS = [pow(POLY_B, WINNOW_K - 1 - j, POLY_M) for j in range(WINNOW_K)]
+
+
+def _gram_hashes(enc: bytes, n: int, hash_fn: str) -> np.ndarray:
+    if hash_fn == "poly":
+        c = np.frombuffer(enc, dtype=np.uint8).astype(np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(c, WINNOW_K)
+        return (win @ np.array(POLY_POWS, dtype=np.int64)) % POLY_M
+    # md5 oracle-parity configuration (round-1 definition; per-position
+    # python loop — kept for cross-checking only, not the hot path)
     import hashlib
 
-    L = len(norm)
-    n = L - WINNOW_K + 1
-    if n <= 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    enc = norm.encode()
-    H = np.fromiter(
+    return np.fromiter(
         (
-            int(hashlib.md5(enc[i : i + WINNOW_K]).hexdigest()[:15], 16)
+            int(hashlib.md5(enc[i: i + WINNOW_K]).hexdigest()[:15], 16)
             for i in range(n)
         ),
         dtype=np.int64,
         count=n,
     )
-    sels: set[tuple[int, int]] = set()
+
+
+def _winnow_one(norm: str, hash_fn: str = "poly"
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing selection: per window of W consecutive k-gram hashes pick
+    the rightmost minimum; dedupe selections. Positions are 1-based (SQL
+    parity). Returns (pos[], fp[])."""
+    L = len(norm)
+    n = L - WINNOW_K + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    enc = norm.encode()
+    H = _gram_hashes(enc, n, hash_fn)
     if n < WINNOW_W:
         i = n - 1 - int(np.argmin(H[::-1]))
-        sels.add((i + 1, int(H[i])))
-    else:
-        sw = np.lib.stride_tricks.sliding_window_view(H, WINNOW_W)
-        right_idx = WINNOW_W - 1 - np.argmin(sw[:, ::-1], axis=1)
-        pos0 = np.arange(n - WINNOW_W + 1) + right_idx
-        for p in np.unique(pos0):
-            sels.add((int(p) + 1, int(H[p])))
-    arr = sorted(sels)
-    return (
-        np.array([p for p, _ in arr], dtype=np.int64),
-        np.array([h for _, h in arr], dtype=np.int64),
-    )
+        return (np.array([i + 1], dtype=np.int64),
+                np.array([H[i]], dtype=np.int64))
+    sw = np.lib.stride_tricks.sliding_window_view(H, WINNOW_W)
+    right_idx = WINNOW_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+    upos = np.unique(np.arange(n - WINNOW_W + 1) + right_idx)
+    return upos + 1, H[upos].astype(np.int64)
 
 
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +355,9 @@ series AS (
     1, (SELECT coalesce(max(length(nt)), 0) FROM norm))) AS i
 ),
 grams AS (
-  SELECT doc_id, s.i, {sql_hash60(f'substr(nt, s.i, {WINNOW_K})')} AS h
+  SELECT doc_id, s.i,
+         ({' + '.join(f'ascii(substr(nt, s.i + {j}, 1)) * {p}::BIGINT'
+                      for j, p in enumerate(POLY_POWS))}) % {POLY_M} AS h
   FROM norm, series s
   WHERE s.i <= length(nt) - {WINNOW_K} + 1
 ),

@@ -25,11 +25,17 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_SKEW_CHUNK = 1 << 18  # max postings per build task for one term
+# Max postings per SEGMENT ROW: a head term's posting list is emitted as
+# ceil(df/SEG_CHUNK) rows of disjoint increasing doc ranges instead of one
+# unbounded row (at 10^12 docs a stopword list is ~10^10 postings — one row
+# would be a multi-GB task). Cursors over chunk rows compose exactly (see
+# queries.build_cursors).
+DEFAULT_SEG_CHUNK = 1 << 20
 
 CHUNK_SCHEMA = T.StructType([
     T.StructField("term_id", T.LongType(), False),
@@ -118,43 +124,58 @@ def build_postings(
     term_doc_tf: DataFrame,
     doclens: DataFrame,
     skew_chunk: int = DEFAULT_SKEW_CHUNK,
+    seg_chunk: int = DEFAULT_SEG_CHUNK,
 ) -> DataFrame:
-    """postings(term_id, df, doc_ids, freqs, lens), doc_ids strictly
-    increasing. lens are the per-posting document lengths (needed by the
-    encoder for block-max BM25 metadata; dropped after encode)."""
+    """postings(term_id, seg_id, df, doc_ids, freqs, lens), doc_ids strictly
+    increasing within a row; a term's rows (ordered by seg_id) cover
+    disjoint increasing doc ranges of <= ~seg_chunk postings each, so no
+    task, row, or aggregation group ever holds more than ~seg_chunk
+    postings — head terms are merged by the QUERY side's multi-row cursor
+    composition, not by an unbounded groupBy. `df` is the row's own
+    posting count (per-term df = sum over the term's rows).
+
+    lens are the per-posting document lengths (needed by the encoder for
+    block-max BM25 metadata; dropped after encode)."""
     with_len = term_doc_tf.join(doclens, "doc_id")
 
     salted = with_len.withColumn(
         "salt", (F.col("doc_id") / F.lit(skew_chunk)).cast("long")
     )
 
-    # sort-merge shuffle + streaming assembly: rows shuffle by (term, salt)
+    # seg assignment: per (term, salt) counts are a tiny map-side-combined
+    # aggregation; a running sum over salt order maps each salt chunk to
+    # seg_id = floor(preceding_postings / seg_chunk). Consecutive salts
+    # merge into one seg until the bound is reached, so sparse terms get a
+    # single row while head terms split every ~seg_chunk postings (a row is
+    # bounded by seg_chunk + skew_chunk). The per-term window holds only
+    # (salt, cnt) pairs: <= universe/skew_chunk tiny rows even for
+    # stopwords at 10^12 docs.
+    counts = salted.groupBy("term_id", "salt").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("term_id").orderBy("salt")
+    segmap = (
+        counts.withColumn("prev", F.sum("cnt").over(w) - F.col("cnt"))
+        .withColumn("seg_id", (F.col("prev") / F.lit(seg_chunk)).cast("long"))
+        .select("term_id", "salt", "seg_id")
+    )
+
+    # sort-merge shuffle + streaming assembly: rows shuffle by (term, seg)
     # hash, sort within partitions, and one vectorized mapInPandas pass
     # folds contiguous runs into array rows. Unlike collect_list, task
-    # memory is bounded by an Arrow batch + one chunk (<= skew_chunk rows),
-    # which is what survives a 100 TB corpus; Spark's external sort spills,
-    # an aggregation map does not.
+    # memory is bounded by an Arrow batch + one seg row, which is what
+    # survives a 100 TB corpus; Spark's external sort spills, an
+    # aggregation map does not. (Salt ranges increase with doc_id, so
+    # sorting by (term, seg, doc) keeps each seg's docs contiguous+sorted.)
     chunks = (
-        salted.select("term_id", "salt", "doc_id", "tf", "len")
+        salted.join(segmap, ["term_id", "salt"])
+        .select("term_id", F.col("seg_id").alias("salt"), "doc_id", "tf", "len")
         .repartition("term_id", "salt")
         .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInPandas(_assemble_chunks, schema=CHUNK_SCHEMA)
     )
 
-    merged = (
-        chunks.groupBy("term_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("salt", "doc_ids", "freqs", "lens"))
-            ).alias("parts")
-        )
-        .select(
-            "term_id",
-            F.flatten(F.col("parts.doc_ids")).alias("doc_ids"),
-            F.flatten(F.col("parts.freqs")).alias("freqs"),
-            F.flatten(F.col("parts.lens")).alias("lens"),
-        )
-        .withColumn("df", F.size("doc_ids"))
-        .select("term_id", "df", "doc_ids", "freqs", "lens")
+    return chunks.select(
+        "term_id",
+        F.col("salt").alias("seg_id"),
+        F.size("doc_ids").alias("df"),
+        "doc_ids", "freqs", "lens",
     )
-    return merged

@@ -158,6 +158,56 @@ class Cursor:
         return int(self.block_maxs[b])
 
 
+class ArrayCursor:
+    """Cursor API over fully-decoded arrays. Used to merge a head term's
+    chunk rows (disjoint increasing doc ranges, see postings.build_postings)
+    into ONE logical list for intersection kernels (ranked_and/boolean_and),
+    which require exactly one cursor per term. Union-style kernels instead
+    consume the chunk cursors directly — a doc matches at most one chunk, so
+    scores and accumulation order are identical to a single merged list."""
+
+    __slots__ = ("docs", "frs", "n", "pos", "universe", "cur_docid",
+                 "q_weight", "max_weight", "term_id", "bound_scale")
+
+    def __init__(self, docs: np.ndarray, freqs: np.ndarray, universe: int,
+                 term_id: int):
+        self.docs = docs
+        self.frs = freqs
+        self.n = len(docs)
+        self.universe = int(universe)
+        self.term_id = term_id
+        self.pos = 0
+        self.cur_docid = int(docs[0]) if self.n else self.universe
+
+    def docid(self) -> int:
+        return self.cur_docid
+
+    def next(self) -> None:
+        self.pos += 1
+        self.cur_docid = (int(self.docs[self.pos]) if self.pos < self.n
+                          else self.universe)
+
+    def next_geq(self, lb: int) -> None:
+        if self.cur_docid >= lb:
+            return
+        self.pos += int(np.searchsorted(self.docs[self.pos:], lb, side="left"))
+        self.cur_docid = (int(self.docs[self.pos]) if self.pos < self.n
+                          else self.universe)
+
+    def move(self, pos: int) -> None:
+        if pos >= self.n:
+            self.cur_docid = self.universe
+            return
+        self.pos = pos
+        self.cur_docid = int(self.docs[pos])
+
+    def freq(self) -> int:
+        return int(self.frs[self.pos])
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.docs, self.frs
+
+
 # Worker-process-level LRU of fully-decoded posting lists. Zipfian query
 # logs hit the same head terms constantly; decoding each list once per
 # *worker* instead of once per *query* is the single biggest q/s lever.
@@ -687,21 +737,51 @@ TOPK_SCHEMA = T.StructType(
 
 
 def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
-                  DT=np.float32) -> list[Cursor]:
-    """group rows: one per distinct query term joined with its segment."""
-    group = group.sort_values("term_id")
-    cursors = []
-    for row in group.itertuples():
-        c = Cursor(
-            row.n, row.block_maxs, row.endpoints, row.freq_offsets,
-            row.payload, num_docs, docs_dict, freqs_dict,
-            block_max_scores=row.block_max_scores, term_id=row.term_id,
-        )
-        c.q_weight = _qtw(int(row.qf), int(row.n), num_docs, DT)
-        if DT is np.float64:
-            c.bound_scale = np.float64(1.0 + 1e-5)
-        c.max_weight = DT(c.q_weight * DT(row.max_weight) * DT(c.bound_scale))
-        cursors.append(c)
+                  DT=np.float32, merge_chunks: bool = False,
+                  df_overrides: dict | None = None,
+                  idf_docs: int | None = None) -> list:
+    """group rows: one per (distinct query term x segment chunk row). A
+    term's chunk rows (seg_id asc) are disjoint increasing doc ranges; the
+    term's df for the query weight is the SUM of its rows' n. Union-style
+    kernels receive one cursor per chunk row (exact by disjointness);
+    intersection kernels (merge_chunks=True) receive one merged ArrayCursor
+    per multi-row term.
+
+    Sharded serving (sharding.run_queries_sharded) passes GLOBAL statistics:
+    df_overrides maps term_id -> corpus-wide df and idf_docs is the global
+    N, so every shard computes the same query weights as the unsharded
+    index would."""
+    cols = ["term_id", "seg_id"] if "seg_id" in group.columns else ["term_id"]
+    group = group.sort_values(cols)
+    N = int(idf_docs) if idf_docs is not None else num_docs
+    cursors: list = []
+    for term_id, rows in group.groupby("term_id", sort=True):
+        df_total = (int(df_overrides[int(term_id)]) if df_overrides
+                    else int(rows["n"].sum()))
+        qw = _qtw(int(rows["qf"].iloc[0]), df_total, N, DT)
+        scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+        term_cursors = []
+        for row in rows.itertuples():
+            c = Cursor(
+                row.n, row.block_maxs, row.endpoints, row.freq_offsets,
+                row.payload, num_docs, docs_dict, freqs_dict,
+                block_max_scores=row.block_max_scores, term_id=int(term_id),
+            )
+            c.q_weight = qw
+            c.bound_scale = scale
+            c.max_weight = DT(qw * DT(row.max_weight) * DT(scale))
+            term_cursors.append(c)
+        if merge_chunks and len(term_cursors) > 1:
+            parts = [c.decode_all() for c in term_cursors]
+            a = ArrayCursor(np.concatenate([p[0] for p in parts]),
+                            np.concatenate([p[1] for p in parts]),
+                            num_docs, int(term_id))
+            a.q_weight = qw
+            a.bound_scale = scale
+            a.max_weight = max(c.max_weight for c in term_cursors)
+            cursors.append(a)
+        else:
+            cursors.extend(term_cursors)
     return cursors
 
 
@@ -712,6 +792,8 @@ def run_queries(
     algo: str = "block_max_wand",
     k: int = 10,
     dtype: str = "float32",
+    df_overrides: dict | None = None,
+    idf_docs: int | None = None,
 ) -> DataFrame:
     """Distributed batch retrieval. queries: DataFrame(query_id, terms
     array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
@@ -751,12 +833,18 @@ def run_queries(
     joined = joined.repartition(
         spark.sparkContext.defaultParallelism * 8, "query_id")
 
+    merge_chunks = algo in ("ranked_and",)
+    dfo_bc = (spark.sparkContext.broadcast(df_overrides)
+              if df_overrides is not None else None)
+
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
         qid = int(pdf["query_id"].iloc[0])
         cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
-                                num_docs, DT)
+                                num_docs, DT, merge_chunks=merge_chunks,
+                                df_overrides=dfo_bc.value if dfo_bc else None,
+                                idf_docs=idf_docs)
         topk = kernel(cursors, norm_bc.value, num_docs, k, DT)
         return pd.DataFrame(
             {
@@ -806,14 +894,15 @@ def run_queries_broadcast(
             "use run_queries (shuffle path) or shard the index")
     rows = (
         pruned
-        .select("term_id", "n", "block_maxs", "block_max_scores",
+        .select("term_id", "seg_id", "n", "block_maxs", "block_max_scores",
                 "endpoints", "freq_offsets", "payload", "max_weight")
         .collect()
     )
-    seg_map = {}
+    seg_map: dict[int, list] = {}
     for r in rows:
         payload = bytes(r["payload"])
-        seg_map[int(r["term_id"])] = (
+        seg_map.setdefault(int(r["term_id"]), []).append((
+            int(r["seg_id"]),
             int(r["n"]),
             np.asarray(r["block_maxs"], dtype=np.int64),
             np.asarray(r["block_max_scores"], dtype=np.float32),
@@ -821,7 +910,9 @@ def run_queries_broadcast(
             np.asarray(r["freq_offsets"], dtype=np.int64),
             payload,
             float(r["max_weight"]),
-        )
+        ))
+    for parts in seg_map.values():
+        parts.sort(key=lambda p: p[0])
     DT = np.float32 if dtype == "float32" else np.float64
     num_docs = index.num_docs
     seg_bc = spark.sparkContext.broadcast(seg_map)
@@ -845,6 +936,7 @@ def run_queries_broadcast(
         fd = freqs_dict_bc.value
         norm = norm_bc.value
         scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+        merge_chunks = algo in ("ranked_and",)
         for pdf in batches:
             outs = []
             for qid, terms in zip(pdf["query_id"], pdf["terms"]):
@@ -852,16 +944,30 @@ def run_queries_broadcast(
 
                 cursors = []
                 for tid, qf in sorted(Counter(int(t) for t in terms).items()):
-                    seg = segs.get(tid)
-                    if seg is None:
+                    parts = segs.get(tid)
+                    if parts is None:
                         continue
-                    n, bmax, bms, endp, foff, payload, mw = seg
-                    c = Cursor(n, bmax, endp, foff, payload, num_docs, dd,
-                               fd, block_max_scores=bms, term_id=tid)
-                    c.q_weight = _qtw(qf, n, num_docs, DT)
-                    c.bound_scale = scale
-                    c.max_weight = DT(c.q_weight * DT(mw) * c.bound_scale)
-                    cursors.append(c)
+                    df_total = sum(p[1] for p in parts)
+                    qw = _qtw(qf, df_total, num_docs, DT)
+                    term_cursors = []
+                    for _, n, bmax, bms, endp, foff, payload, mw in parts:
+                        c = Cursor(n, bmax, endp, foff, payload, num_docs,
+                                   dd, fd, block_max_scores=bms, term_id=tid)
+                        c.q_weight = qw
+                        c.bound_scale = scale
+                        c.max_weight = DT(qw * DT(mw) * c.bound_scale)
+                        term_cursors.append(c)
+                    if merge_chunks and len(term_cursors) > 1:
+                        dec = [c.decode_all() for c in term_cursors]
+                        a = ArrayCursor(
+                            np.concatenate([d[0] for d in dec]),
+                            np.concatenate([d[1] for d in dec]),
+                            num_docs, tid)
+                        a.q_weight = qw
+                        a.bound_scale = scale
+                        a.max_weight = max(c.max_weight for c in term_cursors)
+                        term_cursors = [a]
+                    cursors.extend(term_cursors)
                 topk = kernel(cursors, norm, num_docs, k, DT) if cursors else []
                 for rank, (doc, score) in enumerate(topk, 1):
                     outs.append((int(qid), rank, doc, score))
@@ -881,15 +987,23 @@ def _pruned_segments(index, qterms: DataFrame,
     explicit IN-filter prunes to the touched row groups (the Spark analogue
     of the reference's Elias-Fano endpoint random access,
     dict_freq_index.hpp:174-181). The distinct-term collect is tiny (bounded
-    by the query batch's vocabulary)."""
+    by the query batch's vocabulary). Batches touching >100k distinct terms
+    get bucket-level PARTITION pruning instead (segments are laid out as
+    bucket=K term-range dirs): the filter expression stays small and only
+    the touched term-range partitions are listed/scanned — no full-index
+    fallback."""
     terms = (
         local_terms
         if local_terms is not None
         else [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
     )
-    if not terms or len(terms) > 100_000:
+    if not terms:
         return index.segments
-    return index.segments.where(F.col("term_id").isin(terms))
+    if len(terms) <= 100_000:
+        return index.segments.where(F.col("term_id").isin(terms))
+    tpb = index.terms_per_bucket
+    buckets = sorted({int(t) // tpb for t in terms})
+    return index.segments.where(F.col("bucket").isin(buckets))
 
 
 BOOL_SCHEMA = T.StructType(
@@ -932,7 +1046,7 @@ def run_boolean_queries(
             return pd.DataFrame(columns=["query_id", "doc_id"])
         qid = int(pdf["query_id"].iloc[0])
         cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
-                                num_docs)
+                                num_docs, merge_chunks=(mode == "and"))
         docs = fn(cursors, num_docs)
         return pd.DataFrame({"query_id": qid, "doc_id": docs})
 

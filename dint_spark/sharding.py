@@ -1,0 +1,184 @@
+"""Docid-sharded index: the 10^12-document scale path (README "Scale
+design", implemented round 2).
+
+The DINT codec is u32-domain (reference parity: uint32 docIDs throughout,
+include/ds2i/binary_collection.hpp:15). Beyond 2^32 documents — and long
+before that, beyond what one norm_lens broadcast or one term's merged
+posting rows should hold — the corpus is split into document shards:
+
+  * global pass: tokenize + dense GLOBAL doc ids (url rank) + global
+    doclens/vocab/avg_len. One job; artifacts land in out_dir.
+  * shard s covers global ids [base_s, base_s + count_s); its index stores
+    dense SHARD-LOCAL ids (global - base_s, u32-safe) and is built by the
+    standard resumable pipeline with the GLOBAL vocabulary (shared term
+    ids) and GLOBAL avg_len (identical BM25 norms).
+  * query: document-partitioned serving — every query fans out to all
+    shards; each shard's kernel runs with GLOBAL (N, df) statistics, so
+    per-doc float32 scores are bit-identical to the unsharded build; local
+    ids shift back by base_s and the per-shard exact top-k merge into the
+    global exact top-k by (score desc, doc_id asc). Tested equal to the
+    single-shard build in tests/test_sharding.py.
+
+Per-shard norm_lens broadcasts are shard-sized (num_docs_s), which removes
+the round-1 ceiling of one dense num_docs array on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dint_spark.index import Index, IndexConfig, build_index, load_index
+from dint_spark.queries import run_queries
+from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
+
+SHARD_MANIFEST = "shards.json"
+
+
+def build_sharded_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    config: IndexConfig | None = None,
+) -> "ShardedIndex":
+    """Build (or resume) a num_shards-way docid-sharded index at out_dir."""
+    config = config or IndexConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, SHARD_MANIFEST)
+    vocab_path = os.path.join(out_dir, "vocab.parquet")
+    dl_path = os.path.join(out_dir, "doclens.parquet")
+
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+    else:
+        # ---- global corpus pass (one job family, checkpointed) -----------
+        docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
+        docs = docs.persist()
+        doclens(docs).write.mode("overwrite").parquet(dl_path)
+        build_vocab(docs).write.mode("overwrite").parquet(vocab_path)
+        docs.unpersist()
+        dl = spark.read.parquet(dl_path)
+        agg = dl.agg(F.count("*").alias("n"), F.sum("len").alias("s")).collect()[0]
+        num_docs = int(agg["n"])
+        avg_len = agg["s"] / num_docs
+        per = -(-num_docs // num_shards)  # ceil
+        bases = [min(s * per, num_docs) for s in range(num_shards)] + [num_docs]
+        man = {
+            "num_shards": num_shards,
+            "num_docs": num_docs,
+            "avg_len": avg_len,
+            "bases": bases,
+        }
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, man_path)
+
+    # ---- per-shard resumable builds (shard-local dense u32 ids) ----------
+    vocab = spark.read.parquet(vocab_path)
+    # re-derive tokens once for all shard builds; each shard filters its
+    # global-id range and localizes ids by subtracting the base
+    docs_all = None
+    bases = man["bases"]
+    for s in range(man["num_shards"]):
+        sdir = os.path.join(out_dir, f"shard={s}")
+        if os.path.exists(os.path.join(sdir, "manifest.json")):
+            try:
+                idx = load_index(spark, sdir)
+                if "meta" in idx.manifest["steps"]:
+                    continue
+            except Exception:
+                pass
+        if docs_all is None:
+            docs_all = (
+                assign_doc_ids(tokenize(pages))
+                .select("doc_id", "tokens")
+                .persist()
+            )
+        lo, hi = bases[s], bases[s + 1]
+        sdocs = docs_all.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select((F.col("doc_id") - lo).alias("doc_id"), "tokens")
+        build_index(
+            spark, None, sdir, config,
+            corpus_docs=sdocs, vocab_df=vocab,
+            avg_len_override=man["avg_len"],
+        )
+    if docs_all is not None:
+        docs_all.unpersist()
+    return ShardedIndex(spark, out_dir)
+
+
+class ShardedIndex:
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.dir = out_dir
+        with open(os.path.join(out_dir, SHARD_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.num_docs = int(self.manifest["num_docs"])
+        self.avg_len = float(self.manifest["avg_len"])
+        self.bases = [int(b) for b in self.manifest["bases"]]
+        self.shards: list[Index] = [
+            load_index(spark, os.path.join(out_dir, f"shard={s}"))
+            for s in range(int(self.manifest["num_shards"]))
+        ]
+        self._df_cache: dict[int, int] = {}
+
+    def vocab(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "vocab.parquet"))
+
+    def term_df(self, term_ids: list[int]) -> dict[int, int]:
+        """GLOBAL df for the batch's terms (one pruned vocab scan)."""
+        missing = [t for t in term_ids if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.vocab()
+                .where(F.col("term_id").isin([int(t) for t in missing]))
+                .select("term_id", "df")
+                .collect()
+            )
+            for r in rows:
+                self._df_cache[int(r["term_id"])] = int(r["df"])
+        return {t: self._df_cache[t] for t in term_ids if t in self._df_cache}
+
+
+def run_queries_sharded(
+    spark: SparkSession,
+    sidx: ShardedIndex,
+    queries: list,
+    algo: str = "block_max_wand",
+    k: int = 10,
+    dtype: str = "float32",
+) -> DataFrame:
+    """Document-partitioned fan-out: per-shard exact top-k with GLOBAL
+    (N, df) statistics, shifted to global doc ids and merged to the global
+    exact top-k. Returns (query_id, rank, doc_id, score) like run_queries."""
+    terms = sorted({int(t) for ts in queries for t in ts})
+    dfo = sidx.term_df(terms)
+    parts = []
+    for s, idx in enumerate(sidx.shards):
+        base = sidx.bases[s]
+        r = run_queries(
+            spark, idx, queries, algo=algo, k=k, dtype=dtype,
+            df_overrides=dfo, idf_docs=sidx.num_docs,
+        )
+        parts.append(
+            r.select(
+                "query_id", (F.col("doc_id") + base).alias("doc_id"), "score"
+            )
+        )
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        allr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "score")
+    )

@@ -161,3 +161,32 @@ def test_u32_domain_guard():
     docs = np.array([0xFFFFFFFF - 1, 0xFFFFFFFF], dtype=np.int64)
     freqs = np.array([2**32, 1], dtype=np.int64)
     encode_list(docs, freqs, empty, empty)
+
+
+def test_dictionary_pack_policy_roundtrip():
+    """B8 pack_policy (ref dictionary_building_utils.hpp:241-293): the
+    serialized artifact dedupes prefix storage; the deserialized dictionary
+    is exactly equal, and prefix entries share the longer entry's slot."""
+    import numpy as np
+    from dint_spark.dint.dictionary import DintDictionary, _pack_entries
+
+    pats = [
+        bytes(np.arange(16, dtype="<u4")),        # size 16
+        bytes(np.arange(8, dtype="<u4")),         # prefix of the above
+        bytes(np.arange(4, dtype="<u4")),         # prefix of both
+        bytes(np.array([9, 9], dtype="<u4")),     # independent
+        bytes(np.array([7], dtype="<u4")),        # independent singleton
+        bytes(np.arange(2, dtype="<u4")),         # prefix again
+    ]
+    d = DintDictionary.build(pats)
+    blob = d.to_bytes()
+    d2 = DintDictionary.from_bytes(blob)
+    assert d2.num_used == d.num_used
+    assert np.array_equal(d2.table2d[: d.num_used], d.table2d[: d.num_used])
+    assert np.array_equal(d2.sizes[: d.num_used], d.sizes[: d.num_used])
+    assert d2.content_hash() == d.content_hash()
+    # storage: only the 16-entry, [9,9] and [7] survive -> 19 u32 vs 33 dense
+    from dint_spark.dint.codec import RESERVED
+    desc, flat = _pack_entries(d.table2d, d.sizes, RESERVED, d.num_used)
+    assert len(flat) == 16 + 2 + 1
+    assert len(desc) == len(pats)

@@ -1,0 +1,86 @@
+"""Docid sharding (round-2): a two-shard index over a split corpus must
+return top-k (doc_id AND score) identical to the single-shard build —
+per-shard kernels run with global (N, df, avg_len), so per-doc float32
+scores are bit-equal and the shard merge reproduces TopK's tie-breaks."""
+
+import shutil
+
+import pytest
+
+from dint_spark.corpus import generate_pages
+from dint_spark.index import IndexConfig, build_index
+from dint_spark.queries import decoded_postings, run_queries
+from dint_spark.sharding import ShardedIndex, build_sharded_index, run_queries_sharded
+
+N_DOCS = 360
+
+
+@pytest.fixture(scope="module")
+def pair(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sharded")
+    pages = generate_pages(spark, N_DOCS, seed=11)
+    d1 = str(base / "single")
+    d2 = str(base / "sharded")
+    shutil.rmtree(d1, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
+    idx = build_index(spark, pages, d1,
+                      IndexConfig(num_buckets=2, input_tag="single"))
+    sidx = build_sharded_index(
+        spark, pages, d2, num_shards=2,
+        config=IndexConfig(num_buckets=2, input_tag="shard"))
+    tid = idx.vocab().toPandas().sort_values("term_id")["term_id"].tolist()
+    queries = [[tid[0]], [tid[0], tid[5]], [tid[1], tid[2], tid[3]],
+               [tid[2], tid[2], tid[7]], [tid[0], tid[40], tid[200]]]
+    return idx, sidx, queries
+
+
+def _pdf(df, keys):
+    return df.toPandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_shard_layout(pair):
+    _, sidx, _ = pair
+    assert len(sidx.shards) == 2
+    assert sidx.bases[0] == 0 and sidx.bases[-1] == N_DOCS
+    # shard-local ids are dense from 0 (u32-safe per shard)
+    for s in sidx.shards:
+        assert s.num_docs < N_DOCS
+
+
+def test_sharded_postings_cover_corpus(pair):
+    idx, sidx, _ = pair
+    single = _pdf(decoded_postings(idx), ["term_id", "doc_id"])
+    import pandas as pd
+
+    parts = []
+    for s, shard in enumerate(sidx.shards):
+        p = decoded_postings(shard).toPandas()
+        p["doc_id"] += sidx.bases[s]
+        parts.append(p)
+    merged = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert single.equals(merged)
+
+
+@pytest.mark.parametrize("algo", ["ranked_or", "block_max_wand_vec",
+                                  "maxscore"])
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_sharded_topk_identical(pair, algo, dtype):
+    idx, sidx, queries = pair
+    spark = idx.spark
+    k = ["query_id", "rank"]
+    r1 = _pdf(run_queries(spark, idx, queries, algo=algo, k=10, dtype=dtype), k)
+    r2 = _pdf(run_queries_sharded(spark, sidx, queries, algo=algo, k=10,
+                                  dtype=dtype), k)
+    assert r1.equals(r2)
+
+
+def test_sharded_resume(pair, spark):
+    _, sidx, _ = pair
+    # reload from disk: manifest round-trips and shard handles rebuild
+    re = ShardedIndex(spark, sidx.dir)
+    assert re.num_docs == sidx.num_docs
+    assert re.bases == sidx.bases
