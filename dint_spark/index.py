@@ -203,23 +203,29 @@ def build_index(
         # seg-assignment counts and the main assembly), and without the
         # persist the explode+agg+vocab-join pipeline runs twice
         tdf = term_doc_freqs(docs, vocab2).persist()
-        # persist before the range write: repartitionByRange's sampling job
-        # would otherwise recompute the whole assembly pipeline
         postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk,
-                                  seg_chunk=config.seg_chunk).persist()
+                                  seg_chunk=config.seg_chunk)
+        # DETERMINISTIC term-range layout: term ids are dense 0..V-1, so the
+        # bucket boundaries are known without RangePartitioner's sampling
+        # pass (which re-materialized the whole persisted postings table in
+        # round 1). pbucket doubles as a parquet partition dir, giving the
+        # per-bucket encode jobs partition pruning on their term range. More
+        # write partitions than buckets keeps all cores writing.
+        nt = vocab2.count()
+        tpb = max(1, -(-nt // config.num_buckets))
+        par = max(spark.sparkContext.defaultParallelism, config.num_buckets)
         (
-            postings.repartitionByRange(
-                max(spark.sparkContext.defaultParallelism, config.num_buckets),
-                "term_id",
-            )
-            .sortWithinPartitions("term_id")
+            postings.withColumn(
+                "pbucket", (F.col("term_id") / F.lit(tpb)).cast("int"))
+            .repartition(par, "pbucket", F.col("term_id") % F.lit(par))
+            .sortWithinPartitions("term_id", "seg_id")
             .write.mode("overwrite")
+            .partitionBy("pbucket")
             .parquet(postings_path)
         )
-        postings.unpersist()
         tdf.unpersist()
         docs.unpersist()
-        mark("corpus", wall_s=time.time() - t0)
+        mark("corpus", wall_s=time.time() - t0, num_terms=int(nt))
 
     dl = spark.read.parquet(doclens_path)
     agg = dl.agg(
@@ -276,6 +282,10 @@ def build_index(
         hi = lo + terms_per_bucket
         seg_path = os.path.join(out_dir, "segments", f"bucket={bucket}")
         part = postings.where((F.col("term_id") >= lo) & (F.col("term_id") < hi))
+        if "pbucket" in postings.columns:
+            # postings are laid out as pbucket=K dirs on the same term
+            # ranges: partition pruning, not just row-group pruning
+            part = part.where(F.col("pbucket") == bucket)
         segs = (
             part.select("term_id", "seg_id", "doc_ids", "freqs", "lens")
             .repartition(par)
