@@ -186,8 +186,12 @@ class DintDictionary:
     # (the reference resolves this with std::search over the packed table).
     # It cannot change bpi (the encoded stream references codewords, not
     # offsets); it shrinks the serialized dictionary artifact.
-    def to_bytes(self) -> bytes:
-        descriptors, flat = _pack_entries(
+    def to_bytes(self, policy: str = "pack") -> bytes:
+        """policy='pack' (B8 dedupe + prefix sharing) or 'overlap' (B9
+        substring drop + greedy superstring packing). Both are loss-free:
+        from_bytes reconstructs the identical dictionary."""
+        pack = _pack_entries_overlap if policy == "overlap" else _pack_entries
+        descriptors, flat = pack(
             self.table2d, self.sizes, RESERVED, self.num_used)
         buf = io.BytesIO()
         np.savez_compressed(
@@ -275,6 +279,152 @@ def _pack_entries(table2d: np.ndarray, sizes: np.ndarray, start: int,
     return descriptors, np.frombuffer(bytes(flat), dtype="<u4")
 
 
+def _ref_overlap(a: bytes, b: bytes) -> int:
+    """The reference's compute_overlap (dictionary_building_utils.hpp:63-73):
+    the largest L such that for EVERY k <= L the last k u32 of A equal the
+    first k u32 of B (the loop stops at the first failing k — a chained
+    overlap, not the standard longest suffix-prefix match)."""
+    m = min(len(a), len(b)) // 4
+    for k in range(1, m + 1):
+        if a[-4 * k:] != b[: 4 * k]:
+            return k - 1
+    return m
+
+
+def _pack_entries_overlap(table2d: np.ndarray, sizes: np.ndarray, start: int,
+                          num_used: int, cand_cap: int = 64
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """B9 overlap_policy compaction (ref dictionary_building_utils.hpp:
+    92-239): storage-only, like pack_policy — every entry keeps its
+    codeword; the flat table is shrunk further by (1) dropping entries
+    contained as a SUBSTRING of a longer entry (any offset, not just
+    prefixes) and (2) greedily merging remaining entries by chained
+    suffix-prefix overlap into superstrings (largest overlap first,
+    deterministic tie-breaks).
+
+    Deviation from the reference, documented: the reference scans all
+    O(n^2) pairs; with 65k zero-heavy gap patterns that is infeasible in
+    Python, so overlap candidates are discovered via 2-symbol
+    suffix->prefix hash maps with a deterministic per-bucket cap
+    (cand_cap). The packing stays exact (descriptors always point at the
+    entry's bytes inside the table); the cap only bounds how much extra
+    space sharing is found."""
+    entries = []
+    for code in range(start, num_used):
+        s = int(sizes[code])
+        entries.append((table2d[code, :s].astype("<u4").tobytes(), s))
+    # reference order: (size asc, bytes asc) after dedupe (target_t op<)
+    uniq = sorted(set(entries), key=lambda e: (e[1], e[0]))
+
+    # ---- (1) substring containment drop (longest-first sweep) ------------
+    sub_set: set[bytes] = set()
+    survivors: list[bytes] = []
+    for key, s in sorted(uniq, key=lambda e: (-e[1], e[0])):
+        if key in sub_set:
+            continue  # contained in some strictly longer survivor
+        survivors.append(key)
+        nb = len(key)
+        for lo in range(0, nb, 4):
+            for hi in range(lo + 4, nb + 4, 4):
+                if (lo, hi) != (0, nb):
+                    sub_set.add(key[lo:hi])
+
+    # ---- (2) greedy chained suffix-prefix overlap merging ----------------
+    # overlap >= 2 requires suffix2(A) == prefix2(B) (chained definition),
+    # so 8-byte prefix/suffix hash maps discover all candidate pairs
+    import heapq
+
+    strings: list[bytes | None] = sorted(survivors)  # deterministic ids
+    by_prefix2: dict[bytes, list[int]] = {}
+    by_suffix2: dict[bytes, list[int]] = {}
+
+    def register(i: int) -> None:
+        sv = strings[i]
+        if len(sv) >= 8:
+            by_prefix2.setdefault(sv[:8], []).append(i)
+            by_suffix2.setdefault(sv[-8:], []).append(i)
+
+    for i in range(len(strings)):
+        register(i)
+
+    pq: list[tuple[int, int, int]] = []
+
+    def push_pairs(i: int) -> None:
+        a = strings[i]
+        if a is None or len(a) < 8:
+            return
+        for j in by_prefix2.get(a[-8:], [])[:cand_cap]:  # a -> j
+            b = strings[j]
+            if j != i and b is not None:
+                ov = _ref_overlap(a, b)
+                if ov > 1:
+                    heapq.heappush(pq, (-ov, i, j))
+        for j in by_suffix2.get(a[:8], [])[:cand_cap]:  # j -> a
+            b = strings[j]
+            if j != i and b is not None:
+                ov = _ref_overlap(b, a)
+                if ov > 1:
+                    heapq.heappush(pq, (-ov, j, i))
+
+    for i in range(len(strings)):
+        a = strings[i]
+        if len(a) < 8:
+            continue
+        for j in by_prefix2.get(a[-8:], [])[:cand_cap]:
+            if j != i:
+                ov = _ref_overlap(a, strings[j])
+                if ov > 1:
+                    pq.append((-ov, i, j))
+    heapq.heapify(pq)
+
+    while pq:
+        negov, i, j = heapq.heappop(pq)
+        a, b = strings[i], strings[j]
+        if a is None or b is None or i == j:
+            continue
+        if _ref_overlap(a, b) != -negov:
+            continue  # stale entry
+        merged = a + b[4 * (-negov):]
+        strings[i] = None
+        strings[j] = None
+        strings.append(merged)
+        ni = len(strings) - 1
+        register(ni)
+        push_pairs(ni)
+
+    supers = [s for s in strings if s is not None]
+
+    # ---- (3) single-symbol overlap merge (ref :146-171) ------------------
+    merged_flag = [False] * len(supers)
+    for i in range(len(supers)):
+        if merged_flag[i]:
+            continue
+        last = supers[i][-4:]
+        for j in range(len(supers)):
+            if i != j and not merged_flag[j] and supers[j][:4] == last:
+                supers[i] = supers[i] + supers[j][4:]
+                merged_flag[j] = True
+                break
+    supers = [s for i, s in enumerate(supers) if not merged_flag[i]]
+
+    # ---- (4) flat table + descriptor lookup ------------------------------
+    flat = bytearray()
+    pos_of: dict[bytes, int] = {}
+    for sstr in supers:
+        base = len(flat) // 4
+        flat += sstr
+        L = len(sstr) // 4
+        for t in (1, 2, 4, 8, 16):  # entry sizes are powers of two
+            if t > L:
+                break
+            for off in range(0, L - t + 1):
+                pos_of.setdefault(sstr[4 * off: 4 * (off + t)], base + off)
+    descriptors = np.empty(len(entries), dtype=np.uint32)
+    for i, (key, s) in enumerate(entries):
+        descriptors[i] = np.uint32(((s - 1) << 24) | pos_of[key])
+    return descriptors, np.frombuffer(bytes(flat), dtype="<u4")
+
+
 def _unpack_entries(descriptors: np.ndarray, flat: np.ndarray, start: int,
                     table2d: np.ndarray, sizes: np.ndarray) -> None:
     for i, d in enumerate(np.asarray(descriptors, dtype=np.uint64)):
@@ -348,16 +498,18 @@ class MultiDictionary:
         d = self.dicts[data[pos]]
         return decode_block_dint(data, pos + 1, n, d.table2d, d.sizes)
 
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, policy: str = "pack") -> bytes:
         buf = io.BytesIO()
+        pack = _pack_entries_overlap if policy == "overlap" else _pack_entries
         arrays = {
             "kind": np.array([1], dtype=np.int64),
             "num_dicts": np.array([len(self.dicts)], dtype=np.int64),
             "class_map": np.array(self.class_map, dtype=np.int64),
         }
         for i, d in enumerate(self.dicts):
-            arrays[f"sizes_{i}"] = d.sizes[: d.num_used].astype(np.int64)
-            arrays[f"table_{i}"] = d.table2d[: d.num_used].astype(np.uint32)
+            desc, flat = pack(d.table2d, d.sizes, RESERVED, d.num_used)
+            arrays[f"descriptors_{i}"] = desc
+            arrays[f"flat_{i}"] = flat
             arrays[f"num_used_{i}"] = np.array([d.num_used], dtype=np.int64)
         np.savez_compressed(buf, **arrays)
         return buf.getvalue()
@@ -370,8 +522,12 @@ class MultiDictionary:
             for i in range(k):
                 d = DintDictionary()
                 d.num_used = int(z[f"num_used_{i}"][0])
-                d.table2d[: d.num_used] = z[f"table_{i}"]
-                d.sizes[: d.num_used] = z[f"sizes_{i}"]
+                if f"table_{i}" in z.files:  # round-1 dense artifact
+                    d.table2d[: d.num_used] = z[f"table_{i}"]
+                    d.sizes[: d.num_used] = z[f"sizes_{i}"]
+                else:
+                    _unpack_entries(z[f"descriptors_{i}"], z[f"flat_{i}"],
+                                    RESERVED, d.table2d, d.sizes)
                 dicts.append(d)
             return cls(dicts=dicts, class_map=[int(c) for c in z["class_map"]])
 

@@ -75,6 +75,10 @@ class IndexConfig:
     dict_variant: str = "single"
     pattern_selection: str = "dsf"  # or "pdf" (paper variant)
     num_dicts: int = 2
+    # dictionary artifact compaction: "pack" (B8 dedupe + prefix sharing,
+    # ref pack_policy) or "overlap" (B9 substring drop + greedy superstring
+    # packing, ref overlap_policy; smaller artifact, slower to serialize)
+    dict_compaction: str = "pack"
 
     def config_hash(self) -> str:
         return hashlib.sha256(
@@ -249,9 +253,9 @@ def build_index(
             num_dicts=config.num_dicts,
         )
         with open(dict_docs_path, "wb") as f:
-            f.write(docs_dict.to_bytes())
+            f.write(docs_dict.to_bytes(policy=config.dict_compaction))
         with open(dict_freqs_path, "wb") as f:
-            f.write(freqs_dict.to_bytes())
+            f.write(freqs_dict.to_bytes(policy=config.dict_compaction))
         mark("dicts", wall_s=time.time() - t1, **info)
     with open(dict_docs_path, "rb") as f:
         docs_dict = load_dictionary(f.read())

@@ -190,3 +190,42 @@ def test_dictionary_pack_policy_roundtrip():
     desc, flat = _pack_entries(d.table2d, d.sizes, RESERVED, d.num_used)
     assert len(flat) == 16 + 2 + 1
     assert len(desc) == len(pats)
+
+
+def test_dictionary_overlap_policy_roundtrip():
+    """B9 overlap_policy (ref dictionary_building_utils.hpp:92-239):
+    substring-contained entries drop, suffix-prefix overlaps merge into
+    superstrings; the artifact stays loss-free and at most pack-sized."""
+    import numpy as np
+    from dint_spark.dint.codec import RESERVED
+    from dint_spark.dint.dictionary import (
+        DintDictionary, _pack_entries, _pack_entries_overlap, _ref_overlap)
+
+    # chained-overlap definition (ref compute_overlap): requires EVERY
+    # k<=L to match, not just k=L
+    a = bytes(np.array([1, 2, 3, 4], dtype="<u4"))
+    b = bytes(np.array([3, 4, 9, 9], dtype="<u4"))
+    assert _ref_overlap(a, b) == 0  # k=1 fails (last(a)=4 != first(b)=3)
+    # chained overlap >= 2 needs EVERY k to match -> repeated boundary
+    # symbols (zero runs in practice): [5,0,0] + [0,0,8] chains to k=2
+    c = bytes(np.array([5, 0, 0], dtype="<u4"))
+    d = bytes(np.array([0, 0, 8], dtype="<u4"))
+    assert _ref_overlap(c, d) == 2
+    pats = [
+        bytes(np.arange(16, dtype="<u4")),
+        bytes(np.arange(4, 8, dtype="<u4")),   # substring (offset 4)
+        bytes(np.arange(12, 20, dtype="<u4")),  # overlaps suffix 12..15
+        bytes(np.array([9, 9], dtype="<u4")),
+        bytes(np.array([7], dtype="<u4")),
+    ]
+    dd = DintDictionary.build(pats)
+    blob = dd.to_bytes(policy="overlap")
+    d2 = DintDictionary.from_bytes(blob)
+    assert d2.num_used == dd.num_used
+    assert np.array_equal(d2.table2d[: dd.num_used], dd.table2d[: dd.num_used])
+    assert np.array_equal(d2.sizes[: dd.num_used], dd.sizes[: dd.num_used])
+    assert d2.content_hash() == dd.content_hash()
+    _, flat_pack = _pack_entries(dd.table2d, dd.sizes, RESERVED, dd.num_used)
+    _, flat_ov = _pack_entries_overlap(dd.table2d, dd.sizes, RESERVED,
+                                       dd.num_used)
+    assert len(flat_ov) <= len(flat_pack)
