@@ -16,6 +16,8 @@ integer columns.
 from __future__ import annotations
 
 import os
+import shutil
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,8 +71,12 @@ def _get_index(spark: SparkSession, sf_dir: str):
             idx = load_index(spark, out)
             _INDEX_CACHE[key] = idx
             return idx
-        except Exception:
-            pass
+        except Exception as e:
+            # an existing manifest that fails to load is corruption, not a
+            # cache miss: surface it, clear it, and rebuild cleanly
+            print(f"[dint_spark] stale/corrupt cached index at {out}: "
+                  f"{e!r}; rebuilding", file=sys.stderr)
+            shutil.rmtree(out, ignore_errors=True)
     idx = build_index(spark, pages, out, cfg)
     _INDEX_CACHE[key] = idx
     return idx
@@ -268,8 +274,12 @@ def _get_variant_index(spark: SparkSession, sf_dir: str, variant_cfg: dict,
             idx = load_index(spark, out)
             _INDEX_CACHE[key] = idx
             return idx
-        except Exception:
-            pass
+        except Exception as e:
+            # an existing manifest that fails to load is corruption, not a
+            # cache miss: surface it, clear it, and rebuild cleanly
+            print(f"[dint_spark] stale/corrupt cached index at {out}: "
+                  f"{e!r}; rebuilding", file=sys.stderr)
+            shutil.rmtree(out, ignore_errors=True)
     idx = build_index(spark, pages, out, cfg)
     _INDEX_CACHE[key] = idx
     return idx
@@ -332,8 +342,12 @@ def _get_sharded_index(spark: SparkSession, sf_dir: str):
             sidx = ShardedIndex(spark, out)
             _INDEX_CACHE[key] = sidx
             return sidx
-        except Exception:
-            pass
+        except Exception as e:
+            # an existing manifest that fails to load is corruption, not a
+            # cache miss: surface it, clear it, and rebuild cleanly
+            print(f"[dint_spark] stale/corrupt cached index at {out}: "
+                  f"{e!r}; rebuilding", file=sys.stderr)
+            shutil.rmtree(out, ignore_errors=True)
     sidx = build_sharded_index(spark, pages, out, num_shards=2, config=cfg)
     _INDEX_CACHE[key] = sidx
     return sidx

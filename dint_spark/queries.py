@@ -1068,6 +1068,55 @@ DECODE_RATE_SCHEMA = T.StructType([
 ])
 
 
+class _ShortListBuffer:
+    """Accumulates short (single-block BIC) segment rows across Arrow
+    batches so the vectorized multi-list decode gets large batches even
+    under the 32-row columnar reader batch size. Memory-bounded: short
+    payloads are <= ~1 KiB each and the buffer flushes every ~8k lists."""
+
+    __slots__ = ("payloads", "ns", "lasts", "fstarts", "term_ids", "count")
+
+    def __init__(self):
+        self.payloads: list[bytes] = []
+        self.ns: list = []
+        self.lasts: list = []
+        self.fstarts: list = []
+        self.term_ids: list = []
+        self.count = 0
+
+    def add(self, pdf: pd.DataFrame, sm: np.ndarray, ns: np.ndarray) -> None:
+        self.payloads.extend(bytes(p) for p in pdf["payload"][sm])
+        self.ns.append(ns[sm])
+        self.lasts.extend(b[0] for b in pdf["block_maxs"][sm])
+        self.fstarts.extend(f[0] for f in pdf["freq_offsets"][sm])
+        if "term_id" in pdf.columns:
+            self.term_ids.append(pdf["term_id"].to_numpy()[sm])
+        self.count = len(self.payloads)
+
+    def _take(self):
+        from dint_spark.dint.codec import decode_short_lists_batch
+
+        ns = np.concatenate(self.ns).astype(np.int64)
+        docs, freqs, offs = decode_short_lists_batch(
+            self.payloads, ns,
+            np.asarray(self.lasts, dtype=np.int64),
+            np.asarray(self.fstarts, dtype=np.int64))
+        tids = (np.concatenate(self.term_ids) if self.term_ids else None)
+        self.__init__()
+        return docs, freqs, offs, ns, tids
+
+    def flush_decode(self) -> int:
+        """Decode and discard (rate protocol); returns postings decoded."""
+        _, _, _, ns, _ = self._take()
+        return int(ns.sum())
+
+    def flush_rows(self) -> pd.DataFrame:
+        docs, freqs, offs, ns, tids = self._take()
+        return pd.DataFrame({
+            "term_id": np.repeat(tids, ns), "doc_id": docs, "freq": freqs,
+        })
+
+
 def decode_rate_stats(index, parallelism: int | None = None) -> dict:
     """The reference's vroom decode protocol (vroom_env/decode.cpp:47-70):
     time ONLY the decode loop, worker-side, and report ints/sec.
@@ -1079,7 +1128,8 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
     """
     import time as _time
 
-    from dint_spark.dint.codec import decode_list_bulk
+    from dint_spark.dint.codec import (
+        BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
     docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
@@ -1089,8 +1139,22 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
         fd = freqs_dict_bc.value
         ints = 0
         secs = 0.0
+        # short single-block BIC lists: buffered across Arrow batches (the
+        # 32-row columnar reader batches would defeat the vectorization)
+        # and decoded in one multi-list pass per ~8k lists — the per-list
+        # python path was the mixed-corpus decode bottleneck
+        buf = _ShortListBuffer()
         for pdf in batches:
-            for row in pdf.itertuples():
+            ns = pdf["n"].to_numpy()
+            sm = ns < BLOCK_SIZE
+            if sm.any():
+                buf.add(pdf, sm, ns)
+            if buf.count >= 8192:
+                t0 = _time.perf_counter()
+                n_dec = buf.flush_decode()
+                secs += _time.perf_counter() - t0
+                ints += 2 * n_dec
+            for row in pdf[~sm].itertuples():
                 payload = bytes(row.payload)
                 n = int(row.n)
                 bmax = np.asarray(row.block_maxs, dtype=np.int64)
@@ -1100,6 +1164,11 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
                 decode_list_bulk(payload, n, bmax, endp, foff, dd, fd)
                 secs += _time.perf_counter() - t0
                 ints += 2 * n
+        if buf.count:
+            t0 = _time.perf_counter()
+            n_dec = buf.flush_decode()
+            secs += _time.perf_counter() - t0
+            ints += 2 * n_dec
         yield pd.DataFrame({"n_ints": [ints], "decode_secs": [secs]})
 
     seg = index.segments.select(
@@ -1119,7 +1188,8 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     (include/ds2i/verify_collection.hpp:7-52) as a distributed job.
     ``parallelism`` forces a repartition so the decode saturates all cores
     even when segments sit in few parquet files (bench protocol)."""
-    from dint_spark.dint.codec import decode_list_bulk
+    from dint_spark.dint.codec import (
+        BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
     docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
@@ -1127,9 +1197,16 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dd = docs_dict_bc.value
         fd = freqs_dict_bc.value
+        buf = _ShortListBuffer()
         for pdf in batches:
             outs = []
-            for row in pdf.itertuples():
+            ns = pdf["n"].to_numpy()
+            sm = ns < BLOCK_SIZE
+            if sm.any():
+                buf.add(pdf, sm, ns)
+            if buf.count >= 8192:
+                outs.append(buf.flush_rows())
+            for row in pdf[~sm].itertuples():
                 docs, freqs = decode_list_bulk(
                     bytes(row.payload), int(row.n),
                     np.asarray(row.block_maxs, dtype=np.int64),
@@ -1141,6 +1218,8 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
                 }))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
+        if buf.count:
+            yield buf.flush_rows()
 
     seg = index.segments.select(
         "term_id", "n", "block_maxs", "endpoints", "freq_offsets", "payload"

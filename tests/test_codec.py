@@ -229,3 +229,38 @@ def test_dictionary_overlap_policy_roundtrip():
     _, flat_ov = _pack_entries_overlap(dd.table2d, dd.sizes, RESERVED,
                                        dd.num_used)
     assert len(flat_ov) <= len(flat_pack)
+
+
+def test_bic_decode_batch_property():
+    """Vectorized multi-list BIC decode == per-list bic_decode on random
+    short lists (incl. n=1, dense runs, large universes)."""
+    import numpy as np
+    from dint_spark.dint.codec import (
+        bic_decode, bic_encode, bic_decode_batch)
+
+    rng = np.random.default_rng(3)
+    payloads, ns, sums = [], [], []
+    expect = []
+    for _ in range(300):
+        n = int(rng.integers(1, 256))
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            vals = rng.integers(0, 5, size=n)        # dense, zero-heavy
+        elif mode == 1:
+            vals = rng.integers(0, 1 << 20, size=n)  # wide
+        else:
+            vals = np.zeros(n, dtype=np.int64)       # all-zero runs
+        s = int(vals.sum()) + int(rng.integers(0, 3))  # universe >= sum
+        enc = bic_encode(vals.astype(np.uint32), s)
+        dec, _ = bic_decode(enc, 0, n, s)
+        expect.append(dec.astype(np.int64))
+        payloads.append(enc)
+        ns.append(n)
+        sums.append(s)
+    lens = np.array([len(p) for p in payloads])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    buf = np.frombuffer(b"".join(payloads) + b"\x00" * 16, dtype=np.uint8)
+    got = bic_decode_batch(buf, starts * 8, np.array(ns), np.array(sums))
+    offs = np.concatenate([[0], np.cumsum(ns)])
+    for i, e in enumerate(expect):
+        assert np.array_equal(got[offs[i]:offs[i + 1]], e), i
