@@ -65,6 +65,30 @@ def make_query_workload(vocab_pdf, n_queries: int, seed: int) -> list[list[int]]
     return out
 
 
+def host_health_probe() -> dict:
+    """Single-core sanity probe recorded alongside results: this sandbox
+    shows intermittent hypervisor-level degradation (pure-CPU python up to
+    ~1.7x slow; first-touch page faults up to ~1000x slow at times). The
+    probe lets a reader normalize a run taken during such an episode.
+    Healthy reference on this host: cpu_loop_s ~0.6, first_touch_gbps >1."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    cpu_loop = time.perf_counter() - t0
+    best_ft = float("inf")
+    for _ in range(3):
+        a = np.empty(3_500_000, dtype=np.int64)  # 28 MB, fresh pages
+        t0 = time.perf_counter()
+        a.fill(7)
+        best_ft = min(best_ft, time.perf_counter() - t0)
+        del a
+    return {
+        "cpu_loop_s": round(cpu_loop * 2, 3),  # normalized to the 1e7 loop
+        "first_touch_gbps": round(28e-3 / best_ft, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_of(sf_dir)
@@ -121,18 +145,24 @@ def main() -> None:
     num_docs = m["num_docs"]
 
     # ---- decode rate (check_index full decode) ----------------------------
+    # 1 warmup + best-of-2, like the query timings: this sandbox shows
+    # intermittent first-touch page-fault stalls (fresh numpy allocations
+    # occasionally fault in at ~0.01 GB/s), and a warm pass measures the
+    # decode kernels rather than the hypervisor's page allocator.
     seg = idx.segments.cache()
     seg.count()  # warmup: touch all segment bytes (ref dict_freq_index.hpp:183-198)
-    t0 = time.time()
-    n_postings = decoded_postings(
-        idx, parallelism=spark.sparkContext.defaultParallelism * 2
-    ).count()
-    t_decode = time.time() - t0
+    par = spark.sparkContext.defaultParallelism * 2
+    decoded_postings(idx, parallelism=par).count()  # warmup pass
+    t_decode = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        n_postings = decoded_postings(idx, parallelism=par).count()
+        t_decode = min(t_decode, time.time() - t0)
     timings["decode_full_index"] = t_decode
     ints_per_sec = 2 * n_postings / t_decode  # docs + freqs streams
     # vroom protocol: in-loop decode rate, free of job-scheduling overhead
-    rate = decode_rate_stats(
-        idx, parallelism=spark.sparkContext.defaultParallelism * 2)
+    rate = max((decode_rate_stats(idx, parallelism=par) for _ in range(2)),
+               key=lambda r: r["ints_per_sec_core"])
 
     # ---- query workload: 500 queries, 1 warmup + 3 timed ------------------
     vocab_pdf = idx.vocab().select("term_id", "df").toPandas()
@@ -197,6 +227,7 @@ def main() -> None:
         "bm25_batch2000_queries_per_sec": round(2000 / t_big, 1),
         "cpus": cpus,
         "master": master,
+        "host_health": host_health_probe(),
     }
     print(json.dumps(result))
     shutil.rmtree(out_dir, ignore_errors=True)
