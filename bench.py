@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from dint_spark.corpus import generate_pages, pages_from_documents
 from dint_spark.index import IndexConfig, build_index
-from dint_spark.queries import decode_rate_stats, decoded_postings, run_queries
+from dint_spark.queries import (BroadcastQueryServer, decode_rate_stats,
+                                decoded_postings, run_queries)
 from dint_spark.session import get_spark
 
 NUM_QUERIES = 500
@@ -188,7 +189,24 @@ def main() -> None:
     t0 = time.time()
     run_queries(spark, idx, big, algo="block_max_wand_vec", k=TOPK).count()
     t_big = time.time() - t0
+
+    # serving path: the index pins executor-side ONCE (BroadcastQueryServer)
+    # and only query rows move per batch — the document-partitioned
+    # web-search pattern; run_queries_sharded composes it across docid
+    # shards at 10^12 docs. Pin cost reported separately; steady-state
+    # batch = 1 warmup + best-of-2.
+    t0 = time.time()
+    server = BroadcastQueryServer(spark, idx)
+    t_pin = time.time() - t0
+    timings["serve_pin_index"] = t_pin
+    server.serve(big, algo="block_max_wand_vec", k=TOPK).count()  # warmup
+    t_serve = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        server.serve(big, algo="block_max_wand_vec", k=TOPK).count()
+        t_serve = min(t_serve, time.time() - t0)
     timings["bm25_bmw_vec_2000q"] = t_big
+    timings["bm25_bmw_vec_2000q_serve"] = t_serve
 
     t0 = time.time()
     run_queries(spark, idx, workload, algo="ranked_or_vec", k=TOPK).count()
@@ -225,6 +243,7 @@ def main() -> None:
         "decode_ints_per_sec_core": round(rate["ints_per_sec_core"], 0),
         "bm25_queries_per_sec": round(NUM_QUERIES / t_bmw, 1),
         "bm25_batch2000_queries_per_sec": round(2000 / t_big, 1),
+        "bm25_serve2000_queries_per_sec": round(2000 / t_serve, 1),
         "cpus": cpus,
         "master": master,
         "host_health": host_health_probe(),

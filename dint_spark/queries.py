@@ -858,6 +858,156 @@ def run_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
 
 
+class BroadcastQueryServer:
+    """Pins the (pruned) segments executor-side ONCE and serves any number
+    of query batches against them — the document-partitioned serving
+    pattern of web search: each shard holds its doc range's complete index
+    in executor memory and every query fans out to all shards, whose local
+    exact top-k merge into the global exact top-k. In this engine one
+    shard = one index (docid sharding per README "Scale design" gives N
+    shards at 10^12 docs); the shuffle-based run_queries remains the path
+    for indexes too large to pin in memory. Compared to the join path a
+    served batch moves no posting bytes — the join duplicated every
+    head-term payload into every query's shuffle group, which dominated
+    batch wall time; compared to one-shot run_queries_broadcast the
+    collect + broadcast of the segments is paid once at construction, not
+    per batch.
+
+    ``terms=None`` pins the whole index (subject to max_broadcast_bytes);
+    a term list pins only those terms' segments.
+    """
+
+    def __init__(self, spark: SparkSession, index, terms: list | None = None,
+                 dtype: str = "float32",
+                 max_broadcast_bytes: int = 1 << 29):
+        if terms is None:
+            pruned = index.segments
+        else:
+            pruned = _pruned_segments(index, None,
+                                      sorted({int(t) for t in terms}))
+        # size pre-check BEFORE collecting: an oversized term set must raise
+        # the intended ValueError, not hit driver maxResultSize/OOM in
+        # collect()
+        est = pruned.agg(
+            F.sum(F.length("payload")).alias("b"), F.count("*").alias("c")
+        ).collect()[0]
+        total = int(est["b"] or 0) + 200 * int(est["c"] or 0)
+        if total > max_broadcast_bytes:
+            raise ValueError(
+                f"pruned segments ({total} bytes) exceed the broadcast "
+                "budget; use run_queries (shuffle path) or shard the index")
+        rows = (
+            pruned
+            .select("term_id", "seg_id", "n", "block_maxs",
+                    "block_max_scores", "endpoints", "freq_offsets",
+                    "payload", "max_weight")
+            .collect()
+        )
+        seg_map: dict[int, list] = {}
+        for r in rows:
+            payload = bytes(r["payload"])
+            seg_map.setdefault(int(r["term_id"]), []).append((
+                int(r["seg_id"]),
+                int(r["n"]),
+                np.asarray(r["block_maxs"], dtype=np.int64),
+                np.asarray(r["block_max_scores"], dtype=np.float32),
+                np.asarray(r["endpoints"], dtype=np.int64),
+                np.asarray(r["freq_offsets"], dtype=np.int64),
+                payload,
+                float(r["max_weight"]),
+            ))
+        for parts in seg_map.values():
+            parts.sort(key=lambda p: p[0])
+        self.spark = spark
+        self.dtype = dtype
+        self.DT = np.float32 if dtype == "float32" else np.float64
+        self.num_docs = index.num_docs
+        self.seg_bc = spark.sparkContext.broadcast(seg_map)
+        self.norm_bc = spark.sparkContext.broadcast(
+            index.norm_lens if dtype == "float32" else index.norm_lens64)
+        self.docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+        self.freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+
+    def serve(self, queries: list, algo: str = "block_max_wand_vec",
+              k: int = 10) -> DataFrame:
+        """One batch against the pinned segments. Only (query_id, terms)
+        rows move; kernels run executor-side against the broadcast."""
+        spark = self.spark
+        seg_bc, norm_bc = self.seg_bc, self.norm_bc
+        docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
+        DT, num_docs = self.DT, self.num_docs
+        kernel = KERNELS[algo]
+
+        qdf = spark.createDataFrame(
+            [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+            schema=T.StructType([
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("terms", T.ArrayType(T.LongType()), False),
+            ]),
+        ).repartition(spark.sparkContext.defaultParallelism * 4)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            segs = seg_bc.value
+            dd = docs_dict_bc.value
+            fd = freqs_dict_bc.value
+            norm = norm_bc.value
+            scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+            merge_chunks = algo in ("ranked_and",)
+            for pdf in batches:
+                outs = []
+                for qid, terms in zip(pdf["query_id"], pdf["terms"]):
+                    from collections import Counter
+
+                    cursors = []
+                    for tid, qf in sorted(
+                            Counter(int(t) for t in terms).items()):
+                        parts = segs.get(tid)
+                        if parts is None:
+                            continue
+                        df_total = sum(p[1] for p in parts)
+                        qw = _qtw(qf, df_total, num_docs, DT)
+                        term_cursors = []
+                        for _, n, bmax, bms, endp, foff, payload, mw in parts:
+                            c = Cursor(n, bmax, endp, foff, payload,
+                                       num_docs, dd, fd,
+                                       block_max_scores=bms, term_id=tid)
+                            c.q_weight = qw
+                            c.bound_scale = scale
+                            c.max_weight = DT(qw * DT(mw) * c.bound_scale)
+                            term_cursors.append(c)
+                        if merge_chunks and len(term_cursors) > 1:
+                            dec = [c.decode_all() for c in term_cursors]
+                            a = ArrayCursor(
+                                np.concatenate([d[0] for d in dec]),
+                                np.concatenate([d[1] for d in dec]),
+                                num_docs, tid)
+                            a.q_weight = qw
+                            a.bound_scale = scale
+                            a.max_weight = max(
+                                c.max_weight for c in term_cursors)
+                            term_cursors = [a]
+                        cursors.extend(term_cursors)
+                    topk = (kernel(cursors, norm, num_docs, k, DT)
+                            if cursors else [])
+                    for rank, (doc, score) in enumerate(topk, 1):
+                        outs.append((int(qid), rank, doc, score))
+                if outs:
+                    yield pd.DataFrame(
+                        outs, columns=["query_id", "rank", "doc_id", "score"])
+
+        return qdf.mapInPandas(run, schema=TOPK_SCHEMA)
+
+    def close(self) -> None:
+        """Release the pinned broadcasts (call after all served DataFrames
+        have been consumed — Spark broadcasts are lazy-referenced)."""
+        for bc in (self.seg_bc, self.norm_bc, self.docs_dict_bc,
+                   self.freqs_dict_bc):
+            try:
+                bc.unpersist()
+            except Exception:
+                pass
+
+
 def run_queries_broadcast(
     spark: SparkSession,
     index,
@@ -867,115 +1017,14 @@ def run_queries_broadcast(
     dtype: str = "float32",
     max_broadcast_bytes: int = 1 << 29,
 ) -> DataFrame:
-    """Serving-style batch retrieval: the touched segments are broadcast
-    once, queries (tiny rows) are the only thing that moves per batch.
-
-    This is the document-partitioned serving pattern of web search: each
-    shard holds its doc range's complete index in executor memory and every
-    query fans out to all shards, whose local exact top-k merge into the
-    global exact top-k. In this engine one shard = one index (docid
-    sharding per README "Scale design" gives N shards at 10^12 docs); the
-    shuffle-based run_queries remains the path for indexes too large to
-    pin in memory. Compared to the join path it moves no posting bytes per
-    query — the join duplicated every head-term payload into every query's
-    shuffle group, which dominated batch wall time.
-    """
-    local_terms = sorted({int(t) for ts in queries for t in ts})
-    pruned = _pruned_segments(index, None, local_terms)
-    # size pre-check BEFORE collecting: an oversized term set must raise the
-    # intended ValueError, not hit driver maxResultSize/OOM inside collect()
-    est = pruned.agg(
-        F.sum(F.length("payload")).alias("b"), F.count("*").alias("c")
-    ).collect()[0]
-    total = int(est["b"] or 0) + 200 * int(est["c"] or 0)
-    if total > max_broadcast_bytes:
-        raise ValueError(
-            f"pruned segments ({total} bytes) exceed the broadcast budget; "
-            "use run_queries (shuffle path) or shard the index")
-    rows = (
-        pruned
-        .select("term_id", "seg_id", "n", "block_maxs", "block_max_scores",
-                "endpoints", "freq_offsets", "payload", "max_weight")
-        .collect()
-    )
-    seg_map: dict[int, list] = {}
-    for r in rows:
-        payload = bytes(r["payload"])
-        seg_map.setdefault(int(r["term_id"]), []).append((
-            int(r["seg_id"]),
-            int(r["n"]),
-            np.asarray(r["block_maxs"], dtype=np.int64),
-            np.asarray(r["block_max_scores"], dtype=np.float32),
-            np.asarray(r["endpoints"], dtype=np.int64),
-            np.asarray(r["freq_offsets"], dtype=np.int64),
-            payload,
-            float(r["max_weight"]),
-        ))
-    for parts in seg_map.values():
-        parts.sort(key=lambda p: p[0])
-    DT = np.float32 if dtype == "float32" else np.float64
-    num_docs = index.num_docs
-    seg_bc = spark.sparkContext.broadcast(seg_map)
-    norm_bc = spark.sparkContext.broadcast(
-        index.norm_lens if dtype == "float32" else index.norm_lens64)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
-    kernel = KERNELS[algo]
-
-    qdf = spark.createDataFrame(
-        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
-        schema=T.StructType([
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("terms", T.ArrayType(T.LongType()), False),
-        ]),
-    ).repartition(spark.sparkContext.defaultParallelism * 4)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        segs = seg_bc.value
-        dd = docs_dict_bc.value
-        fd = freqs_dict_bc.value
-        norm = norm_bc.value
-        scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
-        merge_chunks = algo in ("ranked_and",)
-        for pdf in batches:
-            outs = []
-            for qid, terms in zip(pdf["query_id"], pdf["terms"]):
-                from collections import Counter
-
-                cursors = []
-                for tid, qf in sorted(Counter(int(t) for t in terms).items()):
-                    parts = segs.get(tid)
-                    if parts is None:
-                        continue
-                    df_total = sum(p[1] for p in parts)
-                    qw = _qtw(qf, df_total, num_docs, DT)
-                    term_cursors = []
-                    for _, n, bmax, bms, endp, foff, payload, mw in parts:
-                        c = Cursor(n, bmax, endp, foff, payload, num_docs,
-                                   dd, fd, block_max_scores=bms, term_id=tid)
-                        c.q_weight = qw
-                        c.bound_scale = scale
-                        c.max_weight = DT(qw * DT(mw) * c.bound_scale)
-                        term_cursors.append(c)
-                    if merge_chunks and len(term_cursors) > 1:
-                        dec = [c.decode_all() for c in term_cursors]
-                        a = ArrayCursor(
-                            np.concatenate([d[0] for d in dec]),
-                            np.concatenate([d[1] for d in dec]),
-                            num_docs, tid)
-                        a.q_weight = qw
-                        a.bound_scale = scale
-                        a.max_weight = max(c.max_weight for c in term_cursors)
-                        term_cursors = [a]
-                    cursors.extend(term_cursors)
-                topk = kernel(cursors, norm, num_docs, k, DT) if cursors else []
-                for rank, (doc, score) in enumerate(topk, 1):
-                    outs.append((int(qid), rank, doc, score))
-            if outs:
-                yield pd.DataFrame(
-                    outs, columns=["query_id", "rank", "doc_id", "score"])
-
-    return qdf.mapInPandas(run, schema=TOPK_SCHEMA)
+    """One-shot convenience wrapper: pin the batch's terms and serve it.
+    For steady-state serving construct a BroadcastQueryServer once and call
+    serve() per batch — the segment collect/broadcast then amortizes."""
+    srv = BroadcastQueryServer(
+        spark, index,
+        terms=sorted({int(t) for ts in queries for t in ts}),
+        dtype=dtype, max_broadcast_bytes=max_broadcast_bytes)
+    return srv.serve(queries, algo=algo, k=k)
 
 
 def _pruned_segments(index, qterms: DataFrame,

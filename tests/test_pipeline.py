@@ -144,3 +144,34 @@ def test_broadcast_serving_path_agrees(spark, index):
     b = sorted(run_queries_broadcast(spark, index, queries,
                                      algo="block_max_wand_vec", k=10).collect())
     assert a == b
+
+
+def test_broadcast_server_pins_once_serves_many(spark, index):
+    """BroadcastQueryServer: whole-index pin, multiple batches, each equal
+    to the shuffle path; batches after the first reuse the pinned
+    broadcast (no re-collect)."""
+    from dint_spark.queries import BroadcastQueryServer
+
+    vocab = index.vocab().orderBy("term_id").limit(500).collect()
+    tids = [r["term_id"] for r in vocab]
+    import numpy as np
+    rng = np.random.default_rng(29)
+    srv = BroadcastQueryServer(spark, index)  # terms=None: whole index
+    for batch in range(3):
+        queries = [[int(t) for t in
+                    rng.choice(tids, size=int(rng.integers(1, 6)))]
+                   for _ in range(15)]
+        a = sorted(run_queries(spark, index, queries,
+                               algo="block_max_wand_vec", k=10).collect())
+        b = sorted(srv.serve(queries, algo="block_max_wand_vec",
+                             k=10).collect())
+        assert a == b, f"batch {batch}"
+    srv.close()
+
+
+def test_broadcast_budget_precheck(spark, index):
+    """An oversized pin must raise BEFORE collecting (driver-safe)."""
+    from dint_spark.queries import BroadcastQueryServer
+
+    with pytest.raises(ValueError):
+        BroadcastQueryServer(spark, index, max_broadcast_bytes=16)
