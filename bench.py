@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from dint_spark.corpus import generate_pages, pages_from_documents
 from dint_spark.index import IndexConfig, build_index
 from dint_spark.queries import (BroadcastQueryServer, decode_rate_stats,
-                                decoded_postings, run_queries)
+                                decoded_postings, query_latency_stats,
+                                run_queries)
 from dint_spark.session import get_spark
 
 NUM_QUERIES = 500
@@ -183,6 +184,12 @@ def main() -> None:
     run_queries(spark, idx, workload, algo="block_max_wand", k=TOPK).count()
     timings["bm25_bmw_500q"] = time.time() - t0
 
+    # reference per-query latency protocol (src/queries.cpp:25-60):
+    # 1 warmup + 3 timed executions of each query op worker-side,
+    # avg/q50/q90/q95 microseconds over all timed samples
+    latency = query_latency_stats(
+        spark, idx, workload, algo="block_max_wand", k=TOPK, runs=3)
+
     # batched throughput: a 2000-query batch amortizes the per-job fixed
     # cost (~4s scan+join+schedule) that dominates 500-query batches
     big = make_query_workload(vocab_pdf, 2000, SEED + 1)
@@ -246,6 +253,7 @@ def main() -> None:
         "bm25_serve2000_queries_per_sec": round(2000 / t_serve, 1),
         "cpus": cpus,
         "master": master,
+        "bm25_latency_us": {kk: round(vv, 1) for kk, vv in latency.items()},
         "host_health": host_health_probe(),
     }
     print(json.dumps(result))

@@ -1027,6 +1027,94 @@ def run_queries_broadcast(
     return srv.serve(queries, algo=algo, k=k)
 
 
+LATENCY_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("run", T.IntegerType(), False),
+    T.StructField("usecs", T.DoubleType(), False),
+])
+
+
+def query_latency_stats(spark: SparkSession, index, queries: list,
+                        algo: str = "block_max_wand", k: int = 10,
+                        runs: int = 3, dtype: str = "float32",
+                        max_broadcast_bytes: int = 1 << 29) -> dict:
+    """The reference's per-query latency protocol (src/queries.cpp:25-60):
+    each query op (cursor setup + kernel) executes ``runs + 1`` times
+    worker-side against pinned segments; the first run is warmup (fills
+    the decode LRU, exactly the reference's untimed first pass) and the
+    rest are timed in microseconds. Returns {"avg_us", "q50_us", "q90_us",
+    "q95_us", "n"} over all timed (query, run) samples — the avg/quantile
+    report of queries.cpp:45-60."""
+    import time as _time
+
+    srv = BroadcastQueryServer(
+        spark, index,
+        terms=sorted({int(t) for ts in queries for t in ts}),
+        dtype=dtype, max_broadcast_bytes=max_broadcast_bytes)
+    seg_bc, norm_bc = srv.seg_bc, srv.norm_bc
+    docs_dict_bc, freqs_dict_bc = srv.docs_dict_bc, srv.freqs_dict_bc
+    DT, num_docs = srv.DT, srv.num_docs
+    kernel = KERNELS[algo]
+
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    ).repartition(spark.sparkContext.defaultParallelism * 4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        segs = seg_bc.value
+        dd = docs_dict_bc.value
+        fd = freqs_dict_bc.value
+        norm = norm_bc.value
+        scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+
+        def one_op(terms):
+            # the full query op, reference-style: cursor setup + kernel
+            cursors = []
+            for tid, qf in sorted(Counter(int(t) for t in terms).items()):
+                parts = segs.get(tid)
+                if parts is None:
+                    continue
+                df_total = sum(p[1] for p in parts)
+                qw = _qtw(qf, df_total, num_docs, DT)
+                for _, n, bmax, bms, endp, foff, payload, mw in parts:
+                    c = Cursor(n, bmax, endp, foff, payload, num_docs,
+                               dd, fd, block_max_scores=bms, term_id=tid)
+                    c.q_weight = qw
+                    c.bound_scale = scale
+                    c.max_weight = DT(qw * DT(mw) * c.bound_scale)
+                    cursors.append(c)
+            return kernel(cursors, norm, num_docs, k, DT) if cursors else []
+
+        for pdf in batches:
+            outs = []
+            for qid, terms in zip(pdf["query_id"], pdf["terms"]):
+                one_op(terms)  # run 0: warmup, untimed (queries.cpp:32-34)
+                for r in range(1, runs + 1):
+                    t0 = _time.perf_counter()
+                    one_op(terms)
+                    el = (_time.perf_counter() - t0) * 1e6
+                    outs.append((int(qid), r, el))
+            if outs:
+                yield pd.DataFrame(outs,
+                                   columns=["query_id", "run", "usecs"])
+
+    samples = qdf.mapInPandas(run, schema=LATENCY_SCHEMA).toPandas()
+    us = np.sort(samples["usecs"].to_numpy())
+    return {
+        "avg_us": float(us.mean()),
+        "q50_us": float(np.quantile(us, 0.50)),
+        "q90_us": float(np.quantile(us, 0.90)),
+        "q95_us": float(np.quantile(us, 0.95)),
+        "n": int(len(us)),
+    }
+
+
 def _pruned_segments(index, qterms: DataFrame,
                      local_terms: list[int] | None = None) -> DataFrame:
     """Push the batch's touched term_ids INTO the parquet scan.

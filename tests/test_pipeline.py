@@ -175,3 +175,17 @@ def test_broadcast_budget_precheck(spark, index):
 
     with pytest.raises(ValueError):
         BroadcastQueryServer(spark, index, max_broadcast_bytes=16)
+
+
+def test_query_latency_protocol(spark, index):
+    """queries.cpp:25-60 parity: warmup + timed runs per query op,
+    avg/q50/q90/q95 microseconds, monotone quantiles, all positive."""
+    from dint_spark.queries import query_latency_stats
+
+    vocab = index.vocab().orderBy("term_id").limit(50).collect()
+    tids = [r["term_id"] for r in vocab]
+    queries = [[tids[0]], [tids[1], tids[5]], [tids[2], tids[9], tids[20]]]
+    st = query_latency_stats(spark, index, queries, runs=2)
+    assert st["n"] == len(queries) * 2
+    assert 0 < st["q50_us"] <= st["q90_us"] <= st["q95_us"]
+    assert st["avg_us"] > 0
