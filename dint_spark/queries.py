@@ -929,9 +929,11 @@ class BroadcastQueryServer:
         self.freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
 
     def serve(self, queries: list, algo: str = "block_max_wand_vec",
-              k: int = 10) -> DataFrame:
+              k: int = 10, partitions: int | None = None) -> DataFrame:
         """One batch against the pinned segments. Only (query_id, terms)
-        rows move; kernels run executor-side against the broadcast."""
+        rows move; kernels run executor-side against the broadcast.
+        ``partitions`` balances task-scheduling overhead against per-query
+        kernel skew (default 4x cores: ~10-20 queries per task)."""
         spark = self.spark
         seg_bc, norm_bc = self.seg_bc, self.norm_bc
         docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
@@ -944,7 +946,8 @@ class BroadcastQueryServer:
                 T.StructField("query_id", T.LongType(), False),
                 T.StructField("terms", T.ArrayType(T.LongType()), False),
             ]),
-        ).repartition(spark.sparkContext.defaultParallelism * 4)
+        ).repartition(partitions
+                      or spark.sparkContext.defaultParallelism * 4)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             segs = seg_bc.value
