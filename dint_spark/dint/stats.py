@@ -141,13 +141,19 @@ def learn_dictionaries(
     selection: str = "dsf",
     variant: str = "single",
     num_dicts: int = 2,
+    total_integers: int | None = None,
 ) -> tuple[object, object, dict]:
     """Run the stats job + pattern selection; returns (docs_dict, freqs_dict,
     info). One Spark action; everything after the top-k collect is driver-
-    side on <= 2*K*65529 tiny rows."""
-    total_integers = postings.select(
-        F.sum(F.size("doc_ids")).alias("t")
-    ).collect()[0]["t"] or 0
+    side on <= 2*K*65529 tiny rows.
+
+    ``total_integers`` (the cost-filter denominator) is observed on the
+    postings write by build_index; passing it here skips a full extra scan
+    of the postings checkpoint."""
+    if total_integers is None:
+        total_integers = postings.select(
+            F.sum(F.size("doc_ids")).alias("t")
+        ).collect()[0]["t"] or 0
     multi = variant == "multi"
 
     stats = (

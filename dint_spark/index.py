@@ -32,7 +32,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -197,6 +197,12 @@ def build_index(
             docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
         docs = docs.persist()
         dl = doclens(docs)
+        # observe the write instead of re-aggregating later: num_docs and
+        # sum_len land in the manifest, so no later phase (or resume) pays
+        # a doclens scan for them
+        dl_obs = Observation("doclens_agg")
+        dl = dl.observe(dl_obs, F.count(F.lit(1)).alias("n"),
+                        F.sum("len").alias("s"))
         dl.write.mode("overwrite").parquet(doclens_path)
         vocab = vocab_df if vocab_df is not None else build_vocab(docs)
         vocab.write.mode("overwrite").parquet(vocab_path)
@@ -218,26 +224,35 @@ def build_index(
         nt = vocab2.count()
         tpb = max(1, -(-nt // config.num_buckets))
         par = max(spark.sparkContext.defaultParallelism, config.num_buckets)
+        post_obs = Observation("postings_agg")
         (
             postings.withColumn(
                 "pbucket", (F.col("term_id") / F.lit(tpb)).cast("int"))
             .repartition(par, "pbucket", F.col("term_id") % F.lit(par))
             .sortWithinPartitions("term_id", "seg_id")
+            # total postings observed on the write: the dictionary cost
+            # filter needs it and would otherwise re-scan the checkpoint
+            .observe(post_obs, F.sum(F.size("doc_ids")).alias("tp"))
             .write.mode("overwrite")
             .partitionBy("pbucket")
             .parquet(postings_path)
         )
         tdf.unpersist()
         docs.unpersist()
-        mark("corpus", wall_s=time.time() - t0, num_terms=int(nt))
+        dm = dl_obs.get
+        mark("corpus", wall_s=time.time() - t0, num_terms=int(nt),
+             num_docs=int(dm["n"]), sum_len=int(dm["s"]),
+             total_postings=int(post_obs.get["tp"] or 0))
 
-    dl = spark.read.parquet(doclens_path)
-    agg = dl.agg(
-        F.count("*").alias("n"), F.sum("len").alias("s"), F.max("doc_id").alias("m")
-    ).collect()[0]
-    num_docs = agg["n"]
+    corpus_meta = manifest["steps"]["corpus"]
+    if "num_docs" in corpus_meta:
+        num_docs, sum_len = corpus_meta["num_docs"], corpus_meta["sum_len"]
+    else:  # manifest written by an older build: one small doclens scan
+        agg = spark.read.parquet(doclens_path).agg(
+            F.count("*").alias("n"), F.sum("len").alias("s")).collect()[0]
+        num_docs, sum_len = agg["n"], agg["s"]
     avg_len_f64 = (float(avg_len_override) if avg_len_override is not None
-                   else agg["s"] / num_docs)
+                   else sum_len / num_docs)
     avg_len = float(np.float32(avg_len_f64))
     postings = spark.read.parquet(postings_path)
 
@@ -251,6 +266,7 @@ def build_index(
             selection=config.pattern_selection,
             variant=config.dict_variant,
             num_dicts=config.num_dicts,
+            total_integers=corpus_meta.get("total_postings"),
         )
         with open(dict_docs_path, "wb") as f:
             f.write(docs_dict.to_bytes(policy=config.dict_compaction))
@@ -263,7 +279,8 @@ def build_index(
         freqs_dict = load_dictionary(f.read())
 
     # -- step 4: encode per term-range bucket (resumable) -------------------
-    num_terms = spark.read.parquet(vocab_path).count()
+    num_terms = corpus_meta.get("num_terms") or spark.read.parquet(
+        vocab_path).count()
     terms_per_bucket = max(1, -(-num_terms // config.num_buckets))
     docs_bc = spark.sparkContext.broadcast(docs_dict)
     freqs_bc = spark.sparkContext.broadcast(freqs_dict)
@@ -290,22 +307,28 @@ def build_index(
             # postings are laid out as pbucket=K dirs on the same term
             # ranges: partition pruning, not just row-group pruning
             part = part.where(F.col("pbucket") == bucket)
-        segs = (
-            part.select("term_id", "seg_id", "doc_ids", "freqs", "lens")
-            .repartition(par)
-            .mapInPandas(encode_udf, schema=SEGMENTS_SCHEMA)
+        part = part.select("term_id", "seg_id", "doc_ids", "freqs", "lens")
+        # spread the bucket across all cores ONLY when the scan itself
+        # yields too few splits (small buckets at test scale). At corpus
+        # scale a bucket spans many parquet splits already, and an
+        # unconditional round-robin repartition would re-shuffle the whole
+        # postings table a second time for zero balance gain.
+        if part.rdd.getNumPartitions() < par:
+            part = part.repartition(par)
+        segs = part.mapInPandas(encode_udf, schema=SEGMENTS_SCHEMA)
+        # per-bucket compression metrics observed on the write job itself
+        # (a re-read aggregation doubled the bucket's job count and re-
+        # scanned every segment byte)
+        obs = Observation(f"bucket_{bucket}_metrics")
+        segs = segs.observe(
+            obs,
+            F.count(F.lit(1)).alias("lists"),
+            F.sum("n").alias("postings"),
+            F.sum("docs_bytes").alias("docs_bytes"),
+            F.sum("freqs_bytes").alias("freqs_bytes"),
         )
         segs.write.mode("overwrite").parquet(seg_path)
-        m = (
-            spark.read.parquet(seg_path)
-            .agg(
-                F.count("*").alias("lists"),
-                F.sum("n").alias("postings"),
-                F.sum("docs_bytes").alias("docs_bytes"),
-                F.sum("freqs_bytes").alias("freqs_bytes"),
-            )
-            .collect()[0]
-        )
+        m = obs.get
         postings_count = m["postings"] or 0
         entry = {
             "term_lo": lo,
