@@ -1338,14 +1338,33 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
         dd = docs_dict_bc.value
         fd = freqs_dict_bc.value
         buf = _ShortListBuffer()
+        # long-list outputs accumulate as numpy arrays and flush as ONE
+        # frame per ~1M postings instead of a pd.DataFrame per list +
+        # pd.concat per 32-row Arrow batch
+        acc_t: list = []
+        acc_cnt: list = []
+        acc_d: list = []
+        acc_f: list = []
+        acc_n = 0
+
+        def emit_long() -> pd.DataFrame:
+            nonlocal acc_t, acc_cnt, acc_d, acc_f, acc_n
+            out = pd.DataFrame({
+                "term_id": np.repeat(np.asarray(acc_t, dtype=np.int64),
+                                     np.asarray(acc_cnt, dtype=np.int64)),
+                "doc_id": np.concatenate(acc_d),
+                "freq": np.concatenate(acc_f),
+            })
+            acc_t, acc_cnt, acc_d, acc_f, acc_n = [], [], [], [], 0
+            return out
+
         for pdf in batches:
-            outs = []
             ns = pdf["n"].to_numpy()
             sm = ns < BLOCK_SIZE
             if sm.any():
                 buf.add(pdf, sm, ns)
             if buf.count >= 8192:
-                outs.append(buf.flush_rows())
+                yield buf.flush_rows()
             for row in pdf[~sm].itertuples():
                 docs, freqs = decode_list_bulk(
                     bytes(row.payload), int(row.n),
@@ -1353,11 +1372,15 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
                     np.asarray(row.endpoints, dtype=np.int64),
                     np.asarray(row.freq_offsets, dtype=np.int64), dd, fd,
                 )
-                outs.append(pd.DataFrame({
-                    "term_id": int(row.term_id), "doc_id": docs, "freq": freqs,
-                }))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                acc_t.append(int(row.term_id))
+                acc_cnt.append(len(docs))
+                acc_d.append(docs)
+                acc_f.append(freqs)
+                acc_n += len(docs)
+                if acc_n >= 1 << 20:
+                    yield emit_long()
+        if acc_n:
+            yield emit_long()
         if buf.count:
             yield buf.flush_rows()
 
