@@ -119,6 +119,31 @@ def test_resume_from_partial_checkpoint(spark, index):
         assert v["lineage"]["dict_docs"] == index.docs_dict.content_hash()
 
 
+def test_resume_from_pre_observation_manifest(spark, index):
+    """Manifests written before the observe-on-write change lack
+    num_docs/sum_len/num_terms/total_postings in the corpus step; resume
+    must fall back to re-deriving them and produce identical results."""
+    queries = [[0, 1, 2], [3], [5, 9]]
+    before = (run_queries(spark, index, queries, algo="ranked_or", k=10)
+              .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    man = json.load(open(f"{IDX_DIR}/manifest.json"))
+    for k in ("num_docs", "sum_len", "num_terms", "total_postings"):
+        man["steps"]["corpus"].pop(k, None)
+    del man["buckets"]["2"]
+    shutil.rmtree(f"{IDX_DIR}/segments/bucket=2")
+    json.dump(man, open(f"{IDX_DIR}/manifest.json", "w"))
+
+    pages = generate_pages(spark, N_DOCS, seed=42)
+    idx2 = build_index(spark, pages, IDX_DIR,
+                       IndexConfig(num_buckets=4, input_tag="test500"))
+    after = (run_queries(spark, idx2, queries, algo="ranked_or", k=10)
+             .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert before.equals(after)
+    assert set(json.load(open(f"{IDX_DIR}/manifest.json"))["buckets"]) == {
+        "0", "1", "2", "3"}
+
+
 def test_config_mismatch_rejected(spark, index):
     pages = generate_pages(spark, N_DOCS, seed=42)
     with pytest.raises(ValueError):
