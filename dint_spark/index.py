@@ -145,6 +145,33 @@ def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
     return encode
 
 
+def write_postings_checkpoint(
+    postings: DataFrame,
+    path: str,
+    num_terms: int,
+    num_buckets: int,
+    par: int,
+) -> int:
+    """Write the postings checkpoint in the deterministic term-range layout:
+    pbucket = term_id // terms_per_bucket partition dirs (partition pruning
+    for the per-bucket encode jobs; no RangePartitioner sampling pass since
+    term ids are dense 0..V-1), term-sorted files within each dir. Returns
+    the total posting count, observed on the write job itself."""
+    tpb = max(1, -(-num_terms // num_buckets))
+    obs = Observation()
+    (
+        postings.withColumn(
+            "pbucket", (F.col("term_id") / F.lit(tpb)).cast("int"))
+        .repartition(par, "pbucket", F.col("term_id") % F.lit(par))
+        .sortWithinPartitions("term_id", "seg_id")
+        .observe(obs, F.sum(F.size("doc_ids")).alias("tp"))
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(path)
+    )
+    return int(obs.get["tp"] or 0)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -222,27 +249,17 @@ def build_index(
         # per-bucket encode jobs partition pruning on their term range. More
         # write partitions than buckets keeps all cores writing.
         nt = vocab2.count()
-        tpb = max(1, -(-nt // config.num_buckets))
         par = max(spark.sparkContext.defaultParallelism, config.num_buckets)
-        post_obs = Observation("postings_agg")
-        (
-            postings.withColumn(
-                "pbucket", (F.col("term_id") / F.lit(tpb)).cast("int"))
-            .repartition(par, "pbucket", F.col("term_id") % F.lit(par))
-            .sortWithinPartitions("term_id", "seg_id")
-            # total postings observed on the write: the dictionary cost
-            # filter needs it and would otherwise re-scan the checkpoint
-            .observe(post_obs, F.sum(F.size("doc_ids")).alias("tp"))
-            .write.mode("overwrite")
-            .partitionBy("pbucket")
-            .parquet(postings_path)
-        )
+        # total postings observed on the write: the dictionary cost
+        # filter needs it and would otherwise re-scan the checkpoint
+        total_postings = write_postings_checkpoint(
+            postings, postings_path, int(nt), config.num_buckets, par)
         tdf.unpersist()
         docs.unpersist()
         dm = dl_obs.get
         mark("corpus", wall_s=time.time() - t0, num_terms=int(nt),
              num_docs=int(dm["n"]), sum_len=int(dm["s"]),
-             total_postings=int(post_obs.get["tp"] or 0))
+             total_postings=total_postings)
 
     corpus_meta = manifest["steps"]["corpus"]
     if "num_docs" in corpus_meta:

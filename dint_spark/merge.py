@@ -28,12 +28,13 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dint_spark.ids import add_dense_index
-from dint_spark.index import Index, IndexConfig, build_index
+from dint_spark.index import (Index, IndexConfig, build_index,
+                              write_postings_checkpoint)
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -183,6 +184,9 @@ def merge_indexes(
     dl = dla.unionByName(
         dlb.select((F.col("doc_id") + offset).alias("doc_id"), "len")
     )
+    dl_obs = Observation()
+    dl = dl.observe(dl_obs, F.count(F.lit(1)).alias("n"),
+                    F.sum("len").alias("s"))
     dl.write.mode("overwrite").parquet(os.path.join(out_dir, "doclens.parquet"))
 
     # ---- postings: remap term ids, offset B docs, sorted-array merge ------
@@ -195,15 +199,14 @@ def merge_indexes(
         ib.vocab(), vocab, offset,
     )
     merged = merge_postings(pa, pb)
-    (
-        merged.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, config.num_buckets),
-            "term_id",
-        )
-        .sortWithinPartitions("term_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "postings.parquet"))
-    )
+    # same deterministic pbucket layout + observe-on-write as the primary
+    # build: merged indexes get per-bucket partition pruning and a
+    # manifest-complete corpus step (no re-derivation jobs on resume)
+    num_terms = vocab.count()
+    total_postings = write_postings_checkpoint(
+        merged, os.path.join(out_dir, "postings.parquet"), num_terms,
+        config.num_buckets,
+        max(spark.sparkContext.defaultParallelism, config.num_buckets))
 
     # ---- resume the standard pipeline from the corpus checkpoint ----------
     from dataclasses import asdict
@@ -215,6 +218,10 @@ def merge_indexes(
             "corpus": {
                 "ts": time.time(),
                 "merged_from": [os.path.abspath(dir_a), os.path.abspath(dir_b)],
+                "num_terms": int(num_terms),
+                "num_docs": int(dl_obs.get["n"]),
+                "sum_len": int(dl_obs.get["s"]),
+                "total_postings": int(total_postings),
             }
         },
         "buckets": {},
