@@ -142,6 +142,7 @@ def learn_dictionaries(
     variant: str = "single",
     num_dicts: int = 2,
     total_integers: int | None = None,
+    sample_mod: int = 1,
 ) -> tuple[object, object, dict]:
     """Run the stats job + pattern selection; returns (docs_dict, freqs_dict,
     info). One Spark action; everything after the top-k collect is driver-
@@ -149,15 +150,32 @@ def learn_dictionaries(
 
     ``total_integers`` (the cost-filter denominator) is observed on the
     postings write by build_index; passing it here skips a full extra scan
-    of the postings checkpoint."""
+    of the postings checkpoint.
+
+    ``sample_mod`` > 1 collects pattern statistics from a deterministic
+    1/sample_mod sample of posting LISTS (hash(term_id, seg_id) — whole
+    rows, so gap patterns stay intact). The reference scans everything
+    (block_statistics.hpp:45-109), and sample_mod=1 keeps that parity; at
+    10^12 docs the stats pass is the only remaining full-data shuffle in
+    the build, and pattern frequencies are statistical — a 1/64 sample
+    learns a near-identical dictionary while the cost filter's
+    total_integers shrinks by the same factor (the eps threshold is
+    relative, dictionary_builders.hpp:15-38). Decode correctness never
+    depends on WHICH dictionary was learned (round-trip is exact for any
+    dict), so this trades only compression ratio, not correctness."""
+    multi = variant == "multi"
+    sampled = postings
+    if sample_mod > 1:
+        sampled = postings.where(
+            F.pmod(F.hash("term_id", "seg_id"), F.lit(sample_mod)) == 0)
+        total_integers = None  # threshold must reflect the sampled totals
     if total_integers is None:
-        total_integers = postings.select(
+        total_integers = sampled.select(
             F.sum(F.size("doc_ids")).alias("t")
         ).collect()[0]["t"] or 0
-    multi = variant == "multi"
 
     stats = (
-        collect_pattern_stats(postings, per_block_contexts=multi)
+        collect_pattern_stats(sampled, per_block_contexts=multi)
         .groupBy("stream", "sel", "pattern", "size")
         .agg(F.sum("freq").alias("freq"))
     )
@@ -219,5 +237,6 @@ def learn_dictionaries(
         "total_integers": int(total_integers),
         "variant": variant,
         "selection": selection,
+        "stats_sample_mod": int(sample_mod),
     }
     return dicts["docs"], dicts["freqs"], info

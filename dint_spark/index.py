@@ -79,10 +79,25 @@ class IndexConfig:
     # ref pack_policy) or "overlap" (B9 substring drop + greedy superstring
     # packing, ref overlap_policy; smaller artifact, slower to serialize)
     dict_compaction: str = "pack"
+    # pattern-stats sampling: 1 = scan every list (reference parity,
+    # block_statistics.hpp:45-109); S > 1 learns the dictionary from a
+    # deterministic 1/S sample of posting lists — the scale knob that makes
+    # the stats pass O(data/S) at 10^12 docs. Round-trip/query correctness
+    # is dict-agnostic; only compression ratio drifts, and only when the
+    # sample is small in ABSOLUTE terms (S=8 on the 1M-posting bench corpus
+    # measured +18% docs_bpi — tail patterns fall under the cost threshold;
+    # at 10^12 docs a 1/64 sample still counts ~10^10 postings and the
+    # 65k-entry dictionary saturates long before that).
+    stats_sample_mod: int = 1
 
     def config_hash(self) -> str:
+        d = asdict(self)
+        # default-valued late-added knobs are dropped from the hash so
+        # indexes built before the knob existed still resume cleanly
+        if d.get("stats_sample_mod", 1) == 1:
+            d.pop("stats_sample_mod", None)
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
 
@@ -284,6 +299,7 @@ def build_index(
             variant=config.dict_variant,
             num_dicts=config.num_dicts,
             total_integers=corpus_meta.get("total_postings"),
+            sample_mod=config.stats_sample_mod,
         )
         with open(dict_docs_path, "wb") as f:
             f.write(docs_dict.to_bytes(policy=config.dict_compaction))

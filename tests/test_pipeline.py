@@ -119,6 +119,33 @@ def test_resume_from_partial_checkpoint(spark, index):
         assert v["lineage"]["dict_docs"] == index.docs_dict.content_hash()
 
 
+def test_sampled_stats_build_roundtrips_exactly(spark, index):
+    """stats_sample_mod learns the dictionary from a 1/S list sample; the
+    dictionary differs but decode must still be exact and queries identical
+    to the full-stats index (correctness is dict-agnostic)."""
+    out = "/tmp/dint_spark_test_idx_sm"
+    shutil.rmtree(out, ignore_errors=True)
+    pages = generate_pages(spark, N_DOCS, seed=42)
+    idx2 = build_index(spark, pages, out,
+                       IndexConfig(num_buckets=4, input_tag="test500",
+                                   stats_sample_mod=4))
+    dec = decoded_postings(idx2)
+    post = spark.read.parquet(f"{out}/postings.parquet")
+    flat = post.select(
+        "term_id", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("p")
+    ).select("term_id", F.col("p.doc_ids").alias("doc_id"),
+             F.col("p.freqs").cast("long").alias("freq"))
+    assert dec.exceptAll(flat).count() == 0
+    assert flat.exceptAll(dec).count() == 0
+    queries = [[0, 1, 2], [3], [5, 9]]
+    a = (run_queries(spark, index, queries, algo="block_max_wand", k=10)
+         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (run_queries(spark, idx2, queries, algo="block_max_wand", k=10)
+         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_resume_from_pre_observation_manifest(spark, index):
     """Manifests written before the observe-on-write change lack
     num_docs/sum_len/num_terms/total_postings in the corpus step; resume
