@@ -247,6 +247,10 @@ def build_index(
                         F.sum("len").alias("s"))
         dl.write.mode("overwrite").parquet(doclens_path)
         vocab = vocab_df if vocab_df is not None else build_vocab(docs)
+        # term count observed on the vocab write (saves the count() job the
+        # deterministic pbucket layout needs for its bucket boundaries)
+        v_obs = Observation("vocab_agg")
+        vocab = vocab.observe(v_obs, F.count(F.lit(1)).alias("n"))
         vocab.write.mode("overwrite").parquet(vocab_path)
         # -- step 2: postings (the shuffle core), term-sorted checkpoint ----
         dl2 = spark.read.parquet(doclens_path)
@@ -263,7 +267,7 @@ def build_index(
         # round 1). pbucket doubles as a parquet partition dir, giving the
         # per-bucket encode jobs partition pruning on their term range. More
         # write partitions than buckets keeps all cores writing.
-        nt = vocab2.count()
+        nt = v_obs.get["n"]
         par = max(spark.sparkContext.defaultParallelism, config.num_buckets)
         # total postings observed on the write: the dictionary cost
         # filter needs it and would otherwise re-scan the checkpoint
