@@ -50,10 +50,22 @@ pages = generate_pages(spark, num_docs, seed=42, partitions=cores * 4)
 idx_dir = f"/tmp/dint_scaling/{{cores}}-{{os.getpid()}}"
 shutil.rmtree(idx_dir, ignore_errors=True)
 
-t0 = time.time()
-idx = build_index(spark, pages, idx_dir,
-                  IndexConfig(num_buckets=8, input_tag=f"scaling-{{num_docs}}"))
-t_build = time.time() - t0
+# best-of-N fresh builds (SCALING_BUILD_RUNS, default 1): guards the
+# cross-level ratio against a hypervisor degradation window flipping
+# mid-series (BENCH.md "Host variance")
+build_runs = int(os.environ.get("SCALING_BUILD_RUNS", "1"))
+t_build = None
+for bi in range(build_runs):
+    bdir = idx_dir if bi == build_runs - 1 else f"{{idx_dir}}-b{{bi}}"
+    shutil.rmtree(bdir, ignore_errors=True)
+    t0 = time.time()
+    idx = build_index(spark, pages, bdir,
+                      IndexConfig(num_buckets=8, input_tag=f"scaling-{{num_docs}}"))
+    tb = time.time() - t0
+    if t_build is None or tb < t_build:
+        t_build = tb
+    if bi != build_runs - 1:
+        shutil.rmtree(bdir, ignore_errors=True)
 
 vocab = idx.vocab().select("term_id", "df").toPandas()
 rng = np.random.default_rng(42)
