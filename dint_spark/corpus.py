@@ -92,6 +92,41 @@ def generate_pages(
     )
 
 
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the pages input table from any Spark source.
+
+    `source` is either a catalog table name (resolved via
+    ``spark.read.table`` — this is the Iceberg path of the north rule:
+    with an Iceberg catalog configured, ``read_pages(spark,
+    "warehouse.crawl.pages")`` reads the Iceberg table with full
+    partition pruning / snapshot semantics) or a filesystem path
+    (read as Parquet, the sandbox stand-in). Only the pages columns are
+    selected, so Catalyst prunes everything else at the scan.
+    """
+    looks_like_path = ("/" in source or source.endswith(".parquet")
+                       or source.startswith("file:"))
+    reader = (spark.read.parquet(source) if looks_like_path
+              else spark.read.table(source))
+    return reader.select(*[f.name for f in PAGES_SCHEMA.fields])
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Re-derive `text` from the raw `html` payload (strip the fixture's
+    <html><body> wrapper), byte-identical to the provided text column by
+    construction — JVM-side expressions only. Real crawl extraction would
+    replace this single column expression; everything downstream consumes
+    `text` and is unaffected.
+    """
+    from pyspark.sql import functions as F
+
+    stripped = F.regexp_replace(
+        F.decode(F.col("html"), "utf-8"),
+        r"^<html><body>|</body></html>$",
+        "",
+    )
+    return pages.withColumn("text", stripped)
+
+
 def pages_from_documents(documents: DataFrame) -> DataFrame:
     """Adapt the driver-provided `documents` table (doc_id, text, lang, source,
     n_chars) to the pages shape so the whole engine runs on it unchanged."""
