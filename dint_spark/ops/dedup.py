@@ -2,6 +2,8 @@
 
   dedup_exact            exact duplicate grouping by 60-bit text fingerprint
   dedup_ngram_jaccard    3-gram-shingle Jaccard >= 0.5 pair detection
+  dedup_cluster          connected components of the near-dup pair graph
+                         (min-label propagation) + canonical-doc selection
   dedup_minhash_lsh      MinHash (16 perms) + LSH banding (4 bands x 4 rows)
                          candidate pairs with exact-Jaccard verification
   dedup_simhash          60-bit SimHash, Hamming <= 3 pairs via 4-block
@@ -636,9 +638,135 @@ ORDER BY d.vec_a, d.vec_b
 DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
 
 
+# ---------------------------------------------------------------------------
+# dedup_cluster — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+DEDUP_CLUSTER_MAX_ITERS = 25
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the exact
+    Jaccard >= 0.5 pair graph (the complete shingle-blocked pair set of
+    dedup_ngram_jaccard), plus canonical-document selection.
+
+    The pipeline step after pair detection: a dedup job must keep ONE doc
+    per duplicate cluster, and pairs alone under-delete chains
+    (A~B, B~C but not A~C). Components are computed by min-label
+    propagation — label(d) starts at doc_id, each round takes the min over
+    neighbors, fixpoint in O(graph diameter) rounds (near-dup clusters are
+    shallow: diameter rarely exceeds a handful even at crawl scale). Each
+    round is one shuffle join + partial-agg min; the driver sees only the
+    scalar converged? count per round (Pregel-style coordination, no data
+    on the driver). Lineage is truncated every round via localCheckpoint
+    (use reliable checkpointing on a real cluster).
+
+    Output: one row per doc participating in >= 1 near-dup pair:
+    (doc_id, cluster_id = min doc_id of its component, csize, keep =
+    1 iff doc_id == cluster_id — the deterministic canonical survivor).
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(DEDUP_CLUSTER_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("lbl").alias("nbr_lbl")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nbr_lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster did not converge in {DEDUP_CLUSTER_MAX_ITERS} "
+            "rounds — component diameter exceeds the bound"
+        )
+    edges.unpersist()
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("csize"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        "csize",
+        (F.col("doc_id") == F.col("lbl")).cast("int").alias("keep"),
+    )
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE {sql_q6('i.inter / (sa.sz + sb.sz - i.inter)')}
+        >= {int(JACCARD_THRESHOLD * 1e6)}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+csizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS csize FROM lbl GROUP BY 1
+)
+SELECT l.doc_id, l.cluster_id, s.csize,
+       CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS keep
+FROM lbl l JOIN csizes s USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster": dedup_cluster,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -648,6 +776,7 @@ SPARK_QUERIES = {
 ORACLE_SQLS = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_cluster": DEDUP_CLUSTER_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,

@@ -26,6 +26,7 @@ SUBSET = [
     "lang_id",
     "text_fingerprint_winnow",
     "dedup_minhash_lsh",
+    "dedup_cluster",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
