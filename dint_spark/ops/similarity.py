@@ -9,6 +9,12 @@
                     distance, exact cosine re-rank of candidates — the
                     scale path: candidates come from bucket blocking, not
                     an all-pairs scan.
+  ann_ivf_topk      inverted-file (IVF) partitioning: vectors binned by
+                    nearest centroid (deterministic coarse quantizer,
+                    broadcast map-side assignment), queries probe the
+                    NPROBE nearest cells, exact cosine re-rank — the
+                    second scale path, complementary to LSH (cells adapt
+                    to the data distribution).
 
 Queries are the vectors with vec_id % 50 == 0 (deterministic, sf-scaled).
 
@@ -280,12 +286,143 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf_topk (inverted-file partitioning + exact re-rank)
+# ---------------------------------------------------------------------------
+
+CENT_MOD = 37  # coprime with QUERY_MOD; nlist scales with the corpus
+NPROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: corpus vectors are partitioned into inverted lists by
+    nearest centroid; each query probes only its NPROBE nearest cells and
+    exact cosine re-ranks the candidates.
+
+    Centroids are chosen deterministically (vec_id % CENT_MOD == 1 — a
+    data-driven coarse quantizer without an iterative trainer, so the SQL
+    oracle can reproduce the structure exactly; swapping in k-means
+    centroids changes only the centroid table). Assignment is a broadcast
+    of the tiny centroid table against the partitioned corpus — O(nlist)
+    map-side work per vector, NO shuffle, which is the IVF build contract
+    at any scale; the only shuffled data is the per-cell candidate join.
+    At 100 TB: nlist ~ sqrt(N) centroids broadcast once, each corpus
+    partition writes its cell assignments locally, queries touch
+    NPROBE/nlist of the corpus.
+    """
+    eqs = _emb_q(spark, sf_dir).cache()
+    cents = F.broadcast(
+        eqs.where(F.col("vec_id") % CENT_MOD == 1).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("eq").alias("c_eq"),
+            F.col("n2").alias("c_n2"),
+        )
+    )
+
+    def nearest(df, id_col, vec_col, n2_col, keep, n, out):
+        cos = F.col("__dot") / F.sqrt(
+            F.col(n2_col).cast("double") * F.col("c_n2").cast("double")
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__cos_q"), F.asc("cent_id")
+        )
+        return (
+            df.crossJoin(cents)  # broadcast nested loop = map-side O(nlist)
+            .withColumn("__dot", _dot(F.col(vec_col), F.col("c_eq")))
+            .withColumn("__cos_q", q6(cos))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= n)
+            .select(*keep, F.col("cent_id").alias(out))
+        )
+
+    assigned = nearest(eqs, "vec_id", "eq", "n2",
+                       ["vec_id", "eq", "n2"], 1, "cell")
+    qs = eqs.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+    )
+    probes = nearest(qs, "query_id", "q_eq", "q_n2",
+                     ["query_id", "q_eq", "q_n2"], NPROBE, "cell")
+    cand = assigned.join(F.broadcast(probes), "cell")
+    cos = F.col("dot") / F.sqrt(
+        F.col("q_n2").cast("double") * F.col("n2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        cand.withColumn("dot", _dot(F.col("q_eq"), F.col("eq")))
+        .withColumn("cos_q", q6(cos))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "cos_q")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH {_EMBQ_SQL.strip()},
+cents AS (SELECT vec_id AS cent_id FROM embeddings
+          WHERE vec_id % {CENT_MOD} = 1),
+cdots AS (
+  SELECT x.vec_id, c.cent_id, sum(x.c * y.c)::BIGINT AS dot
+  FROM eq x
+  JOIN cents c ON true
+  JOIN eq y ON y.vec_id = c.cent_id AND y.d = x.d
+  GROUP BY 1, 2
+),
+cscore AS (
+  SELECT d.vec_id, d.cent_id,
+         {sql_q6('d.dot / sqrt(nv.n2::DOUBLE * nc.n2::DOUBLE)')} AS cos_q
+  FROM cdots d
+  JOIN n2 nv ON nv.vec_id = d.vec_id
+  JOIN n2 nc ON nc.vec_id = d.cent_id
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_q DESC, cent_id ASC) AS r
+  FROM cscore
+),
+assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+  WHERE vec_id % {QUERY_MOD} = 0 AND r <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assigned a USING (cell)
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, sum(x.c * y.c)::BIGINT AS dot
+  FROM cand c
+  JOIN eq x ON x.vec_id = c.query_id
+  JOIN eq y ON y.vec_id = c.vec_id AND y.d = x.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         {sql_q6('d.dot / sqrt(nq.n2::DOUBLE * nv.n2::DOUBLE)')} AS cos_q
+  FROM dots d
+  JOIN n2 nq ON nq.vec_id = d.query_id
+  JOIN n2 nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, cos_q FROM (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
 SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLE_SQLS = {
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
 }

@@ -30,6 +30,7 @@ SUBSET = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "media_frame_sample",
 ]
 
