@@ -114,12 +114,44 @@ ORDER BY 1, 2
 """
 
 
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (applyInPandasWithState keyed state, see
+    dint_spark.streaming.stream_sessionize) driven availableNow over the
+    same events table — value-identical to batch events_sessionize, so it
+    shares its SQL oracle: an exact correctness check on a custom stateful
+    streaming operator."""
+    import tempfile
+
+    from dint_spark.streaming import run_sessionize_available_now
+
+    work = tempfile.mkdtemp(prefix="dint_sess_stream_")
+    staged = f"{work}/events"
+    _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("tsec")
+    ).write.mode("overwrite").parquet(staged)
+    pdf = run_sessionize_available_now(spark, staged, f"{work}/ckpt")
+    out = spark.createDataFrame(
+        pdf, "user_id bigint, session_start bigint, session_end bigint, "
+        "n_events bigint"
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("long").alias("session_idx"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
 SPARK_QUERIES = {
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
+    "events_sessionize_stream": events_sessionize_stream,
 }
 
 ORACLE_SQLS = {
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_sessionize_stream": EVENTS_SESSIONIZE_SQL,
 }

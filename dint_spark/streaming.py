@@ -156,3 +156,136 @@ def compact_incremental(
     state["compacted_batches"] = sorted(done | set(new_ids), key=int)
     _save_state(work_dir, state)
     return idx
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize — custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 600  # same gap as ops.events batch sessionize
+
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, "
+    "n_events bigint"
+)
+_SESS_STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+)
+
+
+def stream_sessionize(events, gap_s: int = SESSION_GAP_S):
+    """Streaming gap-based sessionization: a custom stateful operator via
+    applyInPandasWithState.
+
+    Input: a STREAMING DataFrame with (user_id: long, tsec: long). State
+    per user = its current disjoint session intervals (starts/ends/counts
+    — O(sessions) per user, never the raw events). Each event either opens
+    a session, extends one, or BRIDGES two adjacent sessions into one; the
+    merge is order-independent (sessions are the connected components of
+    events under |ti - tj| <= gap along the sorted axis), so late or
+    out-of-order arrivals converge to exactly the batch result —
+    ops.events.events_sessionize semantics, verified value-identical by
+    the events_sessionize_stream driver entry and pytest.
+
+    Emits the user's full current session list each micro-batch (update
+    mode): downstream keeps the latest emission per user. At scale this is
+    the standard keyed-state pattern: state lives in the state store
+    partitioned by user_id, no shuffle beyond the groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def upd(key, pdfs, state):
+        if state.exists:
+            st_starts, st_ends, st_counts = state.get
+            starts = list(st_starts)
+            ends = list(st_ends)
+            counts = list(st_counts)
+        else:
+            starts, ends, counts = [], [], []
+        for pdf in pdfs:
+            for t in pdf["tsec"]:
+                t = int(t)
+                lo, hi, n = t, t, 1
+                ks, ke, kc = [], [], []
+                for s, e, c in zip(starts, ends, counts):
+                    if s - gap_s <= t <= e + gap_s:
+                        lo, hi, n = min(lo, s), max(hi, e), n + c
+                    else:
+                        ks.append(s)
+                        ke.append(e)
+                        kc.append(c)
+                # insert the (possibly merged) session, keeping start order
+                i = 0
+                while i < len(ks) and ks[i] < lo:
+                    i += 1
+                ks.insert(i, lo)
+                ke.insert(i, hi)
+                kc.insert(i, n)
+                starts, ends, counts = ks, ke, kc
+        state.update((starts, ends, counts))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(starts),
+                "session_start": starts,
+                "session_end": ends,
+                "n_events": counts,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        upd,
+        _SESS_OUT_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = SESSION_GAP_S,
+):
+    """Drive stream_sessionize over the parquet files currently in
+    input_dir (trigger availableNow), returning the final sessions as a
+    local pandas DataFrame (latest emission per user wins). Re-running
+    after more files arrive resumes from the checkpointed state."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("tsec", T.LongType(), True),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sess = stream_sessionize(stream, gap_s=gap_s)
+    emissions: list = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        emissions.append((batch_id, batch_df.toPandas()))
+
+    q = (
+        sess.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    if not emissions:
+        return pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+    latest: dict = {}
+    for batch_id, pdf in sorted(emissions, key=lambda x: x[0]):
+        for uid, g in pdf.groupby("user_id"):
+            latest[uid] = g
+    out = pd.concat(latest.values(), ignore_index=True) if latest else (
+        emissions[-1][1]
+    )
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)

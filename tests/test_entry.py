@@ -32,6 +32,7 @@ SUBSET = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_frame_sample",
+    "events_sessionize_stream",
 ]
 
 

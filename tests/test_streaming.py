@@ -61,3 +61,65 @@ def test_stream_ingest_and_incremental_compact(spark, tmp_path):
     # ingest with nothing new is a no-op generation-wise
     idx3 = compact_incremental(spark, work_dir, cfg)
     assert idx3.dir == idx2.dir
+
+
+def test_stream_sessionize_incremental_out_of_order(spark, tmp_path):
+    """applyInPandasWithState sessionizer: wave 2 arrives later and contains
+    (a) extensions of live sessions, (b) a bridging event that MERGES two
+    sessions that were separate after wave 1, (c) a brand-new user. The
+    checkpoint-resumed second run must converge to exactly the batch
+    result over the union."""
+    import pandas as pd
+
+    from dint_spark.streaming import (
+        SESSION_GAP_S,
+        run_sessionize_available_now,
+    )
+
+    inp = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    g = SESSION_GAP_S
+
+    # user 1's wave-1 sessions end/start at 1100 and 2240 — 1.9g apart, so
+    # they stay separate until the wave-2 event at 1650 lands within g of
+    # BOTH (550 and 590) and bridges them
+    wave1 = [(1, 1000), (1, 1100), (1, 2240), (2, 500)]
+    wave2 = [(1, 1650), (2, 500 + g), (3, 42)]
+    batch_expected = {
+        1: [(1000, 2240, 4)],  # merged into ONE session
+        2: [(500, 500 + g, 2)],
+        3: [(42, 42, 1)],
+    }
+
+    def write(rows, name):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "tsec"]),
+            "user_id bigint, tsec bigint",
+        ).coalesce(1).write.parquet(f"{inp}/{name}")
+
+    import os
+
+    os.makedirs(inp)
+    write(wave1, "w1")
+    r1 = run_sessionize_available_now(spark, inp + "/*", ckpt)
+    assert len(r1[r1.user_id == 1]) == 2  # two separate sessions so far
+
+    write(wave2, "w2")
+    r2 = run_sessionize_available_now(spark, inp + "/*", ckpt)
+    got = {
+        uid: [
+            (int(r.session_start), int(r.session_end), int(r.n_events))
+            for r in grp.itertuples()
+        ]
+        for uid, grp in r2.groupby("user_id")
+    }
+    # users untouched in run 2 keep their run-1 state: merge run1 for them
+    for uid, grp in r1.groupby("user_id"):
+        got.setdefault(
+            uid,
+            [
+                (int(r.session_start), int(r.session_end), int(r.n_events))
+                for r in grp.itertuples()
+            ],
+        )
+    assert got == batch_expected
