@@ -37,19 +37,40 @@ CODEWORD_BITS = 16.0
 INITIAL_BPI = 3 * CODEWORD_BITS  # 48
 EPS = 0.0001
 
-_FOLD_C = np.uint64(0x9E3779B97F4A7C15)
+_FOLD_R = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+_FOLD_RINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_MIX_M1 = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 finalizer constants
+_MIX_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Avalanche-mix u64 values elementwise (murmur3 finalizer; wrapping)."""
+    x = np.array(x, dtype=np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= _MIX_M1
+    x ^= x >> np.uint64(29)
+    x *= _MIX_M2
+    x ^= x >> np.uint64(32)
+    return x
 
 
 def fold_hash(cols_u64: np.ndarray, s: int) -> np.ndarray:
-    """Multiply-fold u64 hash over the s u32-columns of each row (wrapping
-    arithmetic; deterministic on both dict and window side). s<=2 is packed
-    exactly (injective), so only s>=4 relies on verification."""
+    """Position-weighted u64 hash over the s u32-columns of each row:
+    ``sum_j mix64(col_j) * R^j`` (wrapping). s<=2 is packed exactly
+    (injective); for s>=4 the avalanche mixing makes both window-vs-pattern
+    false hits and pattern-vs-pattern ties ~2^-64 (the round-1 multiply
+    fold collided constantly on small-valued gap patterns — e.g. (3,0,0,0)
+    vs (0,1,0,0) — which forced the slow exact-window fallback and a
+    verify-every-window gather). Matches the prefix-sum windowed form in
+    codec._window_hashes exactly."""
     if s == 1:
         return cols_u64[:, 0].copy() if cols_u64.ndim == 2 else cols_u64
     if s == 2:
         return cols_u64[:, 0] | (cols_u64[:, 1] << np.uint64(32))
-    mult = (np.uint64(2) * np.arange(s, dtype=np.uint64) + np.uint64(1)) * _FOLD_C
-    return (cols_u64 * mult[None, :]).sum(axis=1, dtype=np.uint64)
+    rpow = np.empty(s, dtype=np.uint64)
+    rpow[0] = 1
+    np.cumprod(np.full(s - 1, _FOLD_R, dtype=np.uint64), out=rpow[1:])
+    return (mix64(cols_u64) * rpow[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def pattern_saving(size: int, freq: int, total_integers: int) -> float:

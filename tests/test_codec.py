@@ -264,3 +264,78 @@ def test_bic_decode_batch_property():
     offs = np.concatenate([[0], np.cumsum(ns)])
     for i, e in enumerate(expect):
         assert np.array_equal(got[offs[i]:offs[i + 1]], e), i
+
+
+def test_bic_encode_batch_property():
+    """Lockstep multi-block BIC encode == per-block bic_encode bytes."""
+    from dint_spark.dint.codec import bic_encode_batch
+
+    rng = np.random.default_rng(9)
+    blocks, sums = [], []
+    for t in range(300):
+        n = int(rng.integers(1, 256))
+        mode = t % 4
+        if mode == 0:
+            vals = rng.integers(0, 5, size=n)
+        elif mode == 1:
+            vals = rng.integers(0, 1 << 20, size=n)
+        elif mode == 2:
+            vals = np.zeros(n, dtype=np.int64)
+        else:
+            vals = np.minimum(rng.zipf(1.3, n).astype(np.int64) - 1, 1 << 30)
+        blocks.append(vals.astype(np.int64))
+        sums.append(int(vals.sum()))
+    refs = [bic_encode(v.astype(np.uint32), s) for v, s in zip(blocks, sums)]
+    outs = bic_encode_batch(np.concatenate(blocks),
+                            np.array([len(v) for v in blocks]),
+                            np.array(sums))
+    assert refs == outs
+    assert bic_encode_batch(np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64)) == []
+
+
+@pytest.mark.parametrize("variant", ["single", "multi"])
+@pytest.mark.parametrize("optimal", [True, False])
+def test_encode_lists_batch_byte_identity(variant, optimal):
+    """encode_lists_batch == encode_list per list, byte-for-byte (payloads
+    AND block metadata), for short/exact-256/multi-block/tail/zero-heavy/
+    big-exception lists, under single and multi dictionaries."""
+    from dint_spark.dint.codec import encode_lists_batch
+    from dint_spark.dint.dictionary import MultiDictionary, default_class_map
+
+    rng = np.random.default_rng(17)
+    lists = []
+    for t in range(60):
+        kind = t % 6
+        n = (1, int(rng.integers(2, 255)), 256,
+             int(rng.integers(257, 900)), 512, int(rng.integers(2, 1500)))[kind]
+        gaps = np.zeros(n, dtype=np.int64) if kind == 4 else \
+            np.minimum(rng.zipf(1.25, n).astype(np.int64) - 1, 1 << 17)
+        if t == 7:
+            gaps[::3] = (1 << 17) + 3  # 4-byte exceptions in full blocks
+        docs = np.cumsum(gaps + 1) - 1
+        freqs = np.minimum(rng.zipf(1.4, n).astype(np.int64), 1 << 20)
+        lists.append((docs, freqs))
+
+    pats_d = mkpats(np.concatenate(
+        [np.diff(d, prepend=-1) - 1 for d, _ in lists]).astype(np.uint32))
+    pats_f = mkpats(np.concatenate(
+        [f - 1 for _, f in lists]).astype(np.uint32))
+    fd = DintDictionary.build(pats_f)
+    if variant == "single":
+        dd = DintDictionary.build(pats_d)
+    else:
+        dd = MultiDictionary(
+            dicts=[DintDictionary.build(pats_d),
+                   DintDictionary.build(pats_d[::2])],
+            class_map=default_class_map(2))
+
+    refs = [encode_list(d, f, dd, fd, optimal=optimal) for d, f in lists]
+    outs = encode_lists_batch([d for d, _ in lists], [f for _, f in lists],
+                              dd, fd, optimal=optimal)
+    for i, (r, o) in enumerate(zip(refs, outs)):
+        assert r[0] == o[0], i
+        assert np.array_equal(r[1], o[1]), i
+        assert np.array_equal(r[2], o[2]), i
+        assert np.array_equal(r[3], o[3]), i
