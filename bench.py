@@ -161,11 +161,22 @@ def main() -> None:
                 IndexConfig(num_buckets=2, input_tag="pilot"))
     shutil.rmtree(pilot_dir, ignore_errors=True)
 
-    # ---- index build (fresh, timed) ---------------------------------------
-    t0 = time.time()
-    idx = build_index(spark, pages, out_dir, IndexConfig(
-        num_buckets=8, input_tag=f"bench-{sf}"))
-    t_build = time.time() - t0
+    # ---- index build (fresh, timed, best-of-N) -----------------------------
+    # best-of-N fresh builds (like the decode/query timings): a single
+    # timed build that lands in one of this host's degraded hypervisor
+    # windows reads as a 2-3x regression of UNCHANGED code (BENCH.md
+    # "Host variance"); N=2 keeps the whole bench under ~4 minutes
+    build_runs = max(1, int(os.environ.get("BENCH_BUILD_RUNS", "2")))
+    t_build = float("inf")
+    for bi in range(build_runs):
+        bdir = out_dir if bi == build_runs - 1 else f"{out_dir}-b{bi}"
+        shutil.rmtree(bdir, ignore_errors=True)
+        t0 = time.time()
+        idx = build_index(spark, pages, bdir, IndexConfig(
+            num_buckets=8, input_tag=f"bench-{sf}"))
+        t_build = min(t_build, time.time() - t0)
+        if bi != build_runs - 1:
+            shutil.rmtree(bdir, ignore_errors=True)
     timings["index_build"] = t_build
     m = idx.metrics()
     num_docs = m["num_docs"]

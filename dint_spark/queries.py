@@ -785,6 +785,29 @@ def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
     return cursors
 
 
+def read_query_log(path: str, vocab_mod: int | None = None
+                   ) -> list[list[int]]:
+    """Parse a reference-format query log: one query per line, whitespace-
+    separated decimal term ids (ref src/queries.cpp:117-130 reads
+    term_id_vec per line; test/test_data/queries is the repo's bundled
+    500-query set). Blank lines are skipped. ``vocab_mod`` optionally folds
+    the source vocabulary onto a target vocabulary of that size (tid %
+    vocab_mod) so a foreign query log can drive an index built over a
+    different corpus — the mapping is deterministic and documented
+    wherever it is used."""
+    out: list[list[int]] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            terms = [int(t) for t in parts]
+            if vocab_mod:
+                terms = [t % vocab_mod for t in terms]
+            out.append(terms)
+    return out
+
+
 def run_queries(
     spark: SparkSession,
     index,
