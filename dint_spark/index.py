@@ -475,6 +475,39 @@ class Index:
             self._vocab_map = dict(zip(pdf["term"], pdf["term_id"]))
         return {w: self._vocab_map[w] for w in words if w in self._vocab_map}
 
+    def record_decode_metrics(self, parallelism: int | None = None) -> dict:
+        """Decode every bucket (index partition), verify completeness, and
+        persist per-bucket decode-rate metrics into manifest.json next to
+        the encode-time compression metrics — the north rule's
+        "compression-ratio/decode-rate metrics persisted per partition"
+        (the reference logs both sides per run, vroom_env/encode.cpp:97-108
+        + decode.cpp:47-70; here the decode side is a separate validation
+        job so the build path stays single-pass).
+
+        Raises ValueError if any bucket decodes to a different posting
+        count than the manifest recorded at encode time (a truncated or
+        corrupted partition). Returns {bucket: metrics} with lists,
+        postings, in-loop decode_secs, ints_per_sec_core and a
+        content checksum (stable across re-runs — re-running and comparing
+        checksums is the cheap periodic integrity probe)."""
+        from dint_spark.queries import bucket_decode_metrics
+
+        stats = bucket_decode_metrics(self, parallelism=parallelism)
+        buckets = self.manifest["buckets"]
+        for k, meta in buckets.items():
+            got = stats.get(int(k))
+            if got is None or got["postings"] != meta["postings"] \
+                    or got["lists"] != meta["lists"]:
+                raise ValueError(
+                    f"bucket {k}: decoded "
+                    f"{got and (got['lists'], got['postings'])} != encoded "
+                    f"({meta['lists']}, {meta['postings']}) — partition "
+                    "truncated or corrupted")
+            meta["decode"] = got
+        _atomic_write_json(os.path.join(self.dir, "manifest.json"),
+                           self.manifest)
+        return stats
+
     def metrics(self) -> dict:
         b = self.manifest["buckets"]
         postings = sum(v["postings"] for v in b.values())

@@ -1230,6 +1230,125 @@ DECODE_RATE_SCHEMA = T.StructType([
     T.StructField("decode_secs", T.DoubleType(), False),
 ])
 
+BUCKET_DECODE_SCHEMA = T.StructType([
+    T.StructField("bucket", T.LongType(), False),
+    T.StructField("lists", T.LongType(), False),
+    T.StructField("postings", T.LongType(), False),
+    T.StructField("decode_secs", T.DoubleType(), False),
+    T.StructField("checksum", T.LongType(), False),
+])
+
+
+_U64_MASK = (1 << 64) - 1
+
+
+def _decode_checksum(docs: np.ndarray, freqs: np.ndarray) -> int:
+    """Order-independent content checksum of a decoded posting span:
+    3*sum(docid) + sum(freq) + sum(docid*freq) mod 2^64 (the cross term
+    detects docid<->freq pairing corruption that the plain sums miss).
+    Commutative, so partial sums from any task/batch order agree. Array
+    reductions wrap silently in u64; the final combine is python-int math
+    masked to 64 bits (no numpy scalar-overflow warnings)."""
+    d = docs.astype(np.uint64)
+    f = freqs.astype(np.uint64)
+    return (3 * int(d.sum()) + int(f.sum()) + int((d * f).sum())) & _U64_MASK
+
+
+def bucket_decode_metrics(index, parallelism: int | None = None
+                          ) -> dict[int, dict]:
+    """Per-bucket (per index partition) decode metrics under the vroom
+    in-loop protocol: lists, postings, summed in-loop decode seconds,
+    ints/sec/core, and a content checksum. The north rule requires
+    decode-rate metrics persisted per partition alongside the
+    compression ratios — Index.record_decode_metrics runs this job,
+    verifies the decoded posting counts against the encode-time manifest
+    counts, and persists the result into manifest.json."""
+    import time as _time
+
+    from dint_spark.dint.codec import BLOCK_SIZE, decode_list_bulk
+
+    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dd = docs_dict_bc.value
+        fd = freqs_dict_bc.value
+        # bucket -> [lists, postings, secs, checksum(u64 as python int)]
+        per: dict[int, list] = {}
+        bufs: dict[int, _ShortListBuffer] = {}
+
+        def flush(b: int) -> None:
+            buf = bufs[b]
+            acc = per.setdefault(b, [0, 0, 0.0, 0])
+            t0 = _time.perf_counter()
+            docs, freqs, _, ns, _ = buf._take()
+            acc[2] += _time.perf_counter() - t0
+            acc[0] += len(ns)
+            acc[1] += int(ns.sum())
+            acc[3] = (acc[3] + _decode_checksum(docs, freqs)) & _U64_MASK
+
+        for pdf in batches:
+            for b, sub in pdf.groupby("bucket"):
+                b = int(b)
+                acc = per.setdefault(b, [0, 0, 0.0, 0])
+                ns = sub["n"].to_numpy()
+                sm = ns < BLOCK_SIZE
+                if sm.any():
+                    buf = bufs.setdefault(b, _ShortListBuffer())
+                    buf.add(sub, sm, ns)
+                    if buf.count >= 8192:
+                        flush(b)
+                for row in sub[~sm].itertuples():
+                    payload = bytes(row.payload)
+                    n = int(row.n)
+                    bmax = np.asarray(row.block_maxs, dtype=np.int64)
+                    endp = np.asarray(row.endpoints, dtype=np.int64)
+                    foff = np.asarray(row.freq_offsets, dtype=np.int64)
+                    t0 = _time.perf_counter()
+                    docs, freqs = decode_list_bulk(payload, n, bmax, endp,
+                                                   foff, dd, fd)
+                    acc[2] += _time.perf_counter() - t0
+                    acc[0] += 1
+                    acc[1] += n
+                    acc[3] = (acc[3] + _decode_checksum(docs, freqs)) \
+                        & _U64_MASK
+        for b, buf in bufs.items():
+            if buf.count:
+                flush(b)
+        if per:
+            # u64 checksum -> signed i64 for the Long column (re-wrapped
+            # on the driver side)
+            yield pd.DataFrame(
+                [(b, a[0], a[1], a[2], int(np.int64(np.uint64(a[3]))))
+                 for b, a in per.items()],
+                columns=[f.name for f in BUCKET_DECODE_SCHEMA.fields])
+
+    seg = index.segments.select(
+        "bucket", "n", "block_maxs", "endpoints", "freq_offsets", "payload")
+    if parallelism:
+        seg = seg.repartition(parallelism, "bucket")
+    rows = (seg.mapInPandas(run, schema=BUCKET_DECODE_SCHEMA)
+            .groupBy("bucket")
+            .agg(F.sum("lists").alias("lists"),
+                 F.sum("postings").alias("postings"),
+                 F.sum("decode_secs").alias("decode_secs"),
+                 F.sum("checksum").alias("checksum"))
+            .collect())
+    out: dict[int, dict] = {}
+    for r in rows:
+        secs = float(r["decode_secs"])
+        out[int(r["bucket"])] = {
+            "lists": int(r["lists"]),
+            "postings": int(r["postings"]),
+            "decode_secs": round(secs, 4),
+            # docs + freqs streams, like the vroom protocol
+            "ints_per_sec_core": round(2 * int(r["postings"]) / secs)
+            if secs > 0 else None,
+            # partial u64 checksums summed as wrapped i64 by Spark: re-wrap
+            "checksum": int(np.uint64(np.int64(r["checksum"]))),
+        }
+    return out
+
 
 class _ShortListBuffer:
     """Accumulates short (single-block BIC) segment rows across Arrow

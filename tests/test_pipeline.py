@@ -241,3 +241,37 @@ def test_query_latency_protocol(spark, index):
     assert st["n"] == len(queries) * 2
     assert 0 < st["q50_us"] <= st["q90_us"] <= st["q95_us"]
     assert st["avg_us"] > 0
+
+
+def test_record_decode_metrics_per_bucket(spark, index):
+    """North rule: decode-rate metrics persisted per partition. Decoding
+    every bucket must (a) reproduce the encode-time list/posting counts,
+    (b) persist rate + checksum per bucket into manifest.json, and (c)
+    yield identical checksums on a second run (the integrity probe)."""
+    import json
+
+    stats = index.record_decode_metrics()
+    assert set(stats) == {int(k) for k in index.manifest["buckets"]}
+    m = json.load(open(IDX_DIR + "/manifest.json"))
+    for k, meta in m["buckets"].items():
+        d = meta["decode"]
+        assert d["postings"] == meta["postings"]
+        assert d["lists"] == meta["lists"]
+        assert d["ints_per_sec_core"] > 0
+        assert d["checksum"] == stats[int(k)]["checksum"]
+    again = index.record_decode_metrics()
+    assert {k: v["checksum"] for k, v in again.items()} == \
+           {k: v["checksum"] for k, v in stats.items()}
+
+
+def test_record_decode_metrics_detects_count_mismatch(spark, index):
+    """A tampered encode-time posting count must be caught (stands in for
+    a truncated/corrupted partition, which would decode short)."""
+    import copy
+
+    idx2 = load_index(spark, IDX_DIR)
+    idx2.manifest = copy.deepcopy(idx2.manifest)
+    first = next(iter(idx2.manifest["buckets"]))
+    idx2.manifest["buckets"][first]["postings"] += 1
+    with pytest.raises(ValueError, match="truncated or corrupted"):
+        idx2.record_decode_metrics()
