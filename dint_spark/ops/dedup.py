@@ -207,34 +207,35 @@ ORDER BY doc_a, doc_b
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).cache()
+    # All 16 permutation minima are parallel aggregates of ONE
+    # map-side-combined hash agg over the distinct shingle rows (plus the
+    # distinct-shingle count reused for exact Jaccard below) — no 16x
+    # param crossJoin row blowup, no second pivot aggregation. At 100 TB
+    # this is one shuffle of |distinct shingles| rows carrying 17 longs,
+    # with partial min/count combining on the map side.
     shh = sh.withColumn("h", hash60(F.col("shingle")) % F.lit(MINHASH_P))
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)],
-        ["i", "a", "b"],
-    )
-    mh = (
-        shh.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P)
-            ).alias("mh")
+    mins = [
+        F.min(
+            (F.lit(a).cast("long") * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    per_doc = shh.groupBy("doc_id").agg(
+        *mins, F.count("*").cast("long").alias("sz")).cache()
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bnd).cast("int").alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"mh{bnd * MINHASH_ROWS + j}").cast("string")
+                for j in range(MINHASH_ROWS)
+            ]).alias("sig"),
         )
-    )
-    sig = (
-        mh.withColumn("band", (F.col("i") / MINHASH_ROWS).cast("int"))
-        .withColumn("r", F.col("i") % MINHASH_ROWS)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                *[
-                    F.max(F.when(F.col("r") == j, F.col("mh"))).cast("string")
-                    for j in range(MINHASH_ROWS)
-                ],
-            ).alias("sig")
-        )
-    )
+        for bnd in range(MINHASH_BANDS)
+    ])
+    sig = per_doc.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -249,7 +250,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    sizes = per_doc.select("doc_id", "sz")
     ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
