@@ -157,6 +157,26 @@ def main() -> None:
         "shuffle — the IVF contract; cells scanned per query = NPROBE).",
     ))
 
+    # 7. dedup_minhash_lsh: the signature build must be ONE aggregation of
+    # the shingle rows (16 parallel min aggregates, map-side combined) —
+    # no param crossJoin (would show as a Generate/Join blowing rows 16x)
+    # and no second pivot aggregate over (doc_id, i).
+    from dint_spark.ops.dedup import dedup_minhash_lsh
+
+    p7 = plan_of(dedup_minhash_lsh(spark, SF))
+    ok7 = ("CartesianProduct" not in p7
+           and "BroadcastNestedLoopJoin" not in p7)
+    sections.append((
+        "dedup_minhash_lsh: single-agg signatures, hash joins only",
+        _join_shapes(p7),
+        ok7,
+        "all 16 permutation minima + the distinct-shingle count are "
+        "parallel aggregates of one partial+final HashAggregate over the "
+        "shingle rows; band signatures come from a Generate over the "
+        "4-struct literal array; candidate and verify joins are "
+        "hash/sort-merge joins on (band, sig) and (doc, shingle).",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")
