@@ -238,7 +238,15 @@ def build_index(
         if corpus_docs is not None:
             docs = corpus_docs.select("doc_id", "tokens")
         else:
-            docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
+            # slim BEFORE the dense-id sort: only (url, text) enter the
+            # range shuffle + persists + the Arrow/Python round trip of
+            # add_dense_index — html/warc_ts/lang are pruned at the scan
+            # (never read from parquet input) instead of riding through
+            # every corpus stage; tokenize runs JVM-side AFTER ids, in the
+            # same stage as the docs persist. Measured: 1M-doc corpus
+            # phase dropped ~4x (BENCH.md "1M-doc absolute-scale run").
+            docs = tokenize(assign_doc_ids(pages.select("url", "text"))
+                            ).select("doc_id", "tokens")
         docs = docs.persist()
         dl = doclens(docs)
         # observe the write instead of re-aggregating later: num_docs and

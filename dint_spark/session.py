@@ -40,6 +40,23 @@ def get_spark(
         # local mode: the driver JVM IS the executor; the 1g default heap
         # thrashes GC at local[32] (measured: local[32] slower than local[8])
         .config("spark.driver.memory", driver_mem)
+    )
+    if master.startswith("local-cluster["):
+        # local-cluster[N,cores,mem] sizes the WORKER, but executors still
+        # launch with the spark.executor.memory DEFAULT of 1g (-Xmx1024M) —
+        # a 1M-doc build crash-looped executors on heap OOM while each
+        # 16 GiB worker sat mostly empty. Claim the worker's allocation,
+        # minus headroom for the python UDF workers that live OUTSIDE the
+        # JVM heap (they do the numpy encode/kernel work and need real
+        # memory of their own).
+        try:
+            worker_mb = int(master.rstrip("]").split(",")[2])
+            builder = builder.config(
+                "spark.executor.memory", f"{max(1024, worker_mb * 3 // 4)}m")
+        except (IndexError, ValueError):
+            pass
+    builder = (
+        builder
         # AQE: runtime coalescing + skew-join splitting on top of our explicit
         # salting (defence in depth at 100 TB).
         .config("spark.sql.adaptive.enabled", "true")

@@ -57,7 +57,10 @@ def build_sharded_index(
             man = json.load(f)
     else:
         # ---- global corpus pass (one job family, checkpointed) -----------
-        docs = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
+        # slim projection before the dense-id sort (same rationale as
+        # index.build_index: only url+text enter the shuffle/persists)
+        docs = tokenize(assign_doc_ids(pages.select("url", "text"))
+                        ).select("doc_id", "tokens")
         docs = docs.persist()
         doclens(docs).write.mode("overwrite").parquet(dl_path)
         build_vocab(docs).write.mode("overwrite").parquet(vocab_path)
@@ -96,7 +99,7 @@ def build_sharded_index(
                 pass
         if docs_all is None:
             docs_all = (
-                assign_doc_ids(tokenize(pages))
+                tokenize(assign_doc_ids(pages.select("url", "text")))
                 .select("doc_id", "tokens")
                 .persist()
             )

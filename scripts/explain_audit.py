@@ -76,7 +76,8 @@ def main() -> None:
     ))
 
     # 2. postings build: partial hash agg before the shuffle
-    toks = assign_doc_ids(tokenize(pages)).select("doc_id", "tokens")
+    toks = tokenize(assign_doc_ids(pages.select("url", "text"))
+                    ).select("doc_id", "tokens")
     vocab = build_vocab(toks)
     dl = doclens(toks)
     post = build_postings(term_doc_freqs(toks, vocab), dl)
