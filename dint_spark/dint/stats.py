@@ -54,15 +54,24 @@ STATS_SCHEMA = T.StructType(
 
 
 def _window_blobs(vals: np.ndarray, pend: dict, sel: int) -> None:
-    """Append the aligned windows of each target size (as void blobs) to the
-    pending per-(sel,size) arrays — no per-window python work."""
+    """Append the aligned windows of each target size to the pending
+    per-(sel,size) arrays — no per-window python work. Sizes 1/2 stay
+    numeric (<u4 / <u8): np.unique's numeric sort is 3-30x faster than the
+    memcmp sort over void blobs, and those two sizes carry 75% of the
+    window volume (1 + 1/2 of the stream vs 1/4+1/8+1/16 for the rest)."""
     m = len(vals)
     vals = np.ascontiguousarray(vals, dtype="<u4")
     for s in TARGET_SIZES:
         nwin = m // s
         if nwin == 0:
             continue
-        blobs = vals[: nwin * s].reshape(nwin, s).view(f"V{4 * s}").ravel()
+        w = vals[: nwin * s].reshape(nwin, s)
+        if s == 1:
+            blobs = w.ravel()
+        elif s == 2:
+            blobs = w.view("<u8").ravel()
+        else:
+            blobs = w.view(f"V{4 * s}").ravel()
         pend.setdefault((sel, s), []).append(blobs)
 
 
@@ -76,19 +85,43 @@ def _collect_stream(vals: np.ndarray, pend: dict, per_block: bool) -> None:
         _window_blobs(block, pend, sel)
 
 
-def _merge_pending(pend: dict, acc: dict) -> None:
-    """One np.unique per (sel,size) over the whole batch, then one python
-    pass over the (few) distinct patterns — replaces per-list dict loops
-    (measured: the python accumulation dominated the stats job)."""
-    for (sel, s), lst in pend.items():
+def _merge_pending(pend: dict, acc: dict) -> int:
+    """One np.unique per (sel,size) over the batch's windows, appended to
+    the per-task (uniq, counts) buffers — fully vectorized, no per-pattern
+    python loop (measured: the python dict accumulation dominated the
+    stats job before Catalyst even saw a row). Returns buffered entries."""
+    buffered = 0
+    for key, lst in pend.items():
         blobs = lst[0] if len(lst) == 1 else np.concatenate(lst)
         uniq, counts = np.unique(blobs, return_counts=True)
-        ub = uniq.tobytes()
-        w = 4 * s
-        for i, cnt in enumerate(counts.tolist()):
-            k2 = (ub[i * w: (i + 1) * w], s, sel)
-            acc[k2] = acc.get(k2, 0) + cnt
+        ulist, clist = acc.setdefault(key, ([], []))
+        ulist.append(uniq)
+        clist.append(counts)
     pend.clear()
+    for ulist, _ in acc.values():
+        buffered += sum(len(u) for u in ulist)
+    return buffered
+
+
+def _compact_acc(acc: dict) -> None:
+    """Collapse the buffered per-batch (uniq, counts) pairs of each
+    (sel,size) into one pair: re-unique the concatenated uniqs and sum the
+    counts through the inverse index (bincount on float64 is exact to
+    2^53, far above any task's posting count)."""
+    for key, (ulist, clist) in acc.items():
+        if len(ulist) <= 1:
+            continue
+        u = np.concatenate(ulist)
+        c = np.concatenate(clist)
+        uniq, inv = np.unique(u, return_inverse=True)
+        cnt = np.bincount(inv.ravel(), weights=c.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        acc[key] = ([uniq], [cnt])
+
+
+# buffered distinct entries per task before an in-task compaction pass —
+# bounds worker memory on giant partitions while keeping merges vectorized
+_COMPACT_THRESHOLD = 8_000_000
 
 
 def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
@@ -109,18 +142,33 @@ def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
                 fvals = np.asarray(freqs, dtype=np.int64) - 1
                 _collect_stream(fvals.astype(np.uint32), pend_freqs,
                                 per_block_contexts)
-            # merge once per Arrow batch: bounds pending-buffer memory while
-            # amortizing np.unique over thousands of lists
-            _merge_pending(pend_docs, acc_docs)
-            _merge_pending(pend_freqs, acc_freqs)
-        rows = []
+            # unique once per Arrow batch: bounds pending-buffer memory
+            # while amortizing np.unique over thousands of lists
+            n = _merge_pending(pend_docs, acc_docs)
+            n += _merge_pending(pend_freqs, acc_freqs)
+            if n > _COMPACT_THRESHOLD:
+                _compact_acc(acc_docs)
+                _compact_acc(acc_freqs)
         for stream, acc in (("docs", acc_docs), ("freqs", acc_freqs)):
-            for (pat, size, sel), freq in acc.items():
-                rows.append((stream, sel, pat, size, freq))
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["stream", "sel", "pattern", "size", "freq"]
-            )
+            _compact_acc(acc)
+            for (sel, s), (ulist, clist) in acc.items():
+                if not ulist or not len(ulist[0]):
+                    continue
+                uniq, counts = ulist[0], clist[0]
+                w = 4 * s
+                ub = uniq.tobytes()
+                # the only per-pattern python work left in the task: bytes
+                # objects for the final distinct patterns of the partition
+                pats = [ub[i * w: i * w + w] for i in range(len(uniq))]
+                yield pd.DataFrame(
+                    {
+                        "stream": stream,
+                        "sel": np.full(len(uniq), sel, np.int32),
+                        "pattern": pats,
+                        "size": np.full(len(uniq), s, np.int32),
+                        "freq": counts,
+                    }
+                )
 
     # the postings checkpoint is term-range-sorted, so head-term files hold
     # orders of magnitude more postings than tail files; without a spread

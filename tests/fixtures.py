@@ -14,7 +14,7 @@ import numpy as np
 from dint_spark.bm25 import BM25
 from dint_spark.dint.codec import encode_list
 from dint_spark.dint.dictionary import DintDictionary, select_patterns_dsf
-from dint_spark.dint.stats import _merge_pending, _window_blobs
+from dint_spark.dint.stats import _compact_acc, _merge_pending, _window_blobs
 from dint_spark.queries import Cursor, _qtw
 
 VOCAB = 2000
@@ -79,7 +79,12 @@ def build_dicts(plists) -> tuple[DintDictionary, DintDictionary]:
     _merge_pending(pend_freqs, acc_freqs)
     out = []
     for acc in (acc_docs, acc_freqs):
-        stats = [(pat, size, freq) for (pat, size, _), freq in acc.items()]
+        _compact_acc(acc)
+        stats = []
+        for (_, size), (ulist, clist) in acc.items():
+            ub, w = ulist[0].tobytes(), 4 * size
+            stats += [(ub[i * w: i * w + w], size, int(c))
+                      for i, c in enumerate(clist[0].tolist())]
         out.append(DintDictionary.build(select_patterns_dsf(stats, total)))
     return out[0], out[1]
 

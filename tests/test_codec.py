@@ -339,3 +339,63 @@ def test_encode_lists_batch_byte_identity(variant, optimal):
         assert np.array_equal(r[1], o[1]), i
         assert np.array_equal(r[2], o[2]), i
         assert np.array_equal(r[3], o[3]), i
+
+
+def test_pattern_stats_vectorized_oracle():
+    """The vectorized stats accumulator (numeric-dtype uniques for sizes
+    1-2, deferred bincount merge) must count exactly what a brute-force
+    per-window dict counts, in both single and per-block-context modes
+    (ref statistics_collectors.hpp:82-119: the 'adjusted' collector)."""
+    from dint_spark.dint import stats as S
+
+    rng = np.random.default_rng(3)
+    lists = []
+    for _ in range(120):
+        length = max(1, min(int(rng.zipf(1.3) * 5), 3000))
+        docs = np.sort(rng.choice(50_000, size=min(length, 40_000),
+                                  replace=False))
+        freqs = rng.integers(1, 300, len(docs))
+        lists.append((docs.astype(np.int64), freqs.astype(np.int64)))
+
+    for per_block in (False, True):
+        oracle: dict = {}
+        for docs, freqs in lists:
+            for stream, vals in (("docs", np.diff(docs, prepend=-1) - 1),
+                                 ("freqs", freqs - 1)):
+                vals = vals.astype(np.uint32)
+                blocks = ([vals[i:i + S.BLOCK_SIZE]
+                           for i in range(0, len(vals), S.BLOCK_SIZE)]
+                          if per_block else [vals])
+                for b in blocks:
+                    sel = (S.selector_class(int(b.max()))
+                           if per_block and len(b) else 0)
+                    for s in S.TARGET_SIZES:
+                        for i in range(len(b) // s):
+                            pat = np.ascontiguousarray(
+                                b[i * s:(i + 1) * s], dtype="<u4").tobytes()
+                            k = (stream, sel, pat, s)
+                            oracle[k] = oracle.get(k, 0) + 1
+
+        acc_d: dict = {}
+        acc_f: dict = {}
+        pend_d: dict = {}
+        pend_f: dict = {}
+        got: dict = {}
+        for docs, freqs in lists:
+            gaps = np.diff(docs, prepend=-1) - 1
+            S._collect_stream(gaps.astype(np.uint32), pend_d, per_block)
+            S._collect_stream((freqs - 1).astype(np.uint32), pend_f,
+                              per_block)
+            # merge mid-stream too, so the multi-chunk compaction path runs
+            if len(pend_d) > 4:
+                S._merge_pending(pend_d, acc_d)
+                S._merge_pending(pend_f, acc_f)
+        S._merge_pending(pend_d, acc_d)
+        S._merge_pending(pend_f, acc_f)
+        for stream, acc in (("docs", acc_d), ("freqs", acc_f)):
+            S._compact_acc(acc)
+            for (sel, s), (ulist, clist) in acc.items():
+                ub, w = ulist[0].tobytes(), 4 * s
+                for i, c in enumerate(clist[0].tolist()):
+                    got[(stream, sel, ub[i * w:i * w + w], s)] = c
+        assert got == oracle
