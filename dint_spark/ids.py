@@ -9,7 +9,14 @@ range-partition trick:
   1. repartitionByRange + sortWithinPartitions on the order keys (one
      shuffle; this is a distributed sort, partition count scales with data)
   2. count rows per partition (tiny collect of P longs)
-  3. mapInPandas adds offset[pid] + running position within the partition
+  3. index = offset[pid] + position-within-partition, ALL JVM-side:
+     monotonically_increasing_id() on the sorted stream encodes
+     (partition << 33 | row), so the in-partition position is
+     (mid & (2^33-1)) and the per-partition offsets arrive via a
+     broadcast join on a P-row table. No Arrow/Python round trip — the
+     payload columns (the full document text in the corpus pass) never
+     leave the JVM (measured: the previous mapInPandas offset pass was
+     ~40% of the ids+tokenize step at 100k docs).
 
 The ranged DataFrame is persisted between the two passes so the sampled
 range boundaries are computed exactly once (determinism), then unpersisted
@@ -18,12 +25,8 @@ by the caller via the returned handle.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def add_dense_index(
@@ -46,38 +49,35 @@ def add_dense_index(
     # upstream pipeline (measured: dominated the corpus phase, and got
     # worse with more cores)
     src = df.persist()
+    # monotonically_increasing_id() is evaluated in the same codegen stage
+    # as the partition sort, so it numbers rows in the SORTED order:
+    # mid = (partition_index << 33) | row_in_partition.
     ranged = (
         src.repartitionByRange(num_partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
         .persist()
     )
     counts = {r["__pid"]: r["cnt"] for r in
               ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     src.unpersist()
-    offsets = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
 
-    out_schema = T.StructType(
-        [f for f in ranged.schema.fields if f.name != "__pid"]
-        + [T.StructField(index_col, T.LongType(), False)]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    cols = [f.name for f in df.schema.fields]
+    result = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            index_col,
+            F.col("__off") + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .select(*cols, index_col)
     )
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos = 0  # running row position within this partition
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = offsets[int(pdf["__pid"].iloc[0])]
-            out = pdf.drop(columns=["__pid"]).copy()
-            out[index_col] = range(base + pos, base + pos + len(pdf))
-            pos += len(pdf)
-            yield out
-
-    result = ranged.mapInPandas(assign, schema=out_schema)
     # NB: caller should materialize `result` (e.g. write/cache) before long
     # pipelines; `ranged` stays persisted until spark GC / explicit unpersist.
     return result

@@ -168,20 +168,31 @@ def write_postings_checkpoint(
     num_terms: int,
     num_buckets: int,
     par: int,
+    pre_arranged: bool = False,
 ) -> int:
     """Write the postings checkpoint in the deterministic term-range layout:
     pbucket = term_id // terms_per_bucket partition dirs (partition pruning
     for the per-bucket encode jobs; no RangePartitioner sampling pass since
     term ids are dense 0..V-1), term-sorted files within each dir. Returns
-    the total posting count, observed on the write job itself."""
+    the total posting count, observed on the write job itself.
+
+    ``pre_arranged=True`` skips the shuffle+sort: the fresh-build path's
+    assembly pass (postings.build_postings) already emits rows partitioned
+    by (term_id, seg) and term-sorted within each partition, so the
+    partitionBy write here needs no second full shuffle of the postings
+    table (each task writes its slice of every pbucket dir it holds).
+    Merge/compaction paths pass False and pay the arranging shuffle."""
     tpb = max(1, -(-num_terms // num_buckets))
     obs = Observation()
+    df = postings.withColumn(
+        "pbucket", (F.col("term_id") / F.lit(tpb)).cast("int"))
+    if not pre_arranged:
+        df = (
+            df.repartition(par, "pbucket", F.col("term_id") % F.lit(par))
+            .sortWithinPartitions("term_id", "seg_id")
+        )
     (
-        postings.withColumn(
-            "pbucket", (F.col("term_id") / F.lit(tpb)).cast("int"))
-        .repartition(par, "pbucket", F.col("term_id") % F.lit(par))
-        .sortWithinPartitions("term_id", "seg_id")
-        .observe(obs, F.sum(F.size("doc_ids")).alias("tp"))
+        df.observe(obs, F.sum(F.size("doc_ids")).alias("tp"))
         .write.mode("overwrite")
         .partitionBy("pbucket")
         .parquet(path)
@@ -269,8 +280,10 @@ def build_index(
         # seg-assignment counts and the main assembly), and without the
         # persist the explode+agg+vocab-join pipeline runs twice
         tdf = term_doc_freqs(docs, vocab2).persist()
+        par0 = max(spark.sparkContext.defaultParallelism, config.num_buckets)
         postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk,
-                                  seg_chunk=config.seg_chunk)
+                                  seg_chunk=config.seg_chunk,
+                                  num_partitions=par0)
         # DETERMINISTIC term-range layout: term ids are dense 0..V-1, so the
         # bucket boundaries are known without RangePartitioner's sampling
         # pass (which re-materialized the whole persisted postings table in
@@ -278,11 +291,11 @@ def build_index(
         # per-bucket encode jobs partition pruning on their term range. More
         # write partitions than buckets keeps all cores writing.
         nt = v_obs.get["n"]
-        par = max(spark.sparkContext.defaultParallelism, config.num_buckets)
         # total postings observed on the write: the dictionary cost
         # filter needs it and would otherwise re-scan the checkpoint
         total_postings = write_postings_checkpoint(
-            postings, postings_path, int(nt), config.num_buckets, par)
+            postings, postings_path, int(nt), config.num_buckets, par0,
+            pre_arranged=True)
         tdf.unpersist()
         docs.unpersist()
         dm = dl_obs.get

@@ -125,6 +125,7 @@ def build_postings(
     doclens: DataFrame,
     skew_chunk: int = DEFAULT_SKEW_CHUNK,
     seg_chunk: int = DEFAULT_SEG_CHUNK,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """postings(term_id, seg_id, df, doc_ids, freqs, lens), doc_ids strictly
     increasing within a row; a term's rows (ordered by seg_id) cover
@@ -165,11 +166,16 @@ def build_postings(
     # survives a 100 TB corpus; Spark's external sort spills, an
     # aggregation map does not. (Salt ranges increase with doc_id, so
     # sorting by (term, seg, doc) keeps each seg's docs contiguous+sorted.)
+    keyed = salted.join(segmap, ["term_id", "salt"]).select(
+        "term_id", F.col("seg_id").alias("salt"), "doc_id", "tf", "len")
+    rep = (keyed.repartition(num_partitions, "term_id", "salt")
+           if num_partitions else keyed.repartition("term_id", "salt"))
+    # NB: assembly output is sorted by term_id within each partition (the
+    # sortWithinPartitions order survives mapInPandas), so the checkpoint
+    # write can lay out pbucket dirs WITHOUT a second shuffle
+    # (index.write_postings_checkpoint pre_arranged=True).
     chunks = (
-        salted.join(segmap, ["term_id", "salt"])
-        .select("term_id", F.col("seg_id").alias("salt"), "doc_id", "tf", "len")
-        .repartition("term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
+        rep.sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInPandas(_assemble_chunks, schema=CHUNK_SCHEMA)
     )
 
