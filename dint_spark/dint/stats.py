@@ -53,12 +53,36 @@ STATS_SCHEMA = T.StructType(
 )
 
 
+# u64-packing bit budget per window size: windows whose values ALL fit the
+# budget sort as numeric u64 keys (np.unique numeric sort ~5-15x faster than
+# the memcmp sort over void blobs); the rest fall back to void. Whether a
+# window packs depends only on its own values, so a given pattern always
+# lands in the same (packed | void) class in every task and the downstream
+# groupBy still merges exact counts.
+_PACK_BITS = {4: 16, 8: 8, 16: 4}
+
+
+def _unpack_keys(keys: np.ndarray, s: int, bits: int) -> np.ndarray:
+    """u64 keys -> (n, s) u32 windows (exact inverse of _pack_windows)."""
+    k = np.ascontiguousarray(keys, dtype="<u8")
+    if bits == 16:
+        return k.view("<u2").reshape(-1, s).astype("<u4")
+    if bits == 8:
+        return k.view("<u1").reshape(-1, s).astype("<u4")
+    b = k.view("<u1").reshape(-1, s // 2)
+    out = np.empty((len(k), s), dtype="<u4")
+    out[:, 0::2] = b & 0xF
+    out[:, 1::2] = b >> 4
+    return out
+
+
 def _window_blobs(vals: np.ndarray, pend: dict, sel: int) -> None:
     """Append the aligned windows of each target size to the pending
-    per-(sel,size) arrays — no per-window python work. Sizes 1/2 stay
-    numeric (<u4 / <u8): np.unique's numeric sort is 3-30x faster than the
-    memcmp sort over void blobs, and those two sizes carry 75% of the
-    window volume (1 + 1/2 of the stream vs 1/4+1/8+1/16 for the rest)."""
+    per-(sel,size) arrays — no per-window (or per-list) python work beyond
+    a reshape+view. Sizes 1/2 stay numeric (<u4 / <u8); sizes 4/8/16 are
+    buffered as void blobs here and split into u64-packed numeric keys at
+    batch-merge time (_merge_pending), where the fits test amortizes over
+    the whole batch instead of running per posting list."""
     m = len(vals)
     vals = np.ascontiguousarray(vals, dtype="<u4")
     for s in TARGET_SIZES:
@@ -85,18 +109,57 @@ def _collect_stream(vals: np.ndarray, pend: dict, per_block: bool) -> None:
         _window_blobs(block, pend, sel)
 
 
+def _acc_unique(acc: dict, key, blobs: np.ndarray) -> None:
+    uniq, counts = np.unique(blobs, return_counts=True)
+    ulist, clist = acc.setdefault(key, ([], []))
+    ulist.append(uniq)
+    clist.append(counts)
+
+
 def _merge_pending(pend: dict, acc: dict) -> int:
-    """One np.unique per (sel,size) over the batch's windows, appended to
-    the per-task (uniq, counts) buffers — fully vectorized, no per-pattern
+    """One np.unique per (sel,size,kind) over the batch's windows, appended
+    to the per-task (uniq, counts) buffers — fully vectorized, no per-pattern
     python loop (measured: the python dict accumulation dominated the
-    stats job before Catalyst even saw a row). Returns buffered entries."""
+    stats job before Catalyst even saw a row).
+
+    Sizes 4/8/16 split here — once per BATCH — into a u64-packed numeric
+    part (all window values fit _PACK_BITS; the vast majority of real
+    gap/freq windows) and a void remainder: np.unique's numeric sort is
+    5-15x faster than the memcmp sort over void blobs, and the void sizes
+    carried ~70% of the unique time despite holding ~25% of the windows.
+    Whether a window packs depends only on its own values, so a given
+    pattern always lands in the same (packed | void) class in every task
+    and the downstream groupBy still merges exact counts.
+
+    Returns buffered entries."""
     buffered = 0
-    for key, lst in pend.items():
+    for (sel, s), lst in pend.items():
         blobs = lst[0] if len(lst) == 1 else np.concatenate(lst)
-        uniq, counts = np.unique(blobs, return_counts=True)
-        ulist, clist = acc.setdefault(key, ([], []))
-        ulist.append(uniq)
-        clist.append(counts)
+        bits = _PACK_BITS.get(s)
+        if bits is None:
+            _acc_unique(acc, (sel, s, "n"), blobs)
+        else:
+            w = blobs.view("<u4").reshape(-1, s)
+            fits = w.max(axis=1) < (1 << bits)
+            if fits.all():
+                packed, rest = w, None
+            elif not fits.any():
+                packed, rest = None, w
+            else:
+                packed, rest = w[fits], w[~fits]
+            if packed is not None and len(packed):
+                if bits == 16:
+                    keys = np.ascontiguousarray(packed.astype("<u2")).view("<u8")
+                elif bits == 8:
+                    keys = np.ascontiguousarray(packed.astype("<u1")).view("<u8")
+                else:  # bits == 4: two values per byte, low nibble first
+                    b = packed.astype("<u1")
+                    nib = b[:, 0::2] | (b[:, 1::2] << 4)
+                    keys = np.ascontiguousarray(nib).view("<u8")
+                _acc_unique(acc, (sel, s, "p"), keys.ravel())
+            if rest is not None and len(rest):
+                _acc_unique(acc, (sel, s, "v"),
+                            np.ascontiguousarray(rest).view(f"V{4 * s}").ravel())
     pend.clear()
     for ulist, _ in acc.values():
         buffered += sum(len(u) for u in ulist)
@@ -117,6 +180,20 @@ def _compact_acc(acc: dict) -> None:
         cnt = np.bincount(inv.ravel(), weights=c.astype(np.float64),
                           minlength=len(uniq)).astype(np.int64)
         acc[key] = ([uniq], [cnt])
+
+
+def _iter_pattern_groups(acc: dict):
+    """(sel, size, pattern_bytes_concat, counts) per compacted accumulator
+    group; u64-packed keys re-expand to their exact u32 pattern bytes here,
+    once per DISTINCT pattern. Shared by the Spark collector and the
+    brute-force oracle test (tests/test_codec.py)."""
+    for (sel, s, kind), (ulist, clist) in acc.items():
+        if not ulist or not len(ulist[0]):
+            continue
+        uniq, counts = ulist[0], clist[0]
+        ub = (_unpack_keys(uniq, s, _PACK_BITS[s]).tobytes()
+              if kind == "p" else uniq.tobytes())
+        yield sel, s, ub, counts
 
 
 # buffered distinct entries per task before an in-task compaction pass —
@@ -151,21 +228,18 @@ def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
                 _compact_acc(acc_freqs)
         for stream, acc in (("docs", acc_docs), ("freqs", acc_freqs)):
             _compact_acc(acc)
-            for (sel, s), (ulist, clist) in acc.items():
-                if not ulist or not len(ulist[0]):
-                    continue
-                uniq, counts = ulist[0], clist[0]
+            for sel, s, ub, counts in _iter_pattern_groups(acc):
+                uniq_n = len(counts)
                 w = 4 * s
-                ub = uniq.tobytes()
                 # the only per-pattern python work left in the task: bytes
                 # objects for the final distinct patterns of the partition
-                pats = [ub[i * w: i * w + w] for i in range(len(uniq))]
+                pats = [ub[i * w: i * w + w] for i in range(uniq_n)]
                 yield pd.DataFrame(
                     {
                         "stream": stream,
-                        "sel": np.full(len(uniq), sel, np.int32),
+                        "sel": np.full(uniq_n, sel, np.int32),
                         "pattern": pats,
-                        "size": np.full(len(uniq), s, np.int32),
+                        "size": np.full(uniq_n, s, np.int32),
                         "freq": counts,
                     }
                 )

@@ -350,10 +350,14 @@ def test_pattern_stats_vectorized_oracle():
 
     rng = np.random.default_rng(3)
     lists = []
-    for _ in range(120):
+    for i in range(120):
         length = max(1, min(int(rng.zipf(1.3) * 5), 3000))
         docs = np.sort(rng.choice(50_000, size=min(length, 40_000),
                                   replace=False))
+        if i % 7 == 0:
+            # huge gaps: values exceed every u64-packing bit budget, so the
+            # void fallback of the packed window split is exercised too
+            docs = docs * 70_001
         freqs = rng.integers(1, 300, len(docs))
         lists.append((docs.astype(np.int64), freqs.astype(np.int64)))
 
@@ -394,8 +398,9 @@ def test_pattern_stats_vectorized_oracle():
         S._merge_pending(pend_f, acc_f)
         for stream, acc in (("docs", acc_d), ("freqs", acc_f)):
             S._compact_acc(acc)
-            for (sel, s), (ulist, clist) in acc.items():
-                ub, w = ulist[0].tobytes(), 4 * s
-                for i, c in enumerate(clist[0].tolist()):
-                    got[(stream, sel, ub[i * w:i * w + w], s)] = c
+            for sel, s, ub, counts in S._iter_pattern_groups(acc):
+                w = 4 * s
+                for i, c in enumerate(counts.tolist()):
+                    k = (stream, sel, ub[i * w:i * w + w], s)
+                    got[k] = got.get(k, 0) + c
         assert got == oracle
