@@ -279,11 +279,20 @@ def build_index(
         # persist tdf: build_postings consumes it on two branches (the
         # seg-assignment counts and the main assembly), and without the
         # persist the explode+agg+vocab-join pipeline runs twice
-        tdf = term_doc_freqs(docs, vocab2).persist()
+        tdf = term_doc_freqs(docs, vocab2,
+                             num_terms_hint=int(v_obs.get["n"])).persist()
         par0 = max(spark.sparkContext.defaultParallelism, config.num_buckets)
+        # upper bound on segmap rows from the write-time observations:
+        # every term contributes one row, head terms one more per occupied
+        # skew chunk (sum_len >= total postings). Lets build_postings force
+        # the segmap join broadcast below the scale where it matters.
+        dm0 = dl_obs.get
+        segmap_hint = int(v_obs.get["n"]) + int(dm0["s"]) // config.skew_chunk
         postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk,
                                   seg_chunk=config.seg_chunk,
-                                  num_partitions=par0)
+                                  num_partitions=par0,
+                                  segmap_rows_hint=segmap_hint,
+                                  num_docs_hint=int(dm0["n"]))
         # DETERMINISTIC term-range layout: term ids are dense 0..V-1, so the
         # bucket boundaries are known without RangePartitioner's sampling
         # pass (which re-materialized the whole persisted postings table in

@@ -108,15 +108,26 @@ def _assemble_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                          [[np.concatenate(carry[ci])] for ci in range(3)])
 
 
-def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame) -> DataFrame:
+def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame,
+                   num_terms_hint: int | None = None) -> DataFrame:
     """(term_id, doc_id, tf) — Catalyst hash aggregation with map-side
-    partial combine; the vocab join is broadcast when small."""
+    partial combine; the vocab join is broadcast when small.
+
+    ``num_terms_hint``: vocabulary size, if known (build_index observes it
+    on the vocab write). The vocab arrives through a dense-rank pipeline
+    whose size Catalyst cannot estimate, so the static plan is a
+    SortMergeJoin that re-shuffles the whole (term, doc, tf) stream by
+    term string; the hint forces broadcast up to 8M terms (~few hundred
+    MB hashed). Web-scale vocabularies (10^8+) fall back to the shuffle
+    join, which is the right plan there."""
     tf = (
         doc_tokens.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
     vocab_slim = vocab.select("term", "term_id")
+    if num_terms_hint is not None and num_terms_hint <= 8_000_000:
+        vocab_slim = F.broadcast(vocab_slim)
     return tf.join(vocab_slim, "term").select("term_id", "doc_id", "tf")
 
 
@@ -126,6 +137,8 @@ def build_postings(
     skew_chunk: int = DEFAULT_SKEW_CHUNK,
     seg_chunk: int = DEFAULT_SEG_CHUNK,
     num_partitions: int | None = None,
+    segmap_rows_hint: int | None = None,
+    num_docs_hint: int | None = None,
 ) -> DataFrame:
     """postings(term_id, seg_id, df, doc_ids, freqs, lens), doc_ids strictly
     increasing within a row; a term's rows (ordered by seg_id) cover
@@ -136,8 +149,34 @@ def build_postings(
     posting count (per-term df = sum over the term's rows).
 
     lens are the per-posting document lengths (needed by the encoder for
-    block-max BM25 metadata; dropped after encode)."""
-    with_len = term_doc_tf.join(doclens, "doc_id")
+    block-max BM25 metadata; dropped after encode).
+
+    ``segmap_rows_hint``: an upper bound on the (term_id, salt, seg_id)
+    map's row count, if the caller knows one (build_index passes
+    num_terms + sum_len // skew_chunk from its write-time observations —
+    every term contributes >= 1 row and only head terms add more, one per
+    occupied skew chunk). When the bound is small the segmap join is
+    forced broadcast, which removes one of the two full shuffles of the
+    posting-row stream (the static plan is a SortMergeJoin whose build
+    side is a tiny aggregate: Catalyst's size estimate for it is poor and
+    AQE's runtime conversion still pays the big side's shuffle write). At
+    10^12 docs the bound (~num_terms + total/2^18) exceeds the threshold
+    and the plan falls back to the scale-safe shuffle join.
+
+    ``num_docs_hint``: corpus document count, if known. The doclens join
+    attaches a per-posting document length; auto-broadcast stops at the
+    10 MB estimate (~600k docs), after which Catalyst silently flips to a
+    SortMergeJoin that shuffles the ENTIRE posting-row stream by doc_id —
+    measured as a dominant share of the 10^6-doc corpus phase. A
+    doclens broadcast is only doc-count-bounded (16 bytes/doc), so force
+    it up to 16M docs (~0.5 GB hash relation on 16 GiB executors); past
+    that — and always at the 10^12-doc regime, where builds are
+    docid-sharded anyway — the shuffle join is the right plan."""
+    with_len = term_doc_tf.join(
+        F.broadcast(doclens)
+        if num_docs_hint is not None and num_docs_hint <= 16_000_000
+        else doclens,
+        "doc_id")
 
     salted = with_len.withColumn(
         "salt", (F.col("doc_id") / F.lit(skew_chunk)).cast("long")
@@ -158,6 +197,8 @@ def build_postings(
         .withColumn("seg_id", (F.col("prev") / F.lit(seg_chunk)).cast("long"))
         .select("term_id", "salt", "seg_id")
     )
+    if segmap_rows_hint is not None and segmap_rows_hint <= 4_000_000:
+        segmap = F.broadcast(segmap)
 
     # sort-merge shuffle + streaming assembly: rows shuffle by (term, seg)
     # hash, sort within partitions, and one vectorized mapInPandas pass
