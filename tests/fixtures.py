@@ -14,7 +14,8 @@ import numpy as np
 from dint_spark.bm25 import BM25
 from dint_spark.dint.codec import encode_list
 from dint_spark.dint.dictionary import DintDictionary, select_patterns_dsf
-from dint_spark.dint.stats import _compact_acc, _merge_pending, _window_blobs
+from dint_spark.dint.stats import (
+    _compact_acc, _iter_pattern_groups, _merge_pending, _window_blobs)
 from dint_spark.queries import Cursor, _qtw
 
 VOCAB = 2000
@@ -81,10 +82,10 @@ def build_dicts(plists) -> tuple[DintDictionary, DintDictionary]:
     for acc in (acc_docs, acc_freqs):
         _compact_acc(acc)
         stats = []
-        for (_, size), (ulist, clist) in acc.items():
-            ub, w = ulist[0].tobytes(), 4 * size
+        for _, size, ub, counts in _iter_pattern_groups(acc):
+            w = 4 * size
             stats += [(ub[i * w: i * w + w], size, int(c))
-                      for i, c in enumerate(clist[0].tolist())]
+                      for i, c in enumerate(counts.tolist())]
         out.append(DintDictionary.build(select_patterns_dsf(stats, total)))
     return out[0], out[1]
 
