@@ -114,21 +114,34 @@ def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame,
     partial combine; the vocab join is broadcast when small.
 
     ``num_terms_hint``: vocabulary size, if known (build_index observes it
-    on the vocab write). The vocab arrives through a dense-rank pipeline
-    whose size Catalyst cannot estimate, so the static plan is a
-    SortMergeJoin that re-shuffles the whole (term, doc, tf) stream by
-    term string; the hint forces broadcast up to 8M terms (~few hundred
-    MB hashed). Web-scale vocabularies (10^8+) fall back to the shuffle
-    join, which is the right plan there."""
-    tf = (
-        doc_tokens.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
+    on the vocab write). When the vocab fits a broadcast (<= 8M terms),
+    the plan flips to map-side broadcast-join the EXPLODED token stream
+    first and aggregate on (term_id, doc_id) — integer group keys hash
+    and partially combine far cheaper than term strings, and the partial
+    rows entering the shuffle carry a long instead of the term bytes.
+    Identical output: term <-> term_id is a bijection over the corpus
+    vocabulary, so grouping before or after the mapping counts the same
+    pairs (pinned by tests/test_join_hints.py). Without the hint (or at
+    web-scale vocabularies, 10^8+) the plan aggregates by term string
+    first and shuffle-joins the much smaller distinct (term, doc) stream
+    against the vocab — the right order when the vocab itself must
+    shuffle; the vocab arrives through a dense-rank pipeline whose size
+    Catalyst cannot estimate, so the hint is what makes the choice."""
+    exploded = doc_tokens.select("doc_id", F.explode("tokens").alias("term"))
     vocab_slim = vocab.select("term", "term_id")
     if num_terms_hint is not None and num_terms_hint <= 8_000_000:
-        vocab_slim = F.broadcast(vocab_slim)
-    return tf.join(vocab_slim, "term").select("term_id", "doc_id", "tf")
+        return (
+            exploded.join(F.broadcast(vocab_slim), "term")
+            .groupBy("term_id", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .select("term_id", "doc_id", "tf")
+        )
+    return (
+        exploded.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .join(vocab_slim, "term")
+        .select("term_id", "doc_id", "tf")
+    )
 
 
 def build_postings(
