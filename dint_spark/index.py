@@ -41,6 +41,7 @@ from dint_spark.dint.codec import encode_lists_batch
 from dint_spark.dint.dictionary import DintDictionary, load_dictionary
 from dint_spark.dint.stats import learn_dictionaries
 from dint_spark.postings import (
+    DEFAULT_BC_MAX_DOCS, DEFAULT_BC_MAX_SEGMAP_ROWS, DEFAULT_BC_MAX_TERMS,
     DEFAULT_SEG_CHUNK, DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs)
 from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
 
@@ -89,6 +90,14 @@ class IndexConfig:
     # at 10^12 docs a 1/64 sample still counts ~10^10 postings and the
     # 65k-entry dictionary saturates long before that).
     stats_sample_mod: int = 1
+    # force-broadcast ceilings for the corpus-pass dimension joins (vocab,
+    # doclens, segmap — postings.py docstrings carry the derivations).
+    # Execution-plan tuning only: output bytes never depend on them, so
+    # they are excluded from config_hash and constrained clusters can
+    # lower them (or zero them out) without invalidating resume.
+    bc_max_terms: int = DEFAULT_BC_MAX_TERMS
+    bc_max_docs: int = DEFAULT_BC_MAX_DOCS
+    bc_max_segmap_rows: int = DEFAULT_BC_MAX_SEGMAP_ROWS
 
     def config_hash(self) -> str:
         d = asdict(self)
@@ -96,6 +105,9 @@ class IndexConfig:
         # indexes built before the knob existed still resume cleanly
         if d.get("stats_sample_mod", 1) == 1:
             d.pop("stats_sample_mod", None)
+        # plan-shape knobs never change the built index's bytes
+        for k in ("bc_max_terms", "bc_max_docs", "bc_max_segmap_rows"):
+            d.pop(k, None)
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
@@ -280,36 +292,48 @@ def build_index(
         # seg-assignment counts and the main assembly), and without the
         # persist the explode+agg+vocab-join pipeline runs twice
         tdf = term_doc_freqs(docs, vocab2,
-                             num_terms_hint=int(v_obs.get["n"])).persist()
+                             num_terms_hint=int(v_obs.get["n"]),
+                             bc_max_terms=config.bc_max_terms).persist()
         par0 = max(spark.sparkContext.defaultParallelism, config.num_buckets)
-        # upper bound on segmap rows from the write-time observations:
-        # every term contributes one row, head terms one more per occupied
-        # skew chunk (sum_len >= total postings). Lets build_postings force
-        # the segmap join broadcast below the scale where it matters.
+        # upper bound on segmap rows from the write-time observations
+        # (`or 0` guards the empty corpus, where F.sum observes NULL):
+        # segmap has one row per DISTINCT (term, salt) pair, bounded both
+        # by total postings (<= sum_len: every posting fills >= 1 slot)
+        # and by num_terms * ceil(num_docs / skew_chunk) (a term occupies
+        # each chunk at most once). min of the two is a true bound at any
+        # corpus shape — the old num_terms + sum_len // skew_chunk was not
+        # (a Zipfian mid-scale corpus has far more occupied (term, salt)
+        # slots than postings/skew_chunk; ADVICE round 2). Lets
+        # build_postings force the segmap join broadcast only below the
+        # scale where the broadcast is actually safe.
         dm0 = dl_obs.get
-        segmap_hint = int(v_obs.get["n"]) + int(dm0["s"]) // config.skew_chunk
+        n_terms0 = int(v_obs.get["n"] or 0)
+        n_docs0 = int(dm0["n"] or 0)
+        sum_len0 = int(dm0["s"] or 0)
+        n_chunks0 = -(-n_docs0 // config.skew_chunk) if n_docs0 else 0
+        segmap_hint = min(sum_len0, n_terms0 * n_chunks0)
         postings = build_postings(tdf, dl2, skew_chunk=config.skew_chunk,
                                   seg_chunk=config.seg_chunk,
                                   num_partitions=par0,
                                   segmap_rows_hint=segmap_hint,
-                                  num_docs_hint=int(dm0["n"]))
+                                  num_docs_hint=n_docs0,
+                                  bc_max_docs=config.bc_max_docs,
+                                  bc_max_segmap_rows=config.bc_max_segmap_rows)
         # DETERMINISTIC term-range layout: term ids are dense 0..V-1, so the
         # bucket boundaries are known without RangePartitioner's sampling
         # pass (which re-materialized the whole persisted postings table in
         # round 1). pbucket doubles as a parquet partition dir, giving the
         # per-bucket encode jobs partition pruning on their term range. More
         # write partitions than buckets keeps all cores writing.
-        nt = v_obs.get["n"]
         # total postings observed on the write: the dictionary cost
         # filter needs it and would otherwise re-scan the checkpoint
         total_postings = write_postings_checkpoint(
-            postings, postings_path, int(nt), config.num_buckets, par0,
+            postings, postings_path, n_terms0, config.num_buckets, par0,
             pre_arranged=True)
         tdf.unpersist()
         docs.unpersist()
-        dm = dl_obs.get
-        mark("corpus", wall_s=time.time() - t0, num_terms=int(nt),
-             num_docs=int(dm["n"]), sum_len=int(dm["s"]),
+        mark("corpus", wall_s=time.time() - t0, num_terms=n_terms0,
+             num_docs=n_docs0, sum_len=sum_len0,
              total_postings=total_postings)
 
     corpus_meta = manifest["steps"]["corpus"]
@@ -319,6 +343,9 @@ def build_index(
         agg = spark.read.parquet(doclens_path).agg(
             F.count("*").alias("n"), F.sum("len").alias("s")).collect()[0]
         num_docs, sum_len = agg["n"], agg["s"]
+    if num_docs == 0 and avg_len_override is None:
+        raise ValueError(
+            "build_index: empty corpus (0 documents) — nothing to index")
     avg_len_f64 = (float(avg_len_override) if avg_len_override is not None
                    else sum_len / num_docs)
     avg_len = float(np.float32(avg_len_f64))

@@ -6,9 +6,10 @@
                          (min-label propagation) + canonical-doc selection
   dedup_minhash_lsh      MinHash (16 perms) + LSH banding (4 bands x 4 rows)
                          candidate pairs with exact-Jaccard verification
-  dedup_simhash          60-bit SimHash, Hamming <= 3 pairs via 4-block
-                         pigeonhole blocking (block match is a *complete*
-                         candidate generator for Hamming <= 3)
+  dedup_simhash          60-bit SimHash, Hamming <= 3 pairs via 6x10-bit
+                         word pigeonhole blocking on all C(6,3)=20 3-word
+                         subsets (a subset match is a *complete* candidate
+                         generator for Hamming <= 3)
   dedup_embedding        embedding-cosine near-dup pairs (integer-quantized
                          dot products -> exact cross-engine arithmetic)
 
@@ -323,7 +324,7 @@ ORDER BY c.doc_a, c.doc_b
 # ---------------------------------------------------------------------------
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 60-bit SimHash split into 4x15-bit words (w0..w3, full)."""
+    """Per-doc 60-bit SimHash split into 6x10-bit words (w0..w5, full)."""
     d = _documents(spark, sf_dir)
     tf = (
         d.select("doc_id", F.explode(tokens_col()).alias("term"))

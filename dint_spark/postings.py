@@ -37,6 +37,16 @@ DEFAULT_SKEW_CHUNK = 1 << 18  # max postings per build task for one term
 # queries.build_cursors).
 DEFAULT_SEG_CHUNK = 1 << 20
 
+# Force-broadcast ceilings for the corpus-pass dimension joins (plan shape
+# only — output bytes never depend on them). Sized for ~16 GiB executors:
+# 8M term strings / 16M (doc_id, len) rows / 4M (term, salt, seg) rows are
+# each a few-hundred-MB hash relation. Deployments with smaller executors
+# lower them via IndexConfig (ADVICE round 2); past the ceiling the plan
+# falls back to the scale-safe shuffle join.
+DEFAULT_BC_MAX_TERMS = 8_000_000
+DEFAULT_BC_MAX_DOCS = 16_000_000
+DEFAULT_BC_MAX_SEGMAP_ROWS = 4_000_000
+
 CHUNK_SCHEMA = T.StructType([
     T.StructField("term_id", T.LongType(), False),
     T.StructField("salt", T.LongType(), False),
@@ -109,7 +119,8 @@ def _assemble_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame,
-                   num_terms_hint: int | None = None) -> DataFrame:
+                   num_terms_hint: int | None = None,
+                   bc_max_terms: int = DEFAULT_BC_MAX_TERMS) -> DataFrame:
     """(term_id, doc_id, tf) — Catalyst hash aggregation with map-side
     partial combine; the vocab join is broadcast when small.
 
@@ -129,7 +140,7 @@ def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame,
     Catalyst cannot estimate, so the hint is what makes the choice."""
     exploded = doc_tokens.select("doc_id", F.explode("tokens").alias("term"))
     vocab_slim = vocab.select("term", "term_id")
-    if num_terms_hint is not None and num_terms_hint <= 8_000_000:
+    if num_terms_hint is not None and num_terms_hint <= bc_max_terms:
         return (
             exploded.join(F.broadcast(vocab_slim), "term")
             .groupBy("term_id", "doc_id")
@@ -152,6 +163,8 @@ def build_postings(
     num_partitions: int | None = None,
     segmap_rows_hint: int | None = None,
     num_docs_hint: int | None = None,
+    bc_max_docs: int = DEFAULT_BC_MAX_DOCS,
+    bc_max_segmap_rows: int = DEFAULT_BC_MAX_SEGMAP_ROWS,
 ) -> DataFrame:
     """postings(term_id, seg_id, df, doc_ids, freqs, lens), doc_ids strictly
     increasing within a row; a term's rows (ordered by seg_id) cover
@@ -165,16 +178,23 @@ def build_postings(
     block-max BM25 metadata; dropped after encode).
 
     ``segmap_rows_hint``: an upper bound on the (term_id, salt, seg_id)
-    map's row count, if the caller knows one (build_index passes
-    num_terms + sum_len // skew_chunk from its write-time observations —
-    every term contributes >= 1 row and only head terms add more, one per
-    occupied skew chunk). When the bound is small the segmap join is
-    forced broadcast, which removes one of the two full shuffles of the
-    posting-row stream (the static plan is a SortMergeJoin whose build
-    side is a tiny aggregate: Catalyst's size estimate for it is poor and
-    AQE's runtime conversion still pays the big side's shuffle write). At
-    10^12 docs the bound (~num_terms + total/2^18) exceeds the threshold
-    and the plan falls back to the scale-safe shuffle join.
+    map's row count, if the caller knows one. Segmap has one row per
+    DISTINCT (term_id, salt) pair — a salt chunk is occupied by a single
+    posting, not by skew_chunk of them — so the only valid bounds
+    computable from corpus aggregates are (a) total postings (<= sum of
+    token counts: each posting occupies >= 1 (term, salt) slot) and (b)
+    num_terms * ceil(num_docs / skew_chunk) (every term can occupy every
+    chunk at most once); build_index passes min(a, b) from its write-time
+    observations (the round-2 hint num_terms + sum_len // skew_chunk was
+    NOT a bound — a Zipfian mid-scale corpus beats it by orders of
+    magnitude and would force a multi-GB broadcast, ADVICE round 2). When
+    the bound is small the segmap join is forced broadcast, which removes
+    one of the two full shuffles of the posting-row stream (the static
+    plan is a SortMergeJoin whose build side is a tiny aggregate:
+    Catalyst's size estimate for it is poor and AQE's runtime conversion
+    still pays the big side's shuffle write). At 10^12 docs the bound
+    exceeds the threshold and the plan falls back to the scale-safe
+    shuffle join.
 
     ``num_docs_hint``: corpus document count, if known. The doclens join
     attaches a per-posting document length; auto-broadcast stops at the
@@ -182,12 +202,14 @@ def build_postings(
     SortMergeJoin that shuffles the ENTIRE posting-row stream by doc_id —
     measured as a dominant share of the 10^6-doc corpus phase. A
     doclens broadcast is only doc-count-bounded (16 bytes/doc), so force
-    it up to 16M docs (~0.5 GB hash relation on 16 GiB executors); past
-    that — and always at the 10^12-doc regime, where builds are
-    docid-sharded anyway — the shuffle join is the right plan."""
+    it up to ``bc_max_docs`` docs (default 16M ~ 0.5 GB hash relation on
+    16 GiB executors; IndexConfig.bc_max_docs lowers it for smaller
+    executors); past that — and always at the 10^12-doc regime, where
+    builds are docid-sharded anyway — the shuffle join is the right
+    plan."""
     with_len = term_doc_tf.join(
         F.broadcast(doclens)
-        if num_docs_hint is not None and num_docs_hint <= 16_000_000
+        if num_docs_hint is not None and num_docs_hint <= bc_max_docs
         else doclens,
         "doc_id")
 
@@ -210,7 +232,7 @@ def build_postings(
         .withColumn("seg_id", (F.col("prev") / F.lit(seg_chunk)).cast("long"))
         .select("term_id", "salt", "seg_id")
     )
-    if segmap_rows_hint is not None and segmap_rows_hint <= 4_000_000:
+    if segmap_rows_hint is not None and segmap_rows_hint <= bc_max_segmap_rows:
         segmap = F.broadcast(segmap)
 
     # sort-merge shuffle + streaming assembly: rows shuffle by (term, seg)

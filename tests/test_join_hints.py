@@ -21,9 +21,11 @@ def _postings_rows(spark, hints: bool):
                          num_terms_hint=int(nt) if hints else None)
     # tiny seg/skew chunks so the segmap has multi-salt, multi-seg terms
     # and the hinted broadcast path is exercised beyond the trivial shape
+    n_chunks = -(-600 // 64)
     p = build_postings(
         tdf, dl, skew_chunk=64, seg_chunk=128, num_partitions=4,
-        segmap_rows_hint=(int(nt) + int(sl) // 64) if hints else None,
+        segmap_rows_hint=(min(int(sl), int(nt) * n_chunks)
+                          if hints else None),
         num_docs_hint=600 if hints else None)
     rows = sorted(
         (r["term_id"], r["seg_id"], tuple(r["doc_ids"]), tuple(r["freqs"]),
@@ -35,3 +37,13 @@ def _postings_rows(spark, hints: bool):
 
 def test_hinted_postings_identical(spark):
     assert _postings_rows(spark, True) == _postings_rows(spark, False)
+
+
+def test_bc_knobs_do_not_change_config_hash():
+    """The broadcast ceilings are plan tuning, not output contract: lowering
+    them must not invalidate resume of an existing index."""
+    from dint_spark.index import IndexConfig
+
+    assert (IndexConfig().config_hash()
+            == IndexConfig(bc_max_terms=1, bc_max_docs=1,
+                           bc_max_segmap_rows=0).config_hash())
