@@ -38,6 +38,18 @@ from dint_spark.ops.common import (
 )
 
 JACCARD_THRESHOLD = 0.5
+# Hot-shingle document-frequency cap for the exact-Jaccard self-join: a
+# shingle occurring in n docs contributes ~n^2/2 candidate rows, and web
+# boilerplate guarantees such shingles at crawl scale (round-2 VERDICT).
+# Shingles with df > cap are dropped from the shingle sets BEFORE the join
+# (and from the size denominators — Jaccard is computed over the capped
+# shingle space, identically in the DuckDB oracle), bounding every
+# shingle's candidate contribution by cap^2/2. Recall contract: only pairs
+# whose EVERY common shingle is boilerplate-hot are missed — the standard
+# dedup-pipeline tradeoff, and the MinHash path (dedup_minhash_lsh, the
+# recommended dedup_cluster feeder at scale) bounds the same risk by
+# banding instead of dropping.
+NGRAM_MAX_SHINGLE_DF = 128
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BITS = 60
 # Blocking: 6 words of 10 bits, candidate keys = the C(6,3)=20 3-word
@@ -154,8 +166,26 @@ ORDER BY f.doc_id
 # dedup_ngram_jaccard
 # ---------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str,
+    max_shingle_df: int = NGRAM_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact Jaccard >= 0.5 pairs over df-capped 3-gram shingle sets.
+
+    The self-join below is the n^2-per-hot-shingle hazard; the df cap
+    (see NGRAM_MAX_SHINGLE_DF) bounds it. The cap is part of the
+    operator's definition — the DuckDB oracle applies it identically."""
+    sh_all = _shingles(spark, sf_dir)
+    # df-cap BEFORE the self-join: one map-side-combined agg over the
+    # shingle rows + a hash semi-join (both shuffle |shingle rows| once);
+    # the join key stays `shingle`, so no candidate blowup survives.
+    ok = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .where(F.col("sdf") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh_all.join(ok, "shingle", "left_semi").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -182,19 +212,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "inter", "jacc_q")
 
 
+# capped shingle set + its sizes (the df cap of dedup_ngram_jaccard),
+# shared by the jaccard and cluster oracles
+_CAPPED_SHINGLES_SQL = f"""
+shc AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  JOIN (SELECT shingle FROM sh GROUP BY 1
+        HAVING count(*) <= {NGRAM_MAX_SHINGLE_DF}) k USING (shingle)
+),
+capsz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shc GROUP BY 1)
+"""
+
 DEDUP_JACCARD_SQL = f"""
 WITH {_SHINGLES_SQL.strip()},
+{_CAPPED_SHINGLES_SQL.strip()},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
   SELECT i.doc_a, i.doc_b, i.inter,
          {sql_q6('i.inter / (sa.sz + sb.sz - i.inter)')} AS jacc_q
   FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.doc_a
-  JOIN sizes sb ON sb.doc_id = i.doc_b
+  JOIN capsz sa ON sa.doc_id = i.doc_a
+  JOIN capsz sb ON sb.doc_id = i.doc_b
 )
 SELECT doc_a, doc_b, inter, jacc_q FROM jac
 WHERE jacc_q >= {int(JACCARD_THRESHOLD * 1e6)}
@@ -647,10 +689,23 @@ DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
 DEDUP_CLUSTER_MAX_ITERS = 25
 
 
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components of the exact
-    Jaccard >= 0.5 pair graph (the complete shingle-blocked pair set of
-    dedup_ngram_jaccard), plus canonical-document selection.
+def dedup_cluster(spark: SparkSession, sf_dir: str,
+                  pair_source: str = "jaccard") -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the Jaccard >= 0.5
+    pair graph, plus canonical-document selection.
+
+    ``pair_source`` selects the edge generator (round-2 VERDICT item 1 —
+    the clustering op a pipeline actually runs must not sit on an uncapped
+    shingle join):
+      "jaccard"  dedup_ngram_jaccard's exact shingle-blocked pairs, hot
+                 shingles df-capped (NGRAM_MAX_SHINGLE_DF) — the
+                 oracle-checked default.
+      "minhash"  dedup_minhash_lsh candidates exact-verified at the same
+                 threshold — the recommended feeder at crawl scale:
+                 banding bounds candidate volume per doc instead of per
+                 shingle, so no boilerplate key can square. Cluster
+                 equality between the two sources on the fixture corpus is
+                 pinned by tests/test_dedup_cluster.py.
 
     The pipeline step after pair detection: a dedup job must keep ONE doc
     per duplicate cluster, and pairs alone under-delete chains
@@ -667,10 +722,16 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_id = min doc_id of its component, csize, keep =
     1 iff doc_id == cluster_id — the deterministic canonical survivor).
     """
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-    )
+    if pair_source == "jaccard":
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    elif pair_source == "minhash":
+        pairs = (
+            dedup_minhash_lsh(spark, sf_dir)
+            .where(F.col("jacc_q") >= int(JACCARD_THRESHOLD * 1e6))
+            .select("doc_a", "doc_b")
+        )
+    else:
+        raise ValueError(f"unknown pair_source {pair_source!r}")
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -729,16 +790,17 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CLUSTER_SQL = f"""
 WITH RECURSIVE {_SHINGLES_SQL.strip()},
+{_CAPPED_SHINGLES_SQL.strip()},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.doc_a
-  JOIN sizes sb ON sb.doc_id = i.doc_b
+  JOIN capsz sa ON sa.doc_id = i.doc_a
+  JOIN capsz sb ON sb.doc_id = i.doc_b
   WHERE {sql_q6('i.inter / (sa.sz + sb.sz - i.inter)')}
         >= {int(JACCARD_THRESHOLD * 1e6)}
 ),

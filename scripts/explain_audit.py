@@ -100,9 +100,12 @@ def main() -> None:
 
     nt = vocab.count()
     sl = dl.agg(F.sum("len").alias("s")).collect()[0]["s"]
+    # the true segmap bound (min of total postings and terms x chunks) —
+    # same formula as build_index
+    n_chunks = -(-1000 // DEFAULT_SKEW_CHUNK)
     post_h = build_postings(
         term_doc_freqs(toks, vocab, num_terms_hint=int(nt)), dl,
-        segmap_rows_hint=int(nt) + int(sl) // DEFAULT_SKEW_CHUNK,
+        segmap_rows_hint=min(int(sl), int(nt) * n_chunks),
         num_docs_hint=1000)
     p2b = plan_of(post_h)
     head = p2b.split("(1) ", 1)[0]  # tree section only
@@ -204,6 +207,25 @@ def main() -> None:
         "shingle rows; band signatures come from a Generate over the "
         "4-struct literal array; candidate and verify joins are "
         "hash/sort-merge joins on (band, sig) and (doc, shingle).",
+    ))
+
+    # 8. dedup_ngram_jaccard / dedup_cluster edge source: the shingle
+    # self-join must be preceded by the hot-shingle df cap (a LeftSemi
+    # hash join against the df<=cap aggregate) — without it one
+    # boilerplate shingle in n docs yields ~n^2 candidate rows.
+    from dint_spark.ops.dedup import dedup_ngram_jaccard
+
+    p8 = plan_of(dedup_ngram_jaccard(spark, SF))
+    ok8 = ("LeftSemi" in p8 and "CartesianProduct" not in p8
+           and "BroadcastNestedLoopJoin" not in p8)
+    sections.append((
+        "dedup_ngram_jaccard: hot-shingle df cap before the self-join",
+        _join_shapes(p8),
+        ok8,
+        "shingles pass a df<=cap LeftSemi hash join before the pairwise "
+        "self-join, so a single hot shingle's candidate contribution is "
+        "bounded by cap^2/2 (dedup_cluster's default edge source inherits "
+        "this plan; its crawl-scale feeder is pair_source='minhash').",
     ))
 
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
