@@ -294,6 +294,65 @@ CENT_MOD = 37  # coprime with QUERY_MOD; nlist scales with the corpus
 NPROBE = 4
 
 
+def _cos_q_cent(n2_col: str):
+    """Quantized cosine of a vector row against the joined centroid row."""
+    return q6(F.col("__dot") / F.sqrt(
+        F.col(n2_col).cast("double") * F.col("c_n2").cast("double")))
+
+
+def _scored_cents(df: DataFrame, cents, vec_col: str, n2_col: str):
+    """Broadcast nested loop against the tiny centroid table: O(nlist)
+    map-side work per vector, NO shuffle — the IVF assignment contract."""
+    return (
+        df.crossJoin(cents)
+        .withColumn("__dot", _dot(F.col(vec_col), F.col("c_eq")))
+        .withColumn("__cos_q", _cos_q_cent(n2_col))
+    )
+
+
+def _assign_cells(df: DataFrame, cents, id_col: str, vec_col: str,
+                  n2_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a map-side-combinable argmax.
+
+    The round-2 form ranked the n x nlist scored rows with a
+    Window.partitionBy(id).row_number — window functions have no partial
+    aggregation, so ALL n x nlist rows entered the exchange (at n=10^10,
+    nlist~sqrt(n), that shuffle dwarfs the data). max_by IS partially
+    aggregable: each task reduces its scored rows to one per vector before
+    the shuffle, so the exchange carries ~n rows regardless of nlist
+    (round-2 VERDICT item 2). Tie-break identical to the window form:
+    highest __cos_q, then lowest cent_id (via the negated id in the
+    ordering struct). vec/n2 are constant within a group, so first() is
+    value-deterministic."""
+    scored = _scored_cents(df, cents, vec_col, n2_col)
+    best = F.max_by(
+        "cent_id",
+        F.struct(F.col("__cos_q").alias("c"),
+                 (-F.col("cent_id")).alias("nid")),
+    ).alias("cell")
+    return (
+        scored.groupBy(id_col)
+        .agg(best, F.first(vec_col).alias(vec_col),
+             F.first(n2_col).alias(n2_col))
+        .select(id_col, vec_col, n2_col, "cell")
+    )
+
+
+def _probe_cells(df: DataFrame, cents, id_col: str, vec_col: str,
+                 n2_col: str, keep: list, n: int) -> DataFrame:
+    """Top-n nearest cells per QUERY vector (one row per (query, cell)).
+    Queries are a 1/QUERY_MOD sliver of the corpus, so the window over
+    queries x nlist rows is tiny here; the corpus-side assignment must
+    use _assign_cells instead."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos_q"), F.asc("cent_id"))
+    return (
+        _scored_cents(df, cents, vec_col, n2_col)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n)
+        .select(*keep, F.col("cent_id").alias("cell"))
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: corpus vectors are partitioned into inverted lists by
     nearest centroid; each query probes only its NPROBE nearest cells and
@@ -319,31 +378,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def nearest(df, id_col, vec_col, n2_col, keep, n, out):
-        cos = F.col("__dot") / F.sqrt(
-            F.col(n2_col).cast("double") * F.col("c_n2").cast("double")
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("__cos_q"), F.asc("cent_id")
-        )
-        return (
-            df.crossJoin(cents)  # broadcast nested loop = map-side O(nlist)
-            .withColumn("__dot", _dot(F.col(vec_col), F.col("c_eq")))
-            .withColumn("__cos_q", q6(cos))
-            .withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= n)
-            .select(*keep, F.col("cent_id").alias(out))
-        )
+    return _ivf_search(eqs, cents)
 
-    assigned = nearest(eqs, "vec_id", "eq", "n2",
-                       ["vec_id", "eq", "n2"], 1, "cell")
+
+def _ivf_search(eqs: DataFrame, cents, nprobe: int = NPROBE) -> DataFrame:
+    """IVF probe + exact re-rank against a (cent_id, c_eq, c_n2) centroid
+    table (broadcast): map-side cell assignment, NPROBE probe cells per
+    query, exact quantized-cosine re-rank of candidates."""
+    assigned = _assign_cells(eqs, cents, "vec_id", "eq", "n2")
     qs = eqs.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("eq").alias("q_eq"),
         F.col("n2").alias("q_n2"),
     )
-    probes = nearest(qs, "query_id", "q_eq", "q_n2",
-                     ["query_id", "q_eq", "q_n2"], NPROBE, "cell")
+    probes = _probe_cells(qs, cents, "query_id", "q_eq", "q_n2",
+                          ["query_id", "q_eq", "q_n2"], nprobe)
     cand = assigned.join(F.broadcast(probes), "cell")
     cos = F.col("dot") / F.sqrt(
         F.col("q_n2").cast("double") * F.col("n2").cast("double")
@@ -357,6 +406,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "vec_id", "cos_q")
     )
+
+
+def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
+                        cent_mod: int = CENT_MOD) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF coarse quantizer.
+
+    Starts from the deterministic modulo seeds and runs ``iters`` rounds
+    of (assign -> per-cell mean). Every shape is already proven in this
+    file at scale: assignment is the broadcast-score + map-side max_by
+    argmax of _assign_cells (ONE shuffle of n rows per round), and the
+    mean is DIM parallel avg aggregates of the same groupBy (map-side
+    combined; one shuffle of ~n slim rows carrying the vector) — never an
+    n x nlist window or an n x DIM explode. New centroids are re-quantized
+    to int64 so every downstream dot product stays exact integer
+    arithmetic (the cross-engine determinism contract of this module).
+    Empty cells drop out; cell ids keep their seed vec_id.
+
+    Per round the centroid table is collected to the driver (nlist x DIM
+    longs — by construction nlist ~ sqrt(n) rows of 0.5 KB; at nlist
+    beyond driver memory, swap the collect for a parquet checkpoint) so
+    each round's plan starts fresh instead of stacking iterations.
+
+    At 10^9+ vectors, sample eqs (deterministic vec_id mod) before
+    training — Lloyd on a 1% sample converges to near-identical cells;
+    assignment of the full corpus stays exact either way.
+    """
+    spark = eqs.sparkSession
+    cents = eqs.where(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("eq").alias("c_eq"),
+        F.col("n2").alias("c_n2"),
+    )
+    avgs = [F.avg(F.element_at("eq", d + 1)).alias(f"m{d}")
+            for d in range(DIM)]
+    new_eq = F.array(*[F.floor(F.col(f"m{d}")).cast("long")
+                       for d in range(DIM)])
+    for _ in range(iters):
+        assigned = _assign_cells(eqs, F.broadcast(cents),
+                                 "vec_id", "eq", "n2")
+        means = assigned.groupBy("cell").agg(*avgs)
+        nxt = means.select(
+            F.col("cell").alias("cent_id"), new_eq.alias("c_eq")
+        ).withColumn(
+            "c_n2",
+            F.aggregate("c_eq", F.lit(0).cast("long"),
+                        lambda acc, x: acc + x * x),
+        )
+        cents = spark.createDataFrame(
+            [(int(r["cent_id"]), list(r["c_eq"]), int(r["c_n2"]))
+             for r in nxt.collect()],
+            "cent_id long, c_eq array<long>, c_n2 long",
+        )
+    return cents
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str,
+                         iters: int = 2) -> DataFrame:
+    """ann_ivf_topk with k-means-refined centroids (ivf_train_centroids).
+
+    Same probe/re-rank plan as ann_ivf_topk; only the centroid table
+    changes. No SQL oracle: Lloyd iterations are iterative/stateful (the
+    driver records the weaker rows-only check); correctness is pinned by
+    tests/test_ivf_trained.py (recall vs the exact brute-force oracle
+    strictly above the static-quantizer floor on a clustered fixture, and
+    determinism across runs)."""
+    eqs = _emb_q(spark, sf_dir).cache()
+    cents = F.broadcast(ivf_train_centroids(eqs, iters=iters))
+    return _ivf_search(eqs, cents)
 
 
 ANN_IVF_SQL = f"""
@@ -419,6 +536,10 @@ SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    # no ORACLE_SQLS entry (iterative k-means is not SQL-expressible):
+    # the driver records the rows-only check; value correctness is pinned
+    # by tests/test_ivf_trained.py
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLE_SQLS = {

@@ -97,11 +97,16 @@ def main() -> None:
         / (qmask.sum() * n_vecs)
     )
 
+    from dint_spark.ops.similarity import ann_ivf_trained_topk
+
     for name, fn, frac in [("ann_lsh_topk", ann_lsh_topk, lsh_frac),
-                           ("ann_ivf_topk", ann_ivf_topk, ivf_frac)]:
+                           ("ann_ivf_topk", ann_ivf_topk, ivf_frac),
+                           ("ann_ivf_trained_topk", ann_ivf_trained_topk,
+                            None)]:
         pdf = fn(spark, sf_dir).toPandas()
         r = recall(pdf, exact)
-        r["corpus_fraction_scored"] = round(frac, 4)
+        if frac is not None:
+            r["corpus_fraction_scored"] = round(frac, 4)
         out[name] = r
     print(json.dumps(out))
     spark.stop()

@@ -178,15 +178,20 @@ def main() -> None:
     # against the tiny nlist-row centroid table: O(nlist) map-side work per
     # vector with NO shuffle — that is the IVF build contract.)
     p6 = plan_of(ann_ivf_topk(spark, SF))
-    ok6 = "BroadcastHashJoin" in p6 and "CartesianProduct" not in p6
+    ok6 = ("BroadcastHashJoin" in p6 and "CartesianProduct" not in p6
+           and "max_by" in p6)
     sections.append((
-        "ann_ivf_topk: hash-join candidates, broadcast-only assignment",
+        "ann_ivf_topk: hash-join candidates, aggregate (not window) "
+        "assignment",
         _join_shapes(p6),
         ok6,
         "probe-cell candidate join is a BroadcastHashJoin on `cell`; the "
-        "only nested-loop node is the centroid assignment against the "
-        "broadcast nlist-row table (map-side O(nlist)/vector, zero "
-        "shuffle — the IVF contract; cells scanned per query = NPROBE).",
+        "only nested-loop node is the centroid scoring against the "
+        "broadcast nlist-row table (map-side O(nlist)/vector), and cell "
+        "assignment is a partial+final max_by AGGREGATE — each task "
+        "reduces its n x nlist scored rows to one per vector before the "
+        "exchange (the round-2 window form shuffled all n x nlist rows; "
+        "VERDICT item 2). Cells scanned per query = NPROBE.",
     ))
 
     # 7. dedup_minhash_lsh: the signature build must be ONE aggregation of

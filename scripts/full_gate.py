@@ -35,10 +35,21 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            r = compare_entry(spark, con, name, fn, oracles[name], sf_dir)
-            ok = r["values_match"] and r["cols_match"]
-            r = {k: v for k, v in r.items() if k not in ("sdf", "ddf")}
-            results[name] = {**r, "sec": round(time.time() - t0, 1)}
+            if name not in oracles:
+                # non-SQL-expressible entry: the driver's weaker
+                # rows-only check (runs + stable schema + >= 0 rows)
+                df = fn(spark, sf_dir)
+                n = df.count()
+                ok = n >= 0
+                results[name] = {"rows_only": n,
+                                 "spark_cols": list(df.columns),
+                                 "sec": round(time.time() - t0, 1)}
+            else:
+                r = compare_entry(spark, con, name, fn, oracles[name],
+                                  sf_dir)
+                ok = r["values_match"] and r["cols_match"]
+                r = {k: v for k, v in r.items() if k not in ("sdf", "ddf")}
+                results[name] = {**r, "sec": round(time.time() - t0, 1)}
         except Exception as e:  # surface, don't abort the sweep
             ok = False
             results[name] = {"error": repr(e)[:500],
