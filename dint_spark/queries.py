@@ -817,9 +817,21 @@ def run_queries(
     dtype: str = "float32",
     df_overrides: dict | None = None,
     idf_docs: int | None = None,
+    qpart_mult: int = 2,
 ) -> DataFrame:
     """Distributed batch retrieval. queries: DataFrame(query_id, terms
     array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
+
+    ``qpart_mult``: query partitions = defaultParallelism * qpart_mult.
+    More partitions bound per-query skew (the unluckiest partition); fewer
+    pay less of Spark's fixed per-task cost (~170 ms of python-runner
+    machinery per task on this host — scripts/serve_profile.py). The
+    round-1 default of 8 (~2-4 queries/task) optimized skew only and left
+    >1s of pure task overhead on a 500-query batch; measured best on the
+    bench corpus is 1 (500q 2.13 -> 1.02s, 2000q 2.89 -> 1.86s), but 2 is
+    the default for skew headroom on head-term-heavy batches (within 15%
+    of 1). The steady-state serving path (BroadcastQueryServer) minimizes
+    task count via LPT bins instead of hash spreading.
     """
     local_terms = None
     if not isinstance(queries, DataFrame):
@@ -854,7 +866,7 @@ def run_queries(
     # every core busy; groupBy reuses this partitioning (no extra exchange),
     # and AQE does not coalesce user-specified repartitions.
     joined = joined.repartition(
-        spark.sparkContext.defaultParallelism * 8, "query_id")
+        spark.sparkContext.defaultParallelism * qpart_mult, "query_id")
 
     merge_chunks = algo in ("ranked_and",)
     dfo_bc = (spark.sparkContext.broadcast(df_overrides)
@@ -879,6 +891,52 @@ def run_queries(
         )
 
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
+
+
+def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
+                       DT, algo: str, k: int) -> list:
+    """Run the pinned-segment kernel over (query_id, terms) rows; returns
+    (query_id, rank, doc_id, score) tuples. This is the exact worker-side
+    body of BroadcastQueryServer.serve — factored out so the bench/profiler
+    can time the kernel alone (no Spark) against the same seg map."""
+    from collections import Counter
+
+    kernel = KERNELS[algo]
+    scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+    merge_chunks = algo in ("ranked_and",)
+    outs = []
+    for qid, terms in qid_terms:
+        cursors = []
+        for tid, qf in sorted(Counter(int(t) for t in terms).items()):
+            parts = segs.get(tid)
+            if parts is None:
+                continue
+            df_total = sum(p[1] for p in parts)
+            qw = _qtw(qf, df_total, num_docs, DT)
+            term_cursors = []
+            for _, n, bmax, bms, endp, foff, payload, mw in parts:
+                c = Cursor(n, bmax, endp, foff, payload,
+                           num_docs, dd, fd,
+                           block_max_scores=bms, term_id=tid)
+                c.q_weight = qw
+                c.bound_scale = scale
+                c.max_weight = DT(qw * DT(mw) * c.bound_scale)
+                term_cursors.append(c)
+            if merge_chunks and len(term_cursors) > 1:
+                dec = [c.decode_all() for c in term_cursors]
+                a = ArrayCursor(
+                    np.concatenate([d[0] for d in dec]),
+                    np.concatenate([d[1] for d in dec]),
+                    num_docs, tid)
+                a.q_weight = qw
+                a.bound_scale = scale
+                a.max_weight = max(c.max_weight for c in term_cursors)
+                term_cursors = [a]
+            cursors.extend(term_cursors)
+        topk = kernel(cursors, norm, num_docs, k, DT) if cursors else []
+        for rank, (doc, score) in enumerate(topk, 1):
+            outs.append((int(qid), rank, doc, score))
+    return outs
 
 
 class BroadcastQueryServer:
@@ -945,6 +1003,10 @@ class BroadcastQueryServer:
         self.dtype = dtype
         self.DT = np.float32 if dtype == "float32" else np.float64
         self.num_docs = index.num_docs
+        # driver-side cost proxy for serve()'s balanced bins: per-term
+        # posting count (the kernel's dominant cost driver)
+        self.term_cost = {tid: sum(p[1] for p in parts)
+                          for tid, parts in seg_map.items()}
         self.seg_bc = spark.sparkContext.broadcast(seg_map)
         self.norm_bc = spark.sparkContext.broadcast(
             index.norm_lens if dtype == "float32" else index.norm_lens64)
@@ -955,68 +1017,84 @@ class BroadcastQueryServer:
               k: int = 10, partitions: int | None = None) -> DataFrame:
         """One batch against the pinned segments. Only (query_id, terms)
         rows move; kernels run executor-side against the broadcast.
-        ``partitions`` balances task-scheduling overhead against per-query
-        kernel skew (default 4x cores: ~10-20 queries per task)."""
+
+        A served batch's wall is dominated by Spark's FIXED per-task cost
+        (measured ~170 ms of JVM<->python-runner machinery per mapInPandas
+        task on this host, independent of work: an empty 64-task
+        mapInPandas costs ~0.7 s warm — scripts/serve_profile.py), so the
+        batch runs in the FEWEST tasks that still use every core:
+        ``partitions`` defaults to defaultParallelism, and per-query skew
+        (head-term queries cost 10-100x tail ones) is handled by explicit
+        LPT bin-packing on a driver-side cost model (sum of the query's
+        term posting counts — the server already holds per-term n) instead
+        of by over-partitioning. Bins ride ONE Arrow batch each: queries
+        are laid out bin-contiguously in a pandas frame, padded with
+        query_id = -1 sentinel rows (empty term lists emit nothing) so
+        every bin is exactly max-bin-size rows, and
+        arrow.maxRecordsPerBatch is pinned to that size for the
+        createDataFrame — Arrow slicing makes one batch = one partition,
+        entirely JVM-side (the previous list-createDataFrame + repartition
+        paid a python-runner stage AND a shuffle before any kernel ran).
+        Round 2 -> 3 on the 2000q sf0.1 batch: 1,342 -> 2,500-3,900 q/s
+        (host-window dependent; kernel-share of wall 0.20 -> 0.29-0.45)."""
         spark = self.spark
         seg_bc, norm_bc = self.seg_bc, self.norm_bc
         docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
         DT, num_docs = self.DT, self.num_docs
-        kernel = KERNELS[algo]
 
-        qdf = spark.createDataFrame(
-            [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
-            schema=T.StructType([
-                T.StructField("query_id", T.LongType(), False),
-                T.StructField("terms", T.ArrayType(T.LongType()), False),
-            ]),
-        ).repartition(partitions
-                      or spark.sparkContext.defaultParallelism * 4)
+        nparts = partitions or spark.sparkContext.defaultParallelism
+        nparts = max(1, min(nparts, max(1, len(queries))))
+        costs = [
+            sum(self.term_cost.get(int(t), 0) for t in set(map(int, ts)))
+            + 64  # per-query fixed work so empty/tail queries still count
+            for ts in queries
+        ]
+        # LPT: heaviest query first onto the lightest bin
+        heap = [(0, b) for b in range(nparts)]
+        heapq.heapify(heap)
+        bins: list[list[int]] = [[] for _ in range(nparts)]
+        for i in sorted(range(len(queries)), key=lambda i: -costs[i]):
+            load, b = heapq.heappop(heap)
+            bins[b].append(i)
+            heapq.heappush(heap, (load + costs[i], b))
+        m = max((len(b) for b in bins), default=0)
+        if m == 0:
+            return spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qids: list[int] = []
+        terms_col: list[list[int]] = []
+        for b in bins:
+            for i in b:
+                qids.append(i)
+                terms_col.append([int(t) for t in queries[i]])
+            qids.extend([-1] * (m - len(b)))
+            terms_col.extend([[]] * (m - len(b)))
+        pdf_in = pd.DataFrame({
+            "query_id": np.asarray(qids, dtype=np.int64),
+            "terms": terms_col,
+        })
+        rec_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_rec = spark.conf.get(rec_key)
+        spark.conf.set(rec_key, str(m))
+        try:
+            qdf = spark.createDataFrame(
+                pdf_in,
+                schema=T.StructType([
+                    T.StructField("query_id", T.LongType(), False),
+                    T.StructField("terms", T.ArrayType(T.LongType()), False),
+                ]),
+            )
+        finally:
+            spark.conf.set(rec_key, old_rec)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             segs = seg_bc.value
             dd = docs_dict_bc.value
             fd = freqs_dict_bc.value
             norm = norm_bc.value
-            scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
-            merge_chunks = algo in ("ranked_and",)
             for pdf in batches:
-                outs = []
-                for qid, terms in zip(pdf["query_id"], pdf["terms"]):
-                    from collections import Counter
-
-                    cursors = []
-                    for tid, qf in sorted(
-                            Counter(int(t) for t in terms).items()):
-                        parts = segs.get(tid)
-                        if parts is None:
-                            continue
-                        df_total = sum(p[1] for p in parts)
-                        qw = _qtw(qf, df_total, num_docs, DT)
-                        term_cursors = []
-                        for _, n, bmax, bms, endp, foff, payload, mw in parts:
-                            c = Cursor(n, bmax, endp, foff, payload,
-                                       num_docs, dd, fd,
-                                       block_max_scores=bms, term_id=tid)
-                            c.q_weight = qw
-                            c.bound_scale = scale
-                            c.max_weight = DT(qw * DT(mw) * c.bound_scale)
-                            term_cursors.append(c)
-                        if merge_chunks and len(term_cursors) > 1:
-                            dec = [c.decode_all() for c in term_cursors]
-                            a = ArrayCursor(
-                                np.concatenate([d[0] for d in dec]),
-                                np.concatenate([d[1] for d in dec]),
-                                num_docs, tid)
-                            a.q_weight = qw
-                            a.bound_scale = scale
-                            a.max_weight = max(
-                                c.max_weight for c in term_cursors)
-                            term_cursors = [a]
-                        cursors.extend(term_cursors)
-                    topk = (kernel(cursors, norm, num_docs, k, DT)
-                            if cursors else [])
-                    for rank, (doc, score) in enumerate(topk, 1):
-                        outs.append((int(qid), rank, doc, score))
+                outs = _serve_kernel_rows(
+                    zip(pdf["query_id"], pdf["terms"]), segs, dd, fd,
+                    norm, num_docs, DT, algo, k)
                 if outs:
                     yield pd.DataFrame(
                         outs, columns=["query_id", "rank", "doc_id", "score"])

@@ -218,6 +218,15 @@ def test_broadcast_server_pins_once_serves_many(spark, index):
         b = sorted(srv.serve(queries, algo="block_max_wand_vec",
                              k=10).collect())
         assert a == b, f"batch {batch}"
+    # edge shapes of the LPT-binned layout: empty batch; batch smaller
+    # than the core count; unknown terms; empty query; duplicate ids in
+    # different bins impossible (original indices are the query ids)
+    assert srv.serve([]).collect() == []
+    small = [[tids[0]], [], [999_999_999], [tids[1], tids[1]]]
+    a = sorted(run_queries(spark, index, small,
+                           algo="block_max_wand_vec", k=10).collect())
+    b = sorted(srv.serve(small, algo="block_max_wand_vec", k=10).collect())
+    assert a == b
     srv.close()
 
 
