@@ -187,6 +187,21 @@ def main() -> None:
     m = idx.metrics()
     num_docs = m["num_docs"]
 
+    # ---- multi-dict bpi row (VERDICT r2 item 7) ----------------------------
+    # the headline build above is single_packed (reference 5.939); the
+    # config comparable to the reference's BEST row is multi_packed with 6
+    # context dictionaries (reference 4.766, this engine 4.761 via
+    # scripts/bpi_ab.py) — one untimed fresh build just for its bpi
+    mdir = out_dir + "-multi"
+    shutil.rmtree(mdir, ignore_errors=True)
+    t0 = time.time()
+    midx = build_index(spark, pages, mdir, IndexConfig(
+        num_buckets=8, input_tag=f"bench-{sf}-multi",
+        dict_variant="multi", num_dicts=6))
+    t_build_multi = time.time() - t0  # reported, NOT in the headline total
+    mm = midx.metrics()
+    shutil.rmtree(mdir, ignore_errors=True)
+
     # ---- decode rate (check_index full decode) ----------------------------
     # 1 warmup + best-of-2, like the query timings: this sandbox shows
     # intermittent first-touch page-fault stalls (fresh numpy allocations
@@ -292,6 +307,10 @@ def main() -> None:
         "num_postings": int(n_postings),
         "docs_bpi": round(m["docs_bpi"], 3),
         "freqs_bpi": round(m["freqs_bpi"], 3),
+        "docs_bpi_single": round(m["docs_bpi"], 3),
+        "docs_bpi_multi": round(mm["docs_bpi"], 3),
+        "freqs_bpi_multi": round(mm["freqs_bpi"], 3),
+        "index_build_multi_s": round(t_build_multi, 3),
         "build_docs_per_sec": round(num_docs / t_build, 1),
         "decode_ints_per_sec": round(ints_per_sec, 0),
         "decode_ints_per_sec_core": round(rate["ints_per_sec_core"], 0),

@@ -1,0 +1,292 @@
+"""Absolute-scale correctness gate: core entries re-verified on a 10^6-doc
+corpus against a DuckDB oracle (round-2 VERDICT item 4). The sf0.01 gate
+catches logic errors; this catches scale-ONLY wrongness (integer-domain
+bugs, chunk/bucket boundary bugs, skew-path divergence) at the scale the
+1M bench measures — the bench checks speed, this checks values.
+
+Checks (1M docs ~ 92.6M postings unless noted):
+  doclens_1m          order-free checksum of (doc_id, len)
+  postings_build_1m   checksum of flattened (term_id, doc_id, tf) from the
+                      engine's postings checkpoint vs DuckDB recomputing
+                      tokenize+tf+vocab-rank from the same pages parquet
+  dint_roundtrip_1m   the same checksum over decoded_postings (full DINT
+                      decode of every segment) — check_index at 1M
+  bm25_bmw_vec_1m     sampled queries: engine block-max-WAND top-10
+                      (float64, 1e-9-quantized like the sf gate) vs DuckDB
+                      exhaustive scoring, row-for-row
+  dedup_minhash_1m    100k-doc subset with injected near-dups (DuckDB's
+                      shingle unnest bounds the oracle): engine pairs vs
+                      oracle, row-for-row
+
+Checksum: sum over rows of two independent modular row-mixes + count +
+plain sums, computed engine-side in Spark SQL and oracle-side in DuckDB —
+order-free and O(1) transfer, so 92.6M-row tables compare exactly without
+materializing either side (a pandas hash-compare at this scale would be
+the bottleneck and the OOM risk).
+
+Usage: python scripts/full_gate_1m.py [num_docs] [out_json]
+Writes full_gate_1m_result.json at the repo root by default.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dint_spark.session import get_spark  # noqa: E402
+
+M1, M2 = 2147483647, 2147483629  # two coprime 31-bit moduli
+A1, B1, C1 = 1315423911, 2654435761, 97
+A2, B2, C2 = 31, 1000003, 8191
+
+N_QUERIES = 200
+DEDUP_DOCS = 100_000
+DEDUP_DUPES = 1_000
+
+
+def _cksum_exprs(t: str, d: str, f: str) -> str:
+    """The two modular row-mixes + count + sums, as SQL aggregates (same
+    text runs in Spark SQL and DuckDB — both are int64 engines and the
+    per-row products stay far below 2^63)."""
+    return (
+        f"count(*) AS n, "
+        f"sum({f}) AS sf, "
+        f"sum(({t} * {A1} + {d} * {B1} + {f} * {C1}) % {M1}) AS h1, "
+        f"sum(({t} * {A2} + {d} * {B2} + {f} * {C2}) % {M2}) AS h2"
+    )
+
+
+def _spark_cksum(df, t: str, d: str, f: str) -> dict:
+    df.createOrReplaceTempView("cksum_in")
+    row = df.sparkSession.sql(
+        f"SELECT {_cksum_exprs(t, d, f)} FROM cksum_in").collect()[0]
+    return {k: int(row[k]) for k in ("n", "sf", "h1", "h2")}
+
+
+def main() -> None:
+    num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_json = (sys.argv[2] if len(sys.argv) > 2
+                else os.path.join(REPO, "full_gate_1m_result.json"))
+    # cache paths keyed by corpus size so a smoke run can't satisfy the
+    # full-scale run's exists-checks
+    PAGES = f"/tmp/gate1m_pages_{num_docs}.parquet"
+    DOCS = f"/tmp/gate1m_docs_{num_docs}"
+    IDX = f"/tmp/gate1m_idx_{num_docs}"
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    n_cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+    master = (f"local-cluster[{min(2, n_cpus // 8)},8,16384]"
+              if n_cpus >= 16 else f"local[{n_cpus}]")
+    spark = get_spark("full_gate_1m", master=master,
+                      shuffle_partitions=max(32, n_cpus))
+
+    from dint_spark.corpus import generate_pages
+    from dint_spark.index import IndexConfig, build_index, load_index
+    from dint_spark.queries import decoded_postings, run_queries
+
+    results: dict = {"num_docs": num_docs}
+    t_all = time.time()
+
+    # -- corpus: ONE parquet both engines read ------------------------------
+    if not os.path.exists(PAGES):
+        generate_pages(spark, num_docs, seed=42).select(
+            "url", "text").write.mode("overwrite").parquet(PAGES)
+    pages = spark.read.parquet(PAGES).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", F.lit("en").alias("lang"))
+
+    if not os.path.exists(os.path.join(IDX, "manifest.json")):
+        shutil.rmtree(IDX, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, pages, IDX,
+                    IndexConfig(num_buckets=8, input_tag="gate1m"))
+        results["build_s"] = round(time.time() - t0, 1)
+    idx = load_index(spark, IDX)
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    con.sql(f"CREATE VIEW pages AS SELECT * FROM '{PAGES}/*.parquet'")
+    # identical tokenize + dense ids (rank over url) + vocab rank as the
+    # engine (the sf-gate _PRELUDE, with documents -> pages+url-rank ids)
+    prelude = """
+WITH ids AS (
+  SELECT row_number() OVER (ORDER BY url) - 1 AS doc_id, text FROM pages
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS term
+  FROM ids
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len
+  FROM ids d LEFT JOIN toks2 t ON d.doc_id = t.doc_id GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM ids)::BIGINT AS n_docs, avg(len) AS avg_len
+  FROM dl
+),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+)
+"""
+
+    def check(name: str, engine: dict, oracle: dict) -> None:
+        ok = engine == oracle
+        results[name] = {"ok": ok, "engine": engine, "oracle": oracle,
+                         "sec": round(time.time() - t_step, 1)}
+        print(("PASS " if ok else "FAIL ") + name, engine,
+              "" if ok else oracle, flush=True)
+
+    # -- doclens ------------------------------------------------------------
+    t_step = time.time()
+    dlf = spark.read.parquet(os.path.join(IDX, "doclens.parquet"))
+    eng = _spark_cksum(dlf.select("doc_id", F.lit(0).alias("z"), "len"),
+                       "doc_id", "z", "len")
+    ora = con.sql(
+        prelude + f"SELECT {_cksum_exprs('doc_id', '0', 'len')} FROM dl"
+    ).df().iloc[0]
+    check("doclens_1m", eng, {k: int(ora[k]) for k in eng})
+
+    # -- postings checkpoint (flattened) -------------------------------------
+    t_step = time.time()
+    post = spark.read.parquet(os.path.join(IDX, "postings.parquet"))
+    flat = post.select(
+        "term_id", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
+    ).select("term_id", F.col("z.doc_ids").alias("doc_id"),
+             F.col("z.freqs").alias("tf"))
+    eng_post = _spark_cksum(flat, "term_id", "doc_id", "tf")
+    ora_post_row = con.sql(
+        prelude + "SELECT " + _cksum_exprs("v.term_id", "tf.doc_id", "tf.tf")
+        + " FROM tf JOIN vocab v ON tf.term = v.term"
+    ).df().iloc[0]
+    ora_post = {k: int(ora_post_row[k]) for k in eng_post}
+    check("postings_build_1m", eng_post, ora_post)
+
+    # -- full DINT decode (check_index at 1M) --------------------------------
+    t_step = time.time()
+    dec = decoded_postings(idx, parallelism=n_cpus * 2)
+    eng_dec = _spark_cksum(dec, "term_id", "doc_id", "freq")
+    check("dint_roundtrip_1m", eng_dec, ora_post)
+
+    # -- BM25 block-max WAND vs exhaustive oracle ----------------------------
+    t_step = time.time()
+    vocab_pdf = idx.vocab().select("term_id", "df").toPandas()
+    rng = np.random.default_rng(4242)
+    tids = vocab_pdf["term_id"].to_numpy()
+    p = vocab_pdf["df"].to_numpy().astype(np.float64)
+    p /= p.sum()
+    queries = [
+        sorted(set(map(int, rng.choice(tids, size=int(rng.integers(1, 5)),
+                                       p=p))))
+        for _ in range(N_QUERIES)
+    ]
+    raw = run_queries(spark, idx, queries, algo="block_max_wand_vec",
+                      k=100, dtype="float64")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    eng_top = (
+        raw.withColumn("score_q", F.floor(F.col("score") * 1e9).cast("long"))
+        .withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= 10)
+        .select("query_id", F.col("qrank").cast("int").alias("rank"),
+                "doc_id", "score_q")
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    qvals = ", ".join(f"({qi}, {t}, 1)" for qi, ts in enumerate(queries)
+                      for t in ts)
+    ora_top = con.sql(prelude + f"""
+, qs(query_id, term_id, qf) AS (VALUES {qvals}),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         sum(
+           qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY floor(score * 1e9) DESC, doc_id ASC)::INT AS rank
+  FROM scored
+) r WHERE rank <= 10
+ORDER BY query_id, rank
+""").df()
+    ok = (len(eng_top) == len(ora_top)
+          and bool((eng_top.values == ora_top.values).all()))
+    results["bm25_bmw_vec_1m"] = {
+        "ok": ok, "rows": [len(eng_top), len(ora_top)],
+        "n_queries": N_QUERIES, "sec": round(time.time() - t_step, 1)}
+    print(("PASS " if ok else "FAIL ") + "bm25_bmw_vec_1m",
+          results["bm25_bmw_vec_1m"], flush=True)
+
+    # -- dedup_minhash on a 100k subset with injected near-dups --------------
+    t_step = time.time()
+    if not os.path.exists(os.path.join(DOCS, "documents.parquet")):
+        ids = spark.read.parquet(PAGES).orderBy("url").limit(
+            DEDUP_DOCS).select(
+            (F.row_number().over(Window.orderBy("url")) - 1).alias("doc_id"),
+            "text")
+        dupes = ids.where(F.col("doc_id") < DEDUP_DUPES).select(
+            (F.col("doc_id") + DEDUP_DOCS).alias("doc_id"),
+            # drop the first token: a guaranteed high-Jaccard near-dup
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+        docs = ids.unionByName(dupes).select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("gate1m").alias("source"),
+            F.length("text").alias("n_chars"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(DOCS, "documents.parquet"))
+    from dint_spark.ops.dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
+    eng_mh = dedup_minhash_lsh(spark, DOCS).toPandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.sql(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    con2.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{os.path.join(DOCS, 'documents.parquet')}/*.parquet'")
+    ora_mh = con2.sql(DEDUP_MINHASH_SQL).df()  # already ORDER BY doc_a, doc_b
+    ok = (list(eng_mh.columns) == list(ora_mh.columns)
+          and len(eng_mh) == len(ora_mh)
+          and bool((eng_mh.values == ora_mh.values).all()))
+    results["dedup_minhash_1m"] = {
+        "ok": ok, "rows": [len(eng_mh), len(ora_mh)],
+        "subset_docs": DEDUP_DOCS + DEDUP_DUPES,
+        "sec": round(time.time() - t_step, 1)}
+    print(("PASS " if ok else "FAIL ") + "dedup_minhash_1m",
+          results["dedup_minhash_1m"], flush=True)
+
+    results["total_s"] = round(time.time() - t_all, 1)
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    bad = [k for k, v in results.items()
+           if isinstance(v, dict) and v.get("ok") is False]
+    print(f"{'ALL PASS' if not bad else 'FAILING: ' + ', '.join(bad)} "
+          f"-> {out_json}")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
