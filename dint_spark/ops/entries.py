@@ -22,7 +22,7 @@ def _modules():
     from dint_spark.ops import textstats
 
     mods = [textstats]
-    for name in ("dedup", "similarity", "multimodal", "events"):
+    for name in ("webtext", "dedup", "similarity", "multimodal", "events"):
         try:
             mods.append(
                 __import__(f"dint_spark.ops.{name}", fromlist=[name])

@@ -22,6 +22,11 @@ SUBSET = [
     "boolean_and",
     "wand_max_weights",
     # ops suite (one per module/technique)
+    "text_repetition",
+    "quality_filter",
+    "decontaminate",
+    "sample_stratified",
+    "vocab_stats",
     "text_quality",
     "lang_id",
     "text_fingerprint_winnow",
