@@ -14,6 +14,14 @@ these ops have no counterpart there; they are builder-brief additions):
   sample_stratified     deterministic hash-threshold corpus sampling
                         (reproducible train/eval splits, no RNG state)
   vocab_stats           corpus-level term/document frequency table (top-K)
+  span_dedup            C4-style cross-document duplicate-span metrics
+                        (fraction of a doc's 5-token spans seen elsewhere)
+  domain_stats          per-source corpus accounting (docs, tokens, langs,
+                        exact-dup docs) for domain-level filtering
+  unigram_logprob       corpus-unigram-LM average token log-probability
+                        (the relational core of a perplexity filter)
+  pii_scrub             regex PII detection + redaction fingerprint
+                        (emails / IPv4 / long digit runs)
 
 Scale notes (the 100-TB contract, per op):
 
@@ -32,6 +40,21 @@ Scale notes (the 100-TB contract, per op):
                    same sample on any cluster size / partitioning.
   vocab_stats      two map-side-combinable aggs ((term,doc) then term);
                    the final top-K is a TakeOrdered, not a full sort.
+  span_dedup       distinct (doc, span-hash) rows shuffle once by hash for
+                   the doc-count agg, once by doc for the per-doc metrics;
+                   a boilerplate span in n docs is n rows + one count row,
+                   never an n^2 pair set (contrast dedup_ngram_jaccard,
+                   which must emit pairs).
+  domain_stats     stacked (source, fingerprint) -> source aggs; exact
+                   distinct counts without count(DISTINCT) holding sets.
+  unigram_logprob  the unigram table is ~vocab-sized (10^7-10^8 rows at
+                   crawl scale) — broadcast when small, hash-join on term
+                   otherwise; per-term log-prob is quantized to int64
+                   BEFORE the per-doc sum, so the doc score is an exact
+                   integer sum (no float summation order dependence).
+  pii_scrub        map-only regex counts + redaction fingerprint; the
+                   redacted text itself never shuffles (only its 60-bit
+                   hash), so the op adds no wide rows at crawl scale.
 """
 
 from __future__ import annotations
@@ -382,12 +405,278 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# span_dedup — C4-style cross-document duplicate-span metrics
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5  # token span length (C4 dedups three-sentence spans; token
+            # spans are the tokenizer-level analogue this corpus supports)
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how many of its distinct SPAN_K-token spans occur in
+    at least one OTHER document (C4, Raffel et al. 2020 §2.2 dedups
+    exactly such repeated spans corpus-wide). Spans travel as 60-bit
+    hashes; a span shared by n docs costs n rows plus one count row —
+    never a pair explosion."""
+    d = _documents(spark, sf_dir)
+    sh = (
+        d.select("doc_id", F.explode(_grams(tokens_col(), SPAN_K)).alias("g"))
+        .select("doc_id", hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    ndocs = sh.groupBy("h").agg(F.count("*").alias("nd"))
+    per_doc = sh.join(ndocs, "h").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum((F.col("nd") > 1).cast("long")).cast("long").alias("n_shared"),
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0)).cast("long")
+    n_shared = F.coalesce("n_shared", F.lit(0)).cast("long")
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            n_shared.alias("n_shared"),
+            F.when(n_spans > 0, q6(n_shared / n_spans))
+            .otherwise(F.lit(0)).alias("shared_frac_q"),
+        )
+    )
+
+
+SPAN_DEDUP_SQL = f"""
+WITH {SQL_TOKARR.strip()},
+sh AS (
+  SELECT DISTINCT doc_id, {sql_hash60('g.gram')} AS h
+  FROM (
+    SELECT doc_id, unnest({_sql_grams(SPAN_K)}) AS gram FROM tokarr
+  ) g
+),
+ndocs AS (SELECT h, count(*) AS nd FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN n.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+  FROM sh JOIN ndocs n ON sh.h = n.h
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+       CASE WHEN coalesce(p.n_spans, 0) > 0
+            THEN {sql_q6('p.n_shared / p.n_spans')} ELSE 0 END
+         AS shared_frac_q
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain_stats — per-source corpus accounting
+# ---------------------------------------------------------------------------
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source domain: document/token counts, mean document length,
+    distinct languages, and exact-duplicate documents (docs minus distinct
+    60-bit text fingerprints). Domain-level accounting drives the
+    keep/drop/downsample decisions crawl pipelines make before any
+    per-document filter. Both distincts are stacked aggregations, not
+    count(DISTINCT) over collected sets."""
+    d = _documents(spark, sf_dir)
+    base = d.select(
+        "source", "lang",
+        F.size(tokens_col()).cast("long").alias("nt"),
+        hash60(F.col("text")).alias("fp"),
+    )
+    fp_stats = (
+        base.groupBy("source", "fp")
+        .agg(F.count("*").alias("c"), F.sum("nt").alias("snt"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("snt").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_uniq_fp"),
+        )
+    )
+    langs = (
+        d.select("source", "lang").distinct()
+        .groupBy("source").agg(F.count("*").cast("long").alias("n_langs"))
+    )
+    return fp_stats.join(langs, "source").select(
+        "source", "n_docs", "n_tokens",
+        q6(F.col("n_tokens") / F.col("n_docs")).alias("avg_len_q"),
+        "n_langs",
+        (F.col("n_docs") - F.col("n_uniq_fp")).cast("long")
+        .alias("dup_docs"),
+    )
+
+
+DOMAIN_STATS_SQL = f"""
+WITH base AS (
+  SELECT source, lang,
+         len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                         x -> x <> ''))::BIGINT AS nt,
+         {sql_hash60('text')} AS fp
+  FROM documents
+),
+fp1 AS (
+  SELECT source, fp, count(*) AS c, sum(nt) AS snt
+  FROM base GROUP BY 1, 2
+),
+fps AS (
+  SELECT source, sum(c)::BIGINT AS n_docs, sum(snt)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_uniq_fp
+  FROM fp1 GROUP BY 1
+),
+langs AS (
+  SELECT source, count(*)::BIGINT AS n_langs
+  FROM (SELECT DISTINCT source, lang FROM documents) GROUP BY 1
+)
+SELECT f.source, f.n_docs, f.n_tokens,
+       {sql_q6('f.n_tokens / f.n_docs')} AS avg_len_q,
+       l.n_langs,
+       (f.n_docs - f.n_uniq_fp)::BIGINT AS dup_docs
+FROM fps f JOIN langs l ON f.source = l.source
+ORDER BY f.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob — perplexity-filter proxy over a corpus unigram LM
+# ---------------------------------------------------------------------------
+
+LOGP_SCALE = 1_000_000  # per-term log-prob quantum (int64 before summing)
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average token log-probability under the corpus's own unigram LM —
+    the relational core of a perplexity filter (CCNet, Wenzek et al. 2020
+    scores pages with a 5-gram LM; the unigram version has the identical
+    dataflow: term table -> join -> per-doc reduce). Per-term log-probs
+    are quantized to int64 BEFORE the per-doc sum, so the doc score is an
+    exact integer sum with no float summation-order dependence."""
+    d = _documents(spark, sf_dir)
+    tfpd = (
+        d.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    )
+    vocab = tfpd.groupBy("term").agg(F.sum("c").cast("long").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("total_tf"))
+    qlp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(
+            F.log(F.col("tf").cast("double") / F.col("total_tf"))
+            * F.lit(float(LOGP_SCALE))
+        ).cast("long").alias("qlp"),
+    )
+    scored = tfpd.join(qlp, "term").groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("qlp")).cast("long").alias("s"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(F.col("s").cast("double") / F.col("n_tokens"))
+                .cast("long"),
+            ).otherwise(F.lit(0)).alias("avg_logp_q"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH {SQL_TOKS.strip()},
+tfpd AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c FROM toks2 GROUP BY 1, 2
+),
+vocab AS (SELECT term, sum(c)::BIGINT AS tf FROM tfpd GROUP BY 1),
+tot AS (SELECT sum(tf)::DOUBLE AS total_tf FROM vocab),
+qlpt AS (
+  SELECT term,
+         floor(ln(tf::DOUBLE / t.total_tf) * {LOGP_SCALE})::BIGINT AS qlp
+  FROM vocab CROSS JOIN tot t
+),
+scored AS (
+  SELECT tfpd.doc_id, sum(tfpd.c * q.qlp)::BIGINT AS s,
+         sum(tfpd.c)::BIGINT AS n_tokens
+  FROM tfpd JOIN qlpt q ON tfpd.term = q.term
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(sc.n_tokens, 0) > 0
+            THEN floor(sc.s / sc.n_tokens)::BIGINT ELSE 0 END AS avg_logp_q
+FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub — regex PII detection + redaction fingerprint
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \\b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\d{9,}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact the three PII shapes every curation pipeline
+    scrubs (emails, IPv4 addresses, >=9-digit runs: phone/account/SSN-like
+    ids). Emits counts plus the 60-bit fingerprint of the redacted text —
+    the full redacted body never shuffles, downstream stages re-derive it
+    map-side from the same deterministic replacement order."""
+    d = _documents(spark, sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>"),
+        PII_LONGNUM_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE))
+        .cast("long").alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(PII_LONGNUM_RE))
+        .cast("long").alias("n_longnum"),
+        hash60(red).alias("clean_fp"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{PII_LONGNUM_RE}'))::BIGINT
+         AS n_longnum,
+       {sql_hash60(
+           "regexp_replace(regexp_replace(regexp_replace(text, "
+           f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+           f"'{PII_IPV4_RE}', '<IP>', 'g'), "
+           f"'{PII_LONGNUM_RE}', '<NUM>', 'g')"
+       )} AS clean_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition": text_repetition,
     "quality_filter": quality_filter,
     "decontaminate": decontaminate,
     "sample_stratified": sample_stratified,
     "vocab_stats": vocab_stats,
+    "span_dedup": span_dedup,
+    "domain_stats": domain_stats,
+    "unigram_logprob": unigram_logprob,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLE_SQLS = {
@@ -396,4 +685,8 @@ ORACLE_SQLS = {
     "decontaminate": DECONTAMINATE_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "vocab_stats": VOCAB_STATS_SQL,
+    "span_dedup": SPAN_DEDUP_SQL,
+    "domain_stats": DOMAIN_STATS_SQL,
+    "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }

@@ -23,6 +23,10 @@ SUBSET = [
     "wand_max_weights",
     # ops suite (one per module/technique)
     "text_repetition",
+    "span_dedup",
+    "domain_stats",
+    "unigram_logprob",
+    "pii_scrub",
     "quality_filter",
     "decontaminate",
     "sample_stratified",
