@@ -233,6 +233,44 @@ def main() -> None:
         "this plan; its crawl-scale feeder is pair_source='minhash').",
     ))
 
+    # 9. span_dedup: hash joins only (a hot span is n rows + 1 count row,
+    # never a pair set), with map-side-combined aggregates.
+    from dint_spark.ops.webtext import span_dedup, unigram_logprob
+
+    p9 = plan_of(span_dedup(spark, SF))
+    ok9 = ("CartesianProduct" not in p9
+           and "BroadcastNestedLoopJoin" not in p9
+           and p9.count("HashAggregate") >= 2)
+    sections.append((
+        "span_dedup: hash joins only, partial+final aggregates",
+        _join_shapes(p9),
+        ok9,
+        "the span-hash doc-count and the per-doc metrics are partial+final "
+        "HashAggregates; the h-join and the doc_id join are hash joins — "
+        "no pair explosion exists in the plan (a span shared by n docs "
+        "costs n rows plus one count row).",
+    ))
+
+    # 10. unigram_logprob: the only nested-loop node allowed is the 1-row
+    # total_tf scalar attach (an intentional broadcast of one row); the
+    # term join must be a hash join and the tf aggs partial+final.
+    p10 = plan_of(unigram_logprob(spark, SF))
+    # count nodes in the tree skeleton only — the formatted details
+    # section repeats every node name once more
+    bnlj = _join_shapes(p10).count("BroadcastNestedLoopJoin")
+    ok10 = ("CartesianProduct" not in p10 and bnlj <= 1
+            and p10.count("HashAggregate") >= 2)
+    sections.append((
+        "unigram_logprob: scalar-only nested loop, hash join on term",
+        _join_shapes(p10),
+        ok10,
+        "the per-(doc,term) and per-term aggregations are partial+final "
+        "HashAggregates; the single BroadcastNestedLoopJoin is the 1-row "
+        "total-token scalar attach (O(1) broadcast), and the vocab "
+        "log-prob table joins back on term as a hash join (broadcast when "
+        "small, shuffled hash join at crawl-scale vocab).",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")

@@ -59,12 +59,21 @@ DEDUP_DUPES = 1_000
 def _cksum_exprs(t: str, d: str, f: str) -> str:
     """The two modular row-mixes + count + sums, as SQL aggregates (same
     text runs in Spark SQL and DuckDB — both are int64 engines and the
-    per-row products stay far below 2^63)."""
+    per-row products stay far below 2^63).
+
+    The outer CAST matters at this scale: DuckDB widens sum(BIGINT) to
+    HUGEINT, which pandas converts to float64 — above 2^53 (~9e15, and
+    these sums reach ~1e17 at 92.6M rows) that conversion rounds by a few
+    units and produces phantom mismatches against Spark's exact int64
+    sum. CAST(... AS BIGINT) is exact (the true sums stay < 2^63) and is
+    a no-op on the Spark side."""
     return (
         f"count(*) AS n, "
-        f"sum({f}) AS sf, "
-        f"sum(({t} * {A1} + {d} * {B1} + {f} * {C1}) % {M1}) AS h1, "
-        f"sum(({t} * {A2} + {d} * {B2} + {f} * {C2}) % {M2}) AS h2"
+        f"cast(sum({f}) as bigint) AS sf, "
+        f"cast(sum(({t} * {A1} + {d} * {B1} + {f} * {C1}) % {M1}) "
+        f"as bigint) AS h1, "
+        f"cast(sum(({t} * {A2} + {d} * {B2} + {f} * {C2}) % {M2}) "
+        f"as bigint) AS h2"
     )
 
 
