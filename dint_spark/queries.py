@@ -218,7 +218,19 @@ class ArrayCursor:
 # deployment holds just its hot set per worker.
 _LIST_CACHE: OrderedDict = OrderedDict()
 _LIST_CACHE_BYTES = 0
-_LIST_CACHE_CAP = int(os.environ.get("DINT_SPARK_DECODE_CACHE_MB", "64")) * 2**20
+_LIST_CACHE_CAP = int(os.environ.get("DINT_SPARK_DECODE_CACHE_MB", "256")) * 2**20
+
+# Dense-accumulator scoring ceiling: exhaustive kernels switch from the
+# candidate-compaction path (np.unique + per-list searchsorted, O(P log P))
+# to a docid-indexed float accumulator (O(P + num_docs) pure scatter/scan)
+# when the shard's doc count fits the per-worker budget. 2^24 docs = 67 MB
+# f32 + 17 MB matched-mask per in-flight query; a 16-worker executor tops
+# out ~1.3 GB transient — the same order as the pinned seg broadcast it
+# serves. Shards above the ceiling (docid sharding bounds num_docs per
+# shard; README "Scale design") keep the compaction path, which never
+# materializes O(num_docs) state.
+_DENSE_SCORE_MAX_DOCS = int(
+    os.environ.get("DINT_SPARK_DENSE_SCORE_MAX_DOCS", str(1 << 24)))
 
 
 def _cache_key(c: "Cursor") -> tuple:
@@ -312,6 +324,63 @@ def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
     return q.finalize()
 
 
+def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None):
+    """Exhaustive BM25 top-k via a docid-indexed accumulator.
+
+    ``lists`` is (q_weight, docs, freqs) per cursor in term_id order — the
+    canonical accumulation order. Each list adds its per-posting float
+    contribution with one fancy-index scatter (docids are unique within a
+    list, so ``acc[docs] += x`` is a plain unbuffered add); a doc matched
+    by several lists receives its adds in exactly the same IEEE sequence
+    as the candidate-compaction path (which adds an exact 0 for unmatched
+    docs — a no-op on non-negative f32), so scores are bit-identical.
+    Top-k selection: k-th-value partition, then doc-asc lexsort of the
+    >=t ties only — identical (doc_id, score) rows to a full lexsort.
+
+    O(P) scatter + O(num_docs) scan, no sort of the posting union; only
+    valid when num_docs fits worker memory (callers gate on
+    _DENSE_SCORE_MAX_DOCS — docid sharding bounds num_docs per shard).
+    """
+    acc = np.zeros(num_docs, dtype=DT)
+    K1 = DT(1.2)
+    NORM = DT(1.0) - DT(0.5)  # 1 - b
+    nl = np.asarray(norm_lens)
+    for qw, docs, freqs in lists:
+        f = freqs.astype(DT)
+        dtw = f / (f + K1 * (NORM + DT(0.5) * nl[docs].astype(DT, copy=False)))
+        acc[docs] += qw * dtw
+    # ``floor``: any certified lower bound on the k-th best score (BMW
+    # passes its bootstrap theta — the k-th best of >= k exactly-scored
+    # docs, whose acc entries are bit-identical to those scores). A mask
+    # scan at the floor replaces the O(num_docs) introselect partition.
+    cand = None
+    if floor is not None and floor > 0:
+        cand = np.flatnonzero(acc >= floor)
+        if len(cand) < k:  # unreachable for a valid bound; stay safe
+            cand = None
+    if cand is None:
+        # matched docs score strictly > 0 (q_weight is idf-floored
+        # positive, dtw = f/(f+denom) with f >= 1 and finite denom — no
+        # subnormal path), so a positive k-th value certifies every
+        # selected doc is matched and no matched-doc mask is needed;
+        # t == 0 means < k matched docs exist.
+        if num_docs > k:
+            t = np.partition(acc, num_docs - k)[num_docs - k]
+        else:
+            t = DT(0)
+        cand = np.flatnonzero(acc >= t) if t > 0 else np.flatnonzero(acc > 0)
+    if not len(cand):
+        return []
+    vals = acc[cand]
+    if len(cand) > k:
+        # keep k-th-value ties for doc-asc resolution
+        t = np.partition(vals, len(vals) - k)[len(vals) - k]
+        sel = vals >= t
+        cand, vals = cand[sel], vals[sel]
+    order = np.lexsort((cand, -vals))[:k]
+    return [(int(cand[i]), float(vals[i])) for i in order]
+
+
 def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
     """Vectorized exhaustive DAAT: numerically identical to ranked_or.
 
@@ -328,6 +397,9 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
     for c in cursors:  # arrive sorted by term_id (build_cursors)
         docs, freqs = c.decode_all()
         lists.append((c, docs, freqs))
+    if num_docs <= _DENSE_SCORE_MAX_DOCS:
+        return _dense_topk(((c.q_weight, d, f) for c, d, f in lists),
+                           norm_lens, num_docs, k, DT)
     union = np.unique(np.concatenate([d for _, d, _ in lists]))
     scores = np.zeros(len(union), dtype=DT)
     for c, docs, freqs in lists:
@@ -638,6 +710,17 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
     # = ranked_or_vec over the bulk-decoded lists)
     exhaustive = (sum(len(nd) for nd in needs)
                   > 0.5 * sum(c.nblocks for c in cursors))
+    if exhaustive and num_docs <= _DENSE_SCORE_MAX_DOCS:
+        # head-term queries at shard scale: pruning kept most blocks, so
+        # score everything through the dense accumulator (same adds, same
+        # order as exact_scores over the candidate union — bit-identical;
+        # see _dense_topk) instead of paying unique/searchsorted over a
+        # candidate set approaching num_docs.
+        lists = []
+        for ci, c in enumerate(cursors):
+            docs, freqs = get_span(ci, np.arange(c.nblocks), want_freqs=True)
+            lists.append((c.q_weight, docs, freqs))
+        return _dense_topk(lists, nl_arr, num_docs, k, DT, floor=theta)
     for ci, c in enumerate(cursors):
         if exhaustive:
             docs, _ = get_span(ci, np.arange(c.nblocks), want_freqs=False)
