@@ -387,9 +387,11 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
     Per-doc accumulation order is term_id asc (the cursor order), exactly as
     the scalar loop adds matching cursors per doc — each list contributes one
     float32 add per doc, in the same sequence, with elementwise-identical
-    IEEE ops, so scores are bit-equal to ranked_or. Docid space is compacted
-    via the union of list docids (no dense num_docs array), so the kernel is
-    partition-safe at 10^12-doc scale.
+    IEEE ops, so scores are bit-equal to ranked_or. Shards whose doc count
+    fits the per-worker budget score through the dense docid-indexed
+    accumulator (_dense_topk — O(P) scatter, no posting-union sort); larger
+    shards compact docid space via the union of list docids (no dense
+    num_docs array), so the kernel stays partition-safe at 10^12-doc scale.
     """
     if not cursors:
         return []
