@@ -412,11 +412,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": _entry_boolean_and,
         "boolean_or": _entry_boolean_or,
         "wand_max_weights": _entry_wand_max_weights,
+        "phrase_match": _entry_phrase_match,
     }
     from dint_spark.ops import entries as ops_entries
 
     q.update(ops_entries.spark_queries())
     return q
+
+
+# fixed phrase workload over the 31-term documents vocabulary: bigrams and
+# trigrams of frequent terms (real hits), a repeated-term phrase (overlap
+# counting), a rare-tail bigram, a single-term phrase, and a 4-gram
+PHRASE_SPECS: list[list[int]] = [
+    [0, 1],
+    [1, 0],
+    [2, 3, 4],
+    [0, 0],
+    [5, 2],
+    [7, 11],
+    [1, 2, 3],
+    [10, 0],
+    [0, 1, 2],
+    [30, 29],
+    [6],
+    [3, 8, 1, 0],
+]
+
+
+def _entry_phrase_match(spark, sf_dir):
+    """Exact-phrase retrieval over a POSITIONAL index (third DINT-coded
+    per-doc-gapped position stream + sorted-key intersection kernel,
+    queries.run_phrase_queries). Output counts overlapping occurrences
+    exactly; integer-only columns so the hash compare is exact. No
+    reference counterpart (the reference's data model is docs+freqs only,
+    include/ds2i/binary_freq_collection.hpp) — fulltext-tier extension."""
+    from dint_spark.queries import run_phrase_queries
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    res = run_phrase_queries(spark, idx, PHRASE_SPECS)
+    return res.select(
+        F.col("query_id").alias("phrase_id"), "doc_id", "phrase_tf"
+    ).orderBy("phrase_id", "doc_id")
+
+
+def _phrase_values() -> str:
+    rows = ",".join(
+        f"({pid},{off},{tid})"
+        for pid, ph in enumerate(PHRASE_SPECS)
+        for off, tid in enumerate(ph)
+    )
+    return f"(VALUES {rows}) AS t(phrase_id, off, term_id)"
+
+
+# phrase oracle: token positions via generate_subscripts + empty-token
+# refiltering (positions are ordinals over NON-empty tokens, matching the
+# engine tokenizer), then each (phrase, doc, start) group must match every
+# phrase offset — counts overlapping occurrences exactly like the kernel
+_PHRASE_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_ord GROUP BY 1, 2),
+vocab AS (
+  SELECT term,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+pterms AS (SELECT * FROM {_phrase_values()}),
+plen AS (SELECT phrase_id, count(*) AS len FROM pterms GROUP BY 1),
+hits AS (
+  SELECT pt.phrase_id, tp.doc_id, tp.pos - pt.off AS start
+  FROM pterms pt
+  JOIN vocab v ON v.term_id = pt.term_id
+  JOIN toks_ord tp ON tp.term = v.term
+),
+occ AS (
+  SELECT h.phrase_id, h.doc_id, h.start
+  FROM hits h JOIN plen l ON l.phrase_id = h.phrase_id
+  GROUP BY h.phrase_id, h.doc_id, h.start, l.len
+  HAVING count(*) = l.len
+)
+SELECT phrase_id, doc_id, count(*)::BIGINT AS phrase_tf
+FROM occ GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def _ranked_and(spark, sf_dir):
@@ -536,6 +623,7 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_and": _BOOL_AND_SQL,
         "boolean_or": _BOOL_OR_SQL,
         "wand_max_weights": _WAND_MW_SQL,
+        "phrase_match": _PHRASE_SQL,
     }
     from dint_spark.ops import entries as ops_entries
 

@@ -1218,6 +1218,140 @@ def encode_list(docs: np.ndarray, freqs: np.ndarray, docs_dict, freqs_dict,
     return bytes(payload), block_maxs, endpoints, freq_offsets
 
 
+# --------------------------------------------------------------------------
+# generic non-negative value streams (positions, or any auxiliary stream)
+# --------------------------------------------------------------------------
+
+def positions_to_gaps(pos_flat: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Per-doc gap transform of a flat positions stream.
+
+    ``pos_flat`` concatenates each doc's strictly-increasing term positions
+    in docid order; ``freqs`` gives the per-doc counts (the doc cuts).
+    Within a doc the transform is [p0, p1-p0-1, ..., p_t-p_{t-1}-1] — the
+    same d[i]-d[i-1]-1 gap law as docids (ref dict_posting_list.hpp:35-40)
+    but restarting at every doc boundary, so the stream stays blockwise
+    codec-friendly without storing boundaries (freqs already encode them).
+    Fully vectorized: one diff + a scatter at the doc-start offsets."""
+    pos_flat = np.asarray(pos_flat, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n = len(pos_flat)
+    if n == 0:
+        return pos_flat
+    vals = np.empty(n, dtype=np.int64)
+    vals[1:] = pos_flat[1:] - pos_flat[:-1] - 1
+    starts = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+    vals[starts] = pos_flat[starts]
+    if vals.min() < 0 or int(pos_flat.max(initial=0)) > 0xFFFFFFFF:
+        raise ValueError("positions not strictly increasing per doc, or "
+                         "beyond the u32 codec domain")
+    return vals
+
+
+def gaps_to_positions(vals: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Inverse of positions_to_gaps: cumsum with resets at doc boundaries,
+    vectorized (no per-doc loop): p_j = (C[s+j] - C[s-1]) + j for a doc
+    starting at stream offset s, where C is the global cumsum of vals+0."""
+    vals = np.asarray(vals, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return vals
+    c = np.cumsum(vals)
+    starts = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+    base = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
+    within = np.arange(n) - np.repeat(starts, freqs)
+    return c - np.repeat(base, freqs) + within
+
+
+def encode_value_streams_batch(streams: list[np.ndarray], dct,
+                               optimal: bool = True
+                               ) -> list[tuple[bytes, np.ndarray]]:
+    """Encode MANY non-negative u32 value streams (e.g. per-list position
+    gaps) into the freqs-stream block layout: 256-value blocks DINT-coded,
+    the tail block as vbyte(sum) + BIC — exactly the layout decode_block
+    (sum=-1) reads back. Returns per stream (payload, endpoints) where
+    endpoints[b] is block b's byte offset. Batched like encode_lists_batch:
+    all full blocks share one lockstep DP parse, all tails one lockstep BIC
+    encode."""
+    plans = []
+    dint_rows: list[np.ndarray] = []
+    bic_blocks: list[np.ndarray] = []
+    bic_sums: list[int] = []
+    for vals in streams:
+        vals = np.asarray(vals, dtype=np.int64)
+        n = len(vals)
+        if n and (int(vals.min()) < 0 or int(vals.max()) > 0xFFFFFFFF):
+            raise ValueError("value stream outside the u32 codec domain")
+        nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        plan = []
+        for b in range(nblocks):
+            lo = b * BLOCK_SIZE
+            hi = min(lo + BLOCK_SIZE, n)
+            if hi - lo == BLOCK_SIZE:
+                plan.append((len(dint_rows),))
+                dint_rows.append(vals[lo:hi])
+            else:
+                vsum = int(vals[lo:hi].sum())
+                plan.append((len(bic_blocks), vsum))
+                bic_blocks.append(vals[lo:hi])
+                bic_sums.append(vsum)
+        plans.append(plan)
+
+    if dint_rows:
+        mat = np.ascontiguousarray(np.vstack(dint_rows), dtype=_U32)
+        dd = encode_full_blocks_batch(mat, dct, optimal=optimal)
+    else:
+        dd = []
+    bp = _bic_encode_groups(bic_blocks, bic_sums)
+
+    out = []
+    for plan in plans:
+        parts: list[bytes] = []
+        endpoints = np.empty(len(plan), dtype=np.int64)
+        pos = 0
+        for b, desc in enumerate(plan):
+            endpoints[b] = pos
+            if len(desc) == 1:
+                parts.append(dd[desc[0]])
+                pos += len(dd[desc[0]])
+            else:
+                di, vsum = desc
+                vb = _vbyte_encode_single(vsum)
+                parts.append(vb)
+                parts.append(bp[di])
+                pos += len(vb) + len(bp[di])
+        out.append((b"".join(parts), endpoints))
+    return out
+
+
+def decode_value_stream(payload: bytes, n: int, endpoints: np.ndarray,
+                        dct) -> np.ndarray:
+    """Decode a full value stream written by encode_value_streams_batch.
+    Full blocks decode in one vectorized cross-block pass (the same
+    _decode_grouped gather as the freqs stream); the tail via the per-block
+    path (decode_block with the self-delimiting sum=-1 convention)."""
+    payload = bytes(payload)
+    endpoints = np.asarray(endpoints, dtype=np.int64)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nfull = n // BLOCK_SIZE
+    parts: list[np.ndarray] = []
+    if nfull:
+        starts = endpoints[:nfull]
+        ends = np.empty(nfull, dtype=np.int64)
+        ends[:-1] = endpoints[1:nfull]
+        ends[-1] = endpoints[nfull] if nblocks > nfull else len(payload)
+        parts.append(_decode_grouped(payload, starts, ends, dct,
+                                     BLOCK_SIZE).astype(np.int64))
+    if nblocks > nfull:
+        tail_n = n - nfull * BLOCK_SIZE
+        vals, _ = decode_block(payload, int(endpoints[nfull]), tail_n, -1,
+                               dct)
+        parts.append(vals.astype(np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 def _concat_decode(payload: bytes, starts: np.ndarray, ends: np.ndarray,
                    table2d: np.ndarray, sizes: np.ndarray,
                    count_per_block: int) -> np.ndarray:

@@ -201,17 +201,26 @@ def _iter_pattern_groups(acc: dict):
 _COMPACT_THRESHOLD = 8_000_000
 
 
-def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
-                          ) -> DataFrame:
-    """-> (stream, sel, pattern, size, freq) partially aggregated per task."""
+def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False,
+                          with_positions: bool = False) -> DataFrame:
+    """-> (stream, sel, pattern, size, freq) partially aggregated per task.
+
+    ``with_positions``: also collect a "pos" stream from the rows' flat
+    per-doc-gapped position arrays (positions_to_gaps of the ``poss``
+    column) — the third learned dictionary of a positional index."""
+    from dint_spark.dint.codec import positions_to_gaps
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc_docs: dict = {}
         acc_freqs: dict = {}
+        acc_pos: dict = {}
         pend_docs: dict = {}
         pend_freqs: dict = {}
+        pend_pos: dict = {}
         for pdf in batches:
-            for docs, freqs in zip(pdf["doc_ids"], pdf["freqs"]):
+            poss_col = pdf["poss"] if with_positions else None
+            for i, (docs, freqs) in enumerate(zip(pdf["doc_ids"],
+                                                  pdf["freqs"])):
                 docs = np.asarray(docs, dtype=np.int64)
                 gaps = np.diff(docs, prepend=-1) - 1
                 _collect_stream(gaps.astype(np.uint32), pend_docs,
@@ -219,14 +228,26 @@ def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
                 fvals = np.asarray(freqs, dtype=np.int64) - 1
                 _collect_stream(fvals.astype(np.uint32), pend_freqs,
                                 per_block_contexts)
+                if poss_col is not None:
+                    pvals = positions_to_gaps(
+                        np.asarray(poss_col.iloc[i], dtype=np.int64),
+                        fvals + 1)
+                    _collect_stream(pvals.astype(np.uint32), pend_pos,
+                                    per_block_contexts)
             # unique once per Arrow batch: bounds pending-buffer memory
             # while amortizing np.unique over thousands of lists
             n = _merge_pending(pend_docs, acc_docs)
             n += _merge_pending(pend_freqs, acc_freqs)
+            if with_positions:
+                n += _merge_pending(pend_pos, acc_pos)
             if n > _COMPACT_THRESHOLD:
                 _compact_acc(acc_docs)
                 _compact_acc(acc_freqs)
-        for stream, acc in (("docs", acc_docs), ("freqs", acc_freqs)):
+                _compact_acc(acc_pos)
+        streams = [("docs", acc_docs), ("freqs", acc_freqs)]
+        if with_positions:
+            streams.append(("pos", acc_pos))
+        for stream, acc in streams:
             _compact_acc(acc)
             for sel, s, ub, counts in _iter_pattern_groups(acc):
                 uniq_n = len(counts)
@@ -251,8 +272,9 @@ def collect_pattern_stats(postings: DataFrame, per_block_contexts: bool = False
     # python collector embarrassingly parallel.
     spark = postings.sparkSession
     nparts = max(spark.sparkContext.defaultParallelism * 4, 16)
+    cols = ["doc_ids", "freqs"] + (["poss"] if with_positions else [])
     return (
-        postings.select("doc_ids", "freqs")
+        postings.select(*cols)
         .repartition(nparts)
         .mapInPandas(run, schema=STATS_SCHEMA)
     )
@@ -265,7 +287,8 @@ def learn_dictionaries(
     num_dicts: int = 2,
     total_integers: int | None = None,
     sample_mod: int = 1,
-) -> tuple[object, object, dict]:
+    with_positions: bool = False,
+) -> tuple:
     """Run the stats job + pattern selection; returns (docs_dict, freqs_dict,
     info). One Spark action; everything after the top-k collect is driver-
     side on <= 2*K*65529 tiny rows.
@@ -297,7 +320,8 @@ def learn_dictionaries(
         ).collect()[0]["t"] or 0
 
     stats = (
-        collect_pattern_stats(sampled, per_block_contexts=multi)
+        collect_pattern_stats(sampled, per_block_contexts=multi,
+                              with_positions=with_positions)
         .groupBy("stream", "sel", "pattern", "size")
         .agg(F.sum("freq").alias("freq"))
     )
@@ -318,7 +342,9 @@ def learn_dictionaries(
     select = SELECTORS[selection]
     class_map = default_class_map(num_dicts)
     dicts: dict[str, object] = {}
-    for stream in ("docs", "freqs"):
+    stream_names = ("docs", "freqs", "pos") if with_positions \
+        else ("docs", "freqs")
+    for stream in stream_names:
         if not multi:
             top = (
                 filtered.where(F.col("stream") == stream)
@@ -361,4 +387,6 @@ def learn_dictionaries(
         "selection": selection,
         "stats_sample_mod": int(sample_mod),
     }
+    if with_positions:
+        return dicts["docs"], dicts["freqs"], dicts["pos"], info
     return dicts["docs"], dicts["freqs"], info

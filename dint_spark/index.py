@@ -42,7 +42,8 @@ from dint_spark.dint.dictionary import DintDictionary, load_dictionary
 from dint_spark.dint.stats import learn_dictionaries
 from dint_spark.postings import (
     DEFAULT_BC_MAX_DOCS, DEFAULT_BC_MAX_SEGMAP_ROWS, DEFAULT_BC_MAX_TERMS,
-    DEFAULT_SEG_CHUNK, DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs)
+    DEFAULT_SEG_CHUNK, DEFAULT_SKEW_CHUNK, build_postings, term_doc_freqs,
+    term_doc_positions)
 from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
 
 SEGMENTS_SCHEMA = T.StructType(
@@ -58,6 +59,21 @@ SEGMENTS_SCHEMA = T.StructType(
         T.StructField("max_weight", T.FloatType(), False),
         T.StructField("docs_bytes", T.LongType(), False),
         T.StructField("freqs_bytes", T.LongType(), False),
+    ]
+)
+
+# positional indexes add a separately-addressed positions stream per segment
+# row: pos_payload holds the per-doc-gapped within-doc positions (flat, doc
+# cuts = the freqs), block layout identical to the freqs stream, with its
+# own endpoints so phrase kernels can skip straight to candidate blocks.
+# A separate column (not spliced into `payload`) keeps non-positional
+# queries' parquet scans free of position bytes via column pruning.
+SEGMENTS_SCHEMA_POS = T.StructType(
+    SEGMENTS_SCHEMA.fields
+    + [
+        T.StructField("pos_payload", T.BinaryType(), False),
+        T.StructField("pos_endpoints", T.ArrayType(T.LongType()), False),
+        T.StructField("pos_bytes", T.LongType(), False),
     ]
 )
 
@@ -98,6 +114,10 @@ class IndexConfig:
     bc_max_terms: int = DEFAULT_BC_MAX_TERMS
     bc_max_docs: int = DEFAULT_BC_MAX_DOCS
     bc_max_segmap_rows: int = DEFAULT_BC_MAX_SEGMAP_ROWS
+    # positional index: postings carry within-doc term positions, segments
+    # gain a third DINT-coded stream (pos_payload/pos_endpoints) and a third
+    # learned dictionary — enables phrase / proximity retrieval
+    positions: bool = False
 
     def config_hash(self) -> str:
         d = asdict(self)
@@ -105,6 +125,8 @@ class IndexConfig:
         # indexes built before the knob existed still resume cleanly
         if d.get("stats_sample_mod", 1) == 1:
             d.pop("stats_sample_mod", None)
+        if not d.get("positions", False):
+            d.pop("positions", None)
         # plan-shape knobs never change the built index's bytes
         for k in ("bc_max_terms", "bc_max_docs", "bc_max_segmap_rows"):
             d.pop(k, None)
@@ -125,10 +147,15 @@ def _read_json(path: str):
         return json.load(f)
 
 
-def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
+def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool,
+                    pos_dict_bc=None):
+    with_pos = pos_dict_bc is not None
+    schema = SEGMENTS_SCHEMA_POS if with_pos else SEGMENTS_SCHEMA
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         docs_dict = docs_dict_bc.value
         freqs_dict = freqs_dict_bc.value
+        pos_dict = pos_dict_bc.value if with_pos else None
         avg = np.float32(avg_len)
         for pdf in batches:
             docs_arrs = [np.asarray(d, dtype=np.int64) for d in pdf["doc_ids"]]
@@ -139,10 +166,21 @@ def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
             encoded = encode_lists_batch(
                 docs_arrs, freqs_arrs, docs_dict, freqs_dict, optimal=optimal
             )
+            if with_pos:
+                from dint_spark.dint.codec import (
+                    encode_value_streams_batch, positions_to_gaps)
+                streams = [
+                    positions_to_gaps(np.asarray(p, dtype=np.int64), f)
+                    for p, f in zip(pdf["poss"], freqs_arrs)
+                ]
+                pos_encoded = encode_value_streams_batch(
+                    streams, pos_dict, optimal=optimal)
             out_rows = []
-            for (term_id, seg_id, lens), docs, freqs, enc in zip(
-                zip(pdf["term_id"], pdf["seg_id"], pdf["lens"]),
-                docs_arrs, freqs_arrs, encoded,
+            for i, ((term_id, seg_id, lens), docs, freqs, enc) in enumerate(
+                zip(
+                    zip(pdf["term_id"], pdf["seg_id"], pdf["lens"]),
+                    docs_arrs, freqs_arrs, encoded,
+                )
             ):
                 payload, bmax, endp, foff = enc
                 norm = np.asarray(lens, dtype=np.float32) / avg
@@ -150,25 +188,28 @@ def make_encode_udf(docs_dict_bc, freqs_dict_bc, avg_len: float, optimal: bool):
                 bms = np.maximum.reduceat(
                     weights, np.arange(0, len(docs), 256))
                 docs_bytes = int((foff - endp).sum())
-                out_rows.append(
-                    (
-                        int(term_id),
-                        int(seg_id),
-                        len(docs),
-                        bmax.tolist(),
-                        bms.astype(np.float32).tolist(),
-                        endp.tolist(),
-                        foff.tolist(),
-                        payload,
-                        float(weights.max()),
-                        docs_bytes,
-                        len(payload) - docs_bytes,
-                    )
+                row = (
+                    int(term_id),
+                    int(seg_id),
+                    len(docs),
+                    bmax.tolist(),
+                    bms.astype(np.float32).tolist(),
+                    endp.tolist(),
+                    foff.tolist(),
+                    payload,
+                    float(weights.max()),
+                    docs_bytes,
+                    len(payload) - docs_bytes,
                 )
+                if with_pos:
+                    pos_payload, pos_endp = pos_encoded[i]
+                    row = row + (pos_payload, pos_endp.tolist(),
+                                 len(pos_payload))
+                out_rows.append(row)
             if out_rows:
                 yield pd.DataFrame(
                     out_rows,
-                    columns=[f.name for f in SEGMENTS_SCHEMA.fields],
+                    columns=[f.name for f in schema.fields],
                 )
 
     return encode
@@ -291,9 +332,10 @@ def build_index(
         # persist tdf: build_postings consumes it on two branches (the
         # seg-assignment counts and the main assembly), and without the
         # persist the explode+agg+vocab-join pipeline runs twice
-        tdf = term_doc_freqs(docs, vocab2,
-                             num_terms_hint=int(v_obs.get["n"]),
-                             bc_max_terms=config.bc_max_terms).persist()
+        tdf_fn = term_doc_positions if config.positions else term_doc_freqs
+        tdf = tdf_fn(docs, vocab2,
+                     num_terms_hint=int(v_obs.get["n"]),
+                     bc_max_terms=config.bc_max_terms).persist()
         par0 = max(spark.sparkContext.defaultParallelism, config.num_buckets)
         # upper bound on segmap rows from the write-time observations
         # (`or 0` guards the empty corpus, where F.sum observes NULL):
@@ -354,16 +396,24 @@ def build_index(
     # -- step 3: learn DINT dictionaries (create_or_load semantics) ---------
     dict_docs_path = os.path.join(out_dir, "dict_docs.npz")
     dict_freqs_path = os.path.join(out_dir, "dict_freqs.npz")
+    dict_pos_path = os.path.join(out_dir, "dict_pos.npz")
     if not done("dicts"):
         t1 = time.time()
-        docs_dict, freqs_dict, info = learn_dictionaries(
+        learned = learn_dictionaries(
             postings,
             selection=config.pattern_selection,
             variant=config.dict_variant,
             num_dicts=config.num_dicts,
             total_integers=corpus_meta.get("total_postings"),
             sample_mod=config.stats_sample_mod,
+            with_positions=config.positions,
         )
+        if config.positions:
+            docs_dict, freqs_dict, pos_dict, info = learned
+            with open(dict_pos_path, "wb") as f:
+                f.write(pos_dict.to_bytes(policy=config.dict_compaction))
+        else:
+            docs_dict, freqs_dict, info = learned
         with open(dict_docs_path, "wb") as f:
             f.write(docs_dict.to_bytes(policy=config.dict_compaction))
         with open(dict_freqs_path, "wb") as f:
@@ -373,6 +423,10 @@ def build_index(
         docs_dict = load_dictionary(f.read())
     with open(dict_freqs_path, "rb") as f:
         freqs_dict = load_dictionary(f.read())
+    pos_dict = None
+    if config.positions:
+        with open(dict_pos_path, "rb") as f:
+            pos_dict = load_dictionary(f.read())
 
     # -- step 4: encode per term-range bucket (resumable) -------------------
     num_terms = corpus_meta.get("num_terms") or spark.read.parquet(
@@ -380,7 +434,11 @@ def build_index(
     terms_per_bucket = max(1, -(-num_terms // config.num_buckets))
     docs_bc = spark.sparkContext.broadcast(docs_dict)
     freqs_bc = spark.sparkContext.broadcast(freqs_dict)
-    encode_udf = make_encode_udf(docs_bc, freqs_bc, avg_len, config.optimal_parse)
+    pos_bc = (spark.sparkContext.broadcast(pos_dict)
+              if config.positions else None)
+    encode_udf = make_encode_udf(docs_bc, freqs_bc, avg_len,
+                                 config.optimal_parse, pos_dict_bc=pos_bc)
+    seg_schema = SEGMENTS_SCHEMA_POS if config.positions else SEGMENTS_SCHEMA
 
     # encode buckets CONCURRENTLY (Spark FIFO-schedules the jobs; each is a
     # mapInPandas over an explicit repartition so every core stays busy even
@@ -403,7 +461,8 @@ def build_index(
             # postings are laid out as pbucket=K dirs on the same term
             # ranges: partition pruning, not just row-group pruning
             part = part.where(F.col("pbucket") == bucket)
-        part = part.select("term_id", "seg_id", "doc_ids", "freqs", "lens")
+        part = part.select("term_id", "seg_id", "doc_ids", "freqs", "lens",
+                           *(["poss"] if config.positions else []))
         # spread the bucket across all cores ONLY when the scan itself
         # yields too few splits (small buckets at test scale). At corpus
         # scale a bucket spans many parquet splits already, and an
@@ -411,18 +470,20 @@ def build_index(
         # postings table a second time for zero balance gain.
         if part.rdd.getNumPartitions() < par:
             part = part.repartition(par)
-        segs = part.mapInPandas(encode_udf, schema=SEGMENTS_SCHEMA)
+        segs = part.mapInPandas(encode_udf, schema=seg_schema)
         # per-bucket compression metrics observed on the write job itself
         # (a re-read aggregation doubled the bucket's job count and re-
         # scanned every segment byte)
         obs = Observation(f"bucket_{bucket}_metrics")
-        segs = segs.observe(
-            obs,
+        obs_cols = [
             F.count(F.lit(1)).alias("lists"),
             F.sum("n").alias("postings"),
             F.sum("docs_bytes").alias("docs_bytes"),
             F.sum("freqs_bytes").alias("freqs_bytes"),
-        )
+        ]
+        if config.positions:
+            obs_cols.append(F.sum("pos_bytes").alias("pos_bytes"))
+        segs = segs.observe(obs, *obs_cols)
         segs.write.mode("overwrite").parquet(seg_path)
         m = obs.get
         postings_count = m["postings"] or 0
@@ -433,6 +494,8 @@ def build_index(
             "postings": int(postings_count),
             "docs_bytes": int(m["docs_bytes"] or 0),
             "freqs_bytes": int(m["freqs_bytes"] or 0),
+            **({"pos_bytes": int(m["pos_bytes"] or 0)}
+               if config.positions else {}),
             "docs_bpi": (m["docs_bytes"] or 0) * 8 / max(postings_count, 1),
             "freqs_bpi": (m["freqs_bytes"] or 0) * 8 / max(postings_count, 1),
             "wall_s": time.time() - tb,
@@ -481,6 +544,12 @@ class Index:
             self.docs_dict = load_dictionary(f.read())
         with open(os.path.join(out_dir, "dict_freqs.npz"), "rb") as f:
             self.freqs_dict = load_dictionary(f.read())
+        pos_path = os.path.join(out_dir, "dict_pos.npz")
+        self.pos_dict = None
+        if os.path.exists(pos_path):
+            with open(pos_path, "rb") as f:
+                self.pos_dict = load_dictionary(f.read())
+        self.has_positions = self.pos_dict is not None
         self.avg_len_f64 = meta.get("avg_len_f64", meta["avg_len"])
         self._norm_lens = None
         self._norm_lens64 = None

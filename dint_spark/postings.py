@@ -55,28 +55,47 @@ CHUNK_SCHEMA = T.StructType([
     T.StructField("lens", T.ArrayType(T.LongType()), False),
 ])
 
+# positional variant: poss is the FLAT concatenation (doc order) of each
+# doc's within-doc term positions; freqs gives the per-doc cuts. Flat + cuts
+# keeps the chunk row a primitive array (no nested-array Arrow rows) and the
+# encoder consumes exactly this layout.
+CHUNK_SCHEMA_POS = T.StructType(
+    CHUNK_SCHEMA.fields
+    + [T.StructField("poss", T.ArrayType(T.LongType()), False)]
+)
+
 
 def _assemble_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Turn a (term_id, salt, doc_id, tf, len)-sorted row stream into one
-    array row per (term_id, salt) chunk.
+    """Turn a (term_id, salt, doc_id, tf, len[, poss])-sorted row stream into
+    one array row per (term_id, salt) chunk.
 
     Memory is bounded by one Arrow batch plus one partial chunk carried
     across batch boundaries — unlike a collect_list aggregation, which
     buffers every group of the task at once (measured: heap OOM on a
     single 16 GiB executor at 100k docs). Grouping is vectorized
-    (np.split at run boundaries)."""
+    (np.split at run boundaries). When the input carries a per-posting
+    ``poss`` array column (positional indexes), each chunk row emits the
+    flat concatenation of its postings' position arrays — sliced from one
+    per-batch flattening, so chunk assembly stays loop-free."""
     carry_key = None
     carry: list[list[np.ndarray]] = [[], [], []]
+    carry_pos: list[np.ndarray] = []
+    has_pos = None
 
-    def flush_rows(keys_t, keys_s, parts):
-        return pd.DataFrame({
+    def flush_rows(keys_t, keys_s, parts, pos_parts):
+        out = {
             "term_id": keys_t, "salt": keys_s,
             "doc_ids": parts[0], "freqs": parts[1], "lens": parts[2],
-        })
+        }
+        if has_pos:
+            out["poss"] = pos_parts
+        return pd.DataFrame(out)
 
     for pdf in batches:
         if not len(pdf):
             continue
+        if has_pos is None:
+            has_pos = "poss" in pdf.columns
         t = pdf["term_id"].to_numpy()
         s = pdf["salt"].to_numpy()
         cols = [pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
@@ -84,24 +103,43 @@ def _assemble_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         change = np.flatnonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1])) + 1
         starts = np.concatenate([[0], change])
         parts = [np.split(c, change) for c in cols]  # len == len(starts)
+        if has_pos:
+            pos_rows = pdf["poss"].to_numpy()
+            row_lens = np.fromiter((len(x) for x in pos_rows), np.int64,
+                                   len(pos_rows))
+            flat = (np.concatenate(pos_rows).astype(np.int64)
+                    if row_lens.sum() else np.empty(0, np.int64))
+            ro = np.concatenate([[0], np.cumsum(row_lens)])
+            bounds = np.concatenate([starts, [len(t)]])
+            pos_parts_in = [flat[ro[bounds[i]]:ro[bounds[i + 1]]]
+                            for i in range(len(starts))]
+        else:
+            pos_parts_in = [None] * len(starts)
         keys = list(zip(t[starts].tolist(), s[starts].tolist()))
 
         if carry_key is not None and keys[0] == carry_key:
             # batch starts by continuing the carried chunk
             for ci in range(3):
                 carry[ci].append(parts[ci][0])
+            if has_pos:
+                carry_pos.append(pos_parts_in[0])
             keys = keys[1:]
             for ci in range(3):
                 parts[ci] = parts[ci][1:]
+            pos_parts_in = pos_parts_in[1:]
         out_t, out_s, out_parts = [], [], [[], [], []]
+        out_pos: list = []
         if carry_key is not None and keys:
             # a different key follows -> the carried chunk is complete
             out_t.append(carry_key[0])
             out_s.append(carry_key[1])
             for ci in range(3):
                 out_parts[ci].append(np.concatenate(carry[ci]))
+            if has_pos:
+                out_pos.append(np.concatenate(carry_pos))
             carry_key = None
             carry = [[], [], []]
+            carry_pos = []
         if keys:
             # all but the last group are closed; the last may continue
             for i in range(len(keys) - 1):
@@ -109,13 +147,17 @@ def _assemble_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out_s.append(keys[i][1])
                 for ci in range(3):
                     out_parts[ci].append(parts[ci][i])
+                if has_pos:
+                    out_pos.append(pos_parts_in[i])
             carry_key = keys[-1]
             carry = [[parts[ci][-1]] for ci in range(3)]
+            carry_pos = [pos_parts_in[-1]] if has_pos else []
         if out_t:
-            yield flush_rows(out_t, out_s, out_parts)
+            yield flush_rows(out_t, out_s, out_parts, out_pos)
     if carry_key is not None:
         yield flush_rows([carry_key[0]], [carry_key[1]],
-                         [[np.concatenate(carry[ci])] for ci in range(3)])
+                         [[np.concatenate(carry[ci])] for ci in range(3)],
+                         [np.concatenate(carry_pos)] if has_pos else [])
 
 
 def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame,
@@ -152,6 +194,42 @@ def term_doc_freqs(doc_tokens: DataFrame, vocab: DataFrame,
         .agg(F.count("*").alias("tf"))
         .join(vocab_slim, "term")
         .select("term_id", "doc_id", "tf")
+    )
+
+
+def term_doc_positions(doc_tokens: DataFrame, vocab: DataFrame,
+                       num_terms_hint: int | None = None,
+                       bc_max_terms: int = DEFAULT_BC_MAX_TERMS) -> DataFrame:
+    """(term_id, doc_id, tf, poss) — the positional variant of
+    term_doc_freqs: posexplode keeps each token's within-doc ordinal, and
+    the aggregation collects the sorted position array next to the count
+    (tf == size(poss) by construction). Same broadcast-vs-shuffle vocab
+    join policy as term_doc_freqs; the extra shuffle weight is inherent to
+    positional indexes (every token occurrence carries its position), and
+    the per-group state is bounded by a document's length — positions of
+    one term in one doc — so no skew mechanism beyond the downstream
+    salted split is needed."""
+    exploded = doc_tokens.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term"))
+    vocab_slim = vocab.select("term", "term_id")
+    if num_terms_hint is not None and num_terms_hint <= bc_max_terms:
+        grouped = (
+            exploded.join(F.broadcast(vocab_slim), "term")
+            .groupBy("term_id", "doc_id")
+        )
+    else:
+        grouped = (
+            exploded.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("poss"))
+            .join(vocab_slim, "term")
+            .select("term_id", "doc_id", "tf", "poss")
+        )
+        return grouped
+    return (
+        grouped.agg(F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("poss"))
+        .select("term_id", "doc_id", "tf", "poss")
     )
 
 
@@ -242,8 +320,10 @@ def build_postings(
     # survives a 100 TB corpus; Spark's external sort spills, an
     # aggregation map does not. (Salt ranges increase with doc_id, so
     # sorting by (term, seg, doc) keeps each seg's docs contiguous+sorted.)
-    keyed = salted.join(segmap, ["term_id", "salt"]).select(
-        "term_id", F.col("seg_id").alias("salt"), "doc_id", "tf", "len")
+    with_positions = "poss" in term_doc_tf.columns
+    sel_cols = ["term_id", F.col("seg_id").alias("salt"), "doc_id", "tf",
+                "len"] + (["poss"] if with_positions else [])
+    keyed = salted.join(segmap, ["term_id", "salt"]).select(*sel_cols)
     rep = (keyed.repartition(num_partitions, "term_id", "salt")
            if num_partitions else keyed.repartition("term_id", "salt"))
     # NB: assembly output is sorted by term_id within each partition (the
@@ -252,7 +332,9 @@ def build_postings(
     # (index.write_postings_checkpoint pre_arranged=True).
     chunks = (
         rep.sortWithinPartitions("term_id", "salt", "doc_id")
-        .mapInPandas(_assemble_chunks, schema=CHUNK_SCHEMA)
+        .mapInPandas(_assemble_chunks,
+                     schema=CHUNK_SCHEMA_POS if with_positions
+                     else CHUNK_SCHEMA)
     )
 
     return chunks.select(
@@ -260,4 +342,5 @@ def build_postings(
         F.col("salt").alias("seg_id"),
         F.size("doc_ids").alias("df"),
         "doc_ids", "freqs", "lens",
+        *(["poss"] if with_positions else []),
     )

@@ -820,6 +820,11 @@ TOPK_SCHEMA = T.StructType(
     ]
 )
 
+# the segment columns the BM25/boolean cursor kernels read — positional
+# indexes add pos_payload/pos_endpoints, which only the phrase path needs
+_BM25_SEG_COLS = ["term_id", "seg_id", "n", "block_maxs", "block_max_scores",
+                  "endpoints", "freq_offsets", "payload", "max_weight"]
+
 
 def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
                   DT=np.float32, merge_chunks: bool = False,
@@ -943,7 +948,11 @@ def run_queries(
         .groupBy("query_id", "term_id")
         .agg(F.count("*").alias("qf"))
     )
-    joined = qterms.join(_pruned_segments(index, qterms, local_terms), "term_id")
+    # explicit projection: positional indexes carry a pos_payload column
+    # that BM25 kernels never read — keep it out of the scan + shuffle
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
     # fine-grained explicit hash partitioning on query_id: per-query kernel
     # cost is heavily skewed (head-term queries cost 10-100x tail ones), so
     # a batch of Q queries over only `shuffle.partitions` partitions is
@@ -1365,7 +1374,9 @@ def run_boolean_queries(
         .groupBy("query_id", "term_id")
         .agg(F.count("*").alias("qf"))
     )
-    joined = qterms.join(_pruned_segments(index, qterms, local_terms), "term_id")
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -1377,6 +1388,154 @@ def run_boolean_queries(
         return pd.DataFrame({"query_id": qid, "doc_id": docs})
 
     return joined.groupBy("query_id").applyInPandas(run_one, schema=BOOL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# positional retrieval: phrase matching over the pos stream
+# ---------------------------------------------------------------------------
+
+PHRASE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phrase_tf", T.LongType(), False),
+    ]
+)
+
+# occurrence key = doc_id * 2^32 + position (u64: shard-local docids are
+# u32 by the codec domain, positions bounded by doc length)
+_POS_SHIFT = np.uint64(32)
+
+# phrase-path decode LRU (entry-count bounded; separate from the posting
+# _LIST_CACHE so the hot BM25 path's byte accounting stays untouched)
+_POS_CACHE: OrderedDict = OrderedDict()
+_POS_CACHE_ENTRIES = 256
+
+
+def _term_occurrence_keys(rows: pd.DataFrame, docs_dict, freqs_dict,
+                          pos_dict) -> np.ndarray:
+    """Sorted u64 (doc<<32|pos) occurrence keys of ONE term, concatenated
+    across its segment chunk rows (seg order = disjoint increasing doc
+    ranges, so the concatenation is globally sorted)."""
+    from dint_spark.dint.codec import (decode_list_bulk, decode_value_stream,
+                                       gaps_to_positions)
+
+    parts = []
+    for row in rows.sort_values("seg_id").itertuples():
+        ckey = (int(row.term_id), int(row.seg_id), int(row.n),
+                len(row.pos_payload), hash(bytes(row.pos_payload)))
+        hit = _POS_CACHE.get(ckey)
+        if hit is not None:
+            _POS_CACHE.move_to_end(ckey)
+            parts.append(hit)
+            continue
+        docs, freqs = decode_list_bulk(
+            row.payload, int(row.n),
+            np.asarray(row.block_maxs, dtype=np.int64),
+            np.asarray(row.endpoints, dtype=np.int64),
+            np.asarray(row.freq_offsets, dtype=np.int64),
+            docs_dict, freqs_dict)
+        npos = int(freqs.sum())
+        vals = decode_value_stream(
+            row.pos_payload, npos,
+            np.asarray(row.pos_endpoints, dtype=np.int64), pos_dict)
+        pos = gaps_to_positions(vals, freqs)
+        keys = (np.repeat(docs, freqs).astype(np.uint64)
+                << _POS_SHIFT) | pos.astype(np.uint64)
+        _POS_CACHE[ckey] = keys
+        while len(_POS_CACHE) > _POS_CACHE_ENTRIES:
+            _POS_CACHE.popitem(last=False)
+        parts.append(keys)
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def phrase_match_kernel(term_keys: list[np.ndarray]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase matching as a chain of sorted-set intersections.
+
+    term_keys[i] holds term i's sorted (doc<<32|pos) occurrence keys. A
+    phrase occurrence at start p satisfies key_i == key_0 + i for every i,
+    so K := keys_0; K := intersect(K + 1, keys_i) walks the phrase left to
+    right — each step one linear merge of two sorted arrays, no per-doc
+    loops, overlapping occurrences counted exactly. The +i never escapes
+    the doc's key range (positions are < doc length << 2^32). Returns
+    (doc_ids, phrase_tf) over matching docs, doc_id ascending."""
+    K = term_keys[0]
+    for nxt in term_keys[1:]:
+        if not len(K):
+            break
+        K = np.intersect1d(K + np.uint64(1), nxt, assume_unique=True)
+    docs = (K >> _POS_SHIFT).astype(np.int64)
+    d, c = np.unique(docs, return_counts=True)
+    return d, c.astype(np.int64)
+
+
+def run_phrase_queries(spark: SparkSession, index, phrases: list
+                       ) -> DataFrame:
+    """Distributed exact-phrase retrieval over a positional index.
+
+    ``phrases``: list of term_id sequences (order = phrase order; repeated
+    terms allowed). Returns (query_id, doc_id, phrase_tf) for every doc
+    containing the full consecutive sequence, with the exact (overlap-
+    counting) occurrence count.
+
+    Plan shape mirrors run_queries: the batch's distinct terms push into
+    the parquet scan (term_id IN pruning), segments join the per-phrase
+    (query_id, ord, term_id) rows, and one applyInPandas group per query
+    runs the kernel — per-term streams decode once per query even when the
+    phrase repeats a term, and a worker-level LRU amortizes head terms
+    across the batch. Only matching (doc, tf) rows leave the workers."""
+    if not getattr(index, "has_positions", False):
+        raise ValueError("run_phrase_queries requires an index built with "
+                         "IndexConfig(positions=True)")
+    local_terms = sorted({int(t) for ts in phrases for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(phrases)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    qterms = qdf.select(
+        "query_id", F.size("terms").alias("plen"),
+        F.posexplode("terms").alias("ord", "term_id"))
+    segs = _pruned_segments(index, qterms, local_terms).select(
+        "term_id", "seg_id", "n", "block_maxs", "endpoints", "freq_offsets",
+        "payload", "pos_payload", "pos_endpoints")
+    joined = qterms.join(segs, "term_id").repartition(
+        spark.sparkContext.defaultParallelism * 2, "query_id")
+
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "doc_id", "phrase_tf"])
+        qid = int(pdf["query_id"].iloc[0])
+        dd, fd, pdict = (docs_dict_bc.value, freqs_dict_bc.value,
+                         pos_dict_bc.value)
+        # decode once per DISTINCT term, then assemble the ord-ordered chain
+        # (a repeated phrase term joins its segment rows once per ord —
+        # drop the duplicates or the concatenated key stream doubles)
+        by_term = {
+            int(tid): _term_occurrence_keys(
+                rows.drop_duplicates(subset=["seg_id"]), dd, fd, pdict)
+            for tid, rows in pdf.groupby("term_id")
+        }
+        ords = pdf[["ord", "term_id"]].drop_duplicates().sort_values("ord")
+        if len(ords) < int(pdf["plen"].iloc[0]):
+            # a phrase term is absent from the index -> no matches
+            return pd.DataFrame(columns=["query_id", "doc_id", "phrase_tf"])
+        chain = [by_term[int(t)] for t in ords["term_id"]]
+        docs, tfs = phrase_match_kernel(chain)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs, "phrase_tf": tfs})
+
+    return joined.groupBy("query_id").applyInPandas(run_one,
+                                                    schema=PHRASE_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(

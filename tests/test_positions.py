@@ -1,0 +1,214 @@
+"""Positional index: position-stream codec laws, end-to-end positional
+build, and phrase retrieval vs a brute-force token-window oracle.
+
+The reference has no positional index (its data model is docs+freqs only,
+include/ds2i/binary_freq_collection.hpp); positions are a builder-brief
+extension — a fulltext engine's phrase/proximity layer — reusing the DINT
+block machinery as a third learned stream (SURVEY §2 extension)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from dint_spark.corpus import generate_pages
+from dint_spark.dint.codec import (
+    decode_value_stream,
+    encode_value_streams_batch,
+    gaps_to_positions,
+    positions_to_gaps,
+)
+from dint_spark.dint.dictionary import DintDictionary
+from dint_spark.index import IndexConfig, build_index, load_index
+from dint_spark.queries import phrase_match_kernel, run_phrase_queries
+from dint_spark.tokenizer import assign_doc_ids, tokenize
+
+IDX_DIR = "/tmp/dint_spark_test_posidx"
+N_DOCS = 400
+
+
+# ---------------------------------------------------------------------------
+# codec-level laws (no Spark)
+# ---------------------------------------------------------------------------
+
+def _random_streams(rng, trials=40):
+    streams, metas = [], []
+    for _ in range(trials):
+        ndocs = int(rng.integers(1, 40))
+        freqs, parts = [], []
+        for _ in range(ndocs):
+            t = int(rng.integers(1, 30))
+            doclen = t + int(rng.integers(0, 500))
+            parts.append(np.sort(rng.choice(doclen, size=t, replace=False)))
+            freqs.append(t)
+        pos_flat = np.concatenate(parts)
+        freqs = np.asarray(freqs)
+        streams.append(positions_to_gaps(pos_flat, freqs))
+        metas.append((pos_flat, freqs))
+    # multi-block stream, exact-256 stream, exceptions > 65535
+    big = np.sort(rng.choice(300000, size=3000, replace=False))
+    streams.append(positions_to_gaps(big, np.array([3000])))
+    metas.append((big, np.array([3000])))
+    ex = np.arange(0, 512, 2)
+    streams.append(positions_to_gaps(ex, np.array([256])))
+    metas.append((ex, np.array([256])))
+    far = np.array([0, 100000, 200001])
+    streams.append(positions_to_gaps(far, np.array([3])))
+    metas.append((far, np.array([3])))
+    return streams, metas
+
+
+def test_position_gap_transform_roundtrip():
+    rng = np.random.default_rng(7)
+    streams, metas = _random_streams(rng)
+    for vals, (pos_flat, freqs) in zip(streams, metas):
+        assert np.array_equal(gaps_to_positions(vals, freqs), pos_flat)
+
+
+@pytest.mark.parametrize("optimal", [True, False])
+def test_value_stream_codec_roundtrip(optimal):
+    rng = np.random.default_rng(13)
+    streams, metas = _random_streams(rng)
+    # empty dictionary forces the all-exception path; a learned-ish dict
+    # exercises pattern codewords
+    learned = DintDictionary.build(
+        [np.asarray([1] * s, "<u4").tobytes() for s in (16, 8, 4, 2, 1)]
+        + [np.asarray([2, 5] * (s // 2), "<u4").tobytes() for s in (4, 2)]
+    )
+    for dct in (DintDictionary.build([]), learned):
+        enc = encode_value_streams_batch(streams, dct, optimal=optimal)
+        for (payload, endp), vals, (pos_flat, freqs) in zip(
+                enc, streams, metas):
+            dec = decode_value_stream(payload, len(vals), endp, dct)
+            assert np.array_equal(dec, vals)
+            assert np.array_equal(gaps_to_positions(dec, freqs), pos_flat)
+
+
+def test_phrase_kernel_counts_overlaps():
+    # doc 0 tokens: a a a b -> phrase "a a" occurs at 0 and 1 (overlap)
+    def keys(doc, positions):
+        return (np.asarray([doc] * len(positions), np.uint64) << np.uint64(32)
+                ) | np.asarray(positions, np.uint64)
+
+    a = keys(0, [0, 1, 2])
+    b = keys(0, [3])
+    docs, tfs = phrase_match_kernel([a, a])
+    assert docs.tolist() == [0] and tfs.tolist() == [2]
+    docs, tfs = phrase_match_kernel([a, b])  # "a b" at start 2
+    assert docs.tolist() == [0] and tfs.tolist() == [1]
+    docs, tfs = phrase_match_kernel([b, a])  # "b a" never
+    assert len(docs) == 0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end positional build + phrase retrieval
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    shutil.rmtree(IDX_DIR, ignore_errors=True)
+    pages = generate_pages(spark, N_DOCS, seed=42)
+    return build_index(
+        spark, pages, IDX_DIR,
+        IndexConfig(num_buckets=2, input_tag="pos400", positions=True))
+
+
+@pytest.fixture(scope="module")
+def corpus_tokens(spark):
+    pages = generate_pages(spark, N_DOCS, seed=42)
+    rows = (tokenize(assign_doc_ids(pages.select("url", "text")))
+            .select("doc_id", "tokens").collect())
+    return {r.doc_id: r.tokens for r in rows}
+
+
+def test_positions_match_raw_tokens(spark, pos_index, corpus_tokens):
+    from dint_spark.dint.codec import decode_list_bulk
+
+    assert pos_index.has_positions
+    seg = pos_index.segments
+    rows = seg.where("n >= 50").limit(5).collect()
+    vocab = {r.term_id: r.term for r in pos_index.vocab().collect()}
+    assert rows
+    for row in rows:
+        docs, freqs = decode_list_bulk(
+            row.payload, row.n, np.asarray(row.block_maxs, np.int64),
+            np.asarray(row.endpoints, np.int64),
+            np.asarray(row.freq_offsets, np.int64),
+            pos_index.docs_dict, pos_index.freqs_dict)
+        vals = decode_value_stream(
+            row.pos_payload, int(freqs.sum()),
+            np.asarray(row.pos_endpoints, np.int64), pos_index.pos_dict)
+        pos = gaps_to_positions(vals, freqs)
+        cuts = np.concatenate([[0], np.cumsum(freqs)])
+        term = vocab[row.term_id]
+        for i, d in enumerate(docs[:10]):
+            expect = [j for j, t in enumerate(corpus_tokens[int(d)])
+                      if t == term]
+            assert pos[cuts[i]:cuts[i + 1]].tolist() == expect
+
+
+def test_phrase_queries_match_bruteforce(spark, pos_index, corpus_tokens):
+    vocab = {r.term_id: r.term for r in pos_index.vocab().collect()}
+    inv = {v: k for k, v in vocab.items()}
+    rng = np.random.default_rng(11)
+    phrases = []
+    for _ in range(10):
+        d = corpus_tokens[int(rng.integers(0, N_DOCS))]
+        i = int(rng.integers(0, max(1, len(d) - 3)))
+        ln = int(rng.integers(2, 4))
+        phrases.append([inv[t] for t in d[i:i + ln]])
+    phrases += [[0, 0],            # repeated head term (overlap counting)
+                [5, 99999999],     # term absent from the index
+                [3]]               # single-term phrase (== its tf rows)
+    res = run_phrase_queries(spark, pos_index, phrases).toPandas()
+
+    for qid, ph in enumerate(phrases):
+        terms = [vocab.get(t) for t in ph]
+        expect = {}
+        if not any(t is None for t in terms):
+            for did, tl in corpus_tokens.items():
+                c = sum(1 for j in range(len(tl) - len(terms) + 1)
+                        if tl[j:j + len(terms)] == terms)
+                if c:
+                    expect[did] = c
+        got = {int(r.doc_id): int(r.phrase_tf)
+               for r in res[res.query_id == qid].itertuples()}
+        assert got == expect, (qid, ph)
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    pages = generate_pages(spark, 50, seed=42)
+    idx = build_index(spark, pages, str(tmp_path / "nopos"),
+                      IndexConfig(num_buckets=1, input_tag="nopos"))
+    with pytest.raises(ValueError, match="positions"):
+        run_phrase_queries(spark, idx, [[0, 1]])
+
+
+def test_config_hash_back_compat():
+    # positions=False must hash identically to a config that predates the
+    # knob (resume compatibility for existing indexes)...
+    base = IndexConfig()
+    d_off = base.config_hash()
+    d_on = IndexConfig(positions=True).config_hash()
+    assert d_off != d_on
+    # ...and a positional index rejects resume under a non-positional config
+    # via the ordinary config-hash gate (covered by test_pipeline's
+    # config-mismatch test pattern).
+
+
+def test_bm25_unaffected_by_positions(spark, pos_index):
+    """Ranked retrieval over a positional index returns the same top-k as
+    over the equivalent non-positional index (positions are additive)."""
+    from dint_spark.queries import run_queries
+
+    out = str("/tmp/dint_spark_test_nopos400")
+    shutil.rmtree(out, ignore_errors=True)
+    pages = generate_pages(spark, N_DOCS, seed=42)
+    plain = build_index(spark, pages, out,
+                        IndexConfig(num_buckets=2, input_tag="pos400"))
+    qs = [[0, 3, 7], [1], [2, 5, 9, 11], [4, 4, 8]]
+    a = run_queries(spark, pos_index, qs, algo="block_max_wand", k=10
+                    ).toPandas().sort_values(["query_id", "rank"])
+    b = run_queries(spark, plain, qs, algo="block_max_wand", k=10
+                    ).toPandas().sort_values(["query_id", "rank"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
