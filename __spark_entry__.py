@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": _entry_boolean_or,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
+        "proximity_within": _entry_proximity_within,
     }
     from dint_spark.ops import entries as ops_entries
 
@@ -453,6 +454,29 @@ def _entry_phrase_match(spark, sf_dir):
     return res.select(
         F.col("query_id").alias("phrase_id"), "doc_id", "phrase_tf"
     ).orderBy("phrase_id", "doc_id")
+
+
+# ordered proximity pairs (t2 within PROX_WINDOW tokens after t1): frequent
+# pairs, both orders, a self-pair, and a rare-tail pair
+PROX_SPECS: list[list[int]] = [
+    [0, 1], [1, 0], [2, 5], [0, 0], [3, 4], [10, 2], [30, 29], [6, 6],
+]
+PROX_WINDOW = 8
+
+
+def _entry_proximity_within(spark, sf_dir):
+    """Ordered within-window proximity over the positional index
+    (queries.run_proximity_queries): docs where the second term occurs
+    within PROX_WINDOW tokens AFTER the first, with the exact ordered-pair
+    count."""
+    from dint_spark.queries import run_proximity_queries
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    res = run_proximity_queries(spark, idx, PROX_SPECS, window=PROX_WINDOW)
+    return res.select(
+        F.col("query_id").alias("pair_id"), "doc_id",
+        F.col("phrase_tf").alias("pair_count")
+    ).orderBy("pair_id", "doc_id")
 
 
 def _phrase_values() -> str:
@@ -503,6 +527,42 @@ occ AS (
 )
 SELECT phrase_id, doc_id, count(*)::BIGINT AS phrase_tf
 FROM occ GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _prox_values() -> str:
+    rows = ",".join(f"({i},{a},{b})" for i, (a, b) in enumerate(PROX_SPECS))
+    return f"(VALUES {rows}) AS t(pair_id, t1, t2)"
+
+
+_PROX_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_ord GROUP BY 1, 2),
+vocab AS (
+  SELECT term,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+pairs AS (SELECT * FROM {_prox_values()})
+SELECT q.pair_id, p1.doc_id, count(*)::BIGINT AS pair_count
+FROM pairs q
+JOIN vocab v1 ON v1.term_id = q.t1
+JOIN vocab v2 ON v2.term_id = q.t2
+JOIN toks_ord p1 ON p1.term = v1.term
+JOIN toks_ord p2 ON p2.term = v2.term AND p2.doc_id = p1.doc_id
+  AND p2.pos - p1.pos BETWEEN 1 AND {PROX_WINDOW}
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -624,6 +684,7 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_or": _BOOL_OR_SQL,
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
+        "proximity_within": _PROX_SQL,
     }
     from dint_spark.ops import entries as ops_entries
 

@@ -1472,6 +1472,87 @@ def phrase_match_kernel(term_keys: list[np.ndarray]
     return d, c.astype(np.int64)
 
 
+def proximity_pair_kernel(keys_a: np.ndarray, keys_b: np.ndarray,
+                          window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered within-window pair matching: occurrences of term B in
+    (pos_A, pos_A + window] of the same doc, counted per doc.
+
+    Two searchsorted sweeps over B's sorted keys give, for every A
+    occurrence, the count of B occurrences in its forward window — the
+    (doc<<32|pos) key encoding makes the doc-boundary check implicit
+    (a window can only escape its doc past position 2^32 - window, far
+    beyond any document length). Returns (doc_ids, pair_count)."""
+    if not len(keys_a) or not len(keys_b):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    w = np.uint64(window)
+    lo = np.searchsorted(keys_b, keys_a + np.uint64(1), side="left")
+    hi = np.searchsorted(keys_b, keys_a + w, side="right")
+    cnt = (hi - lo).astype(np.int64)
+    m = cnt > 0
+    if not m.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs_a = (keys_a[m] >> _POS_SHIFT).astype(np.int64)
+    d, inv = np.unique(docs_a, return_inverse=True)
+    sums = np.zeros(len(d), dtype=np.int64)
+    np.add.at(sums, inv, cnt[m])
+    return d, sums
+
+
+def run_proximity_queries(spark: SparkSession, index, pairs: list,
+                          window: int = 8) -> DataFrame:
+    """Distributed ordered-proximity retrieval: for each (t1, t2) query,
+    docs where t2 occurs within ``window`` tokens AFTER an occurrence of
+    t1, with the exact ordered-pair count. Same plan shape and decode LRU
+    as run_phrase_queries. Returns (query_id, doc_id, phrase_tf) —
+    phrase_tf = the pair count (schema shared with the phrase op)."""
+    if not getattr(index, "has_positions", False):
+        raise ValueError("run_proximity_queries requires an index built "
+                         "with IndexConfig(positions=True)")
+    if any(len(p) != 2 for p in pairs):
+        raise ValueError("proximity queries are ordered term PAIRS")
+    local_terms = sorted({int(t) for ts in pairs for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(pairs)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    qterms = qdf.select(
+        "query_id", F.posexplode("terms").alias("ord", "term_id"))
+    segs = _pruned_segments(index, qterms, local_terms).select(
+        "term_id", "seg_id", "n", "block_maxs", "endpoints", "freq_offsets",
+        "payload", "pos_payload", "pos_endpoints")
+    joined = qterms.join(segs, "term_id").repartition(
+        spark.sparkContext.defaultParallelism * 2, "query_id")
+
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "doc_id", "phrase_tf"])
+        qid = int(pdf["query_id"].iloc[0])
+        dd, fd, pdict = (docs_dict_bc.value, freqs_dict_bc.value,
+                         pos_dict_bc.value)
+        by_term = {
+            int(tid): _term_occurrence_keys(
+                rows.drop_duplicates(subset=["seg_id"]), dd, fd, pdict)
+            for tid, rows in pdf.groupby("term_id")
+        }
+        ords = pdf[["ord", "term_id"]].drop_duplicates().sort_values("ord")
+        if len(ords) < 2:
+            return pd.DataFrame(columns=["query_id", "doc_id", "phrase_tf"])
+        a, b = (by_term[int(t)] for t in ords["term_id"])
+        docs, cnts = proximity_pair_kernel(a, b, window)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs, "phrase_tf": cnts})
+
+    return joined.groupBy("query_id").applyInPandas(run_one,
+                                                    schema=PHRASE_SCHEMA)
+
+
 def run_phrase_queries(spark: SparkSession, index, phrases: list
                        ) -> DataFrame:
     """Distributed exact-phrase retrieval over a positional index.

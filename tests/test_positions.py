@@ -176,6 +176,28 @@ def test_phrase_queries_match_bruteforce(spark, pos_index, corpus_tokens):
         assert got == expect, (qid, ph)
 
 
+def test_proximity_queries_match_bruteforce(spark, pos_index, corpus_tokens):
+    from dint_spark.queries import run_proximity_queries
+
+    vocab = {r.term_id: r.term for r in pos_index.vocab().collect()}
+    pairs = [[0, 1], [1, 0], [2, 5], [0, 0], [7, 99999999], [3, 4]]
+    W = 5
+    res = run_proximity_queries(spark, pos_index, pairs, window=W).toPandas()
+    for qid, (ta, tb) in enumerate(pairs):
+        a, b = vocab.get(ta), vocab.get(tb)
+        expect = {}
+        if a is not None and b is not None:
+            for did, tl in corpus_tokens.items():
+                c = sum(1 for i, t in enumerate(tl) if t == a
+                        for j in range(i + 1, min(i + W + 1, len(tl)))
+                        if tl[j] == b)
+                if c:
+                    expect[did] = c
+        got = {int(r.doc_id): int(r.phrase_tf)
+               for r in res[res.query_id == qid].itertuples()}
+        assert got == expect, (qid, ta, tb)
+
+
 def test_phrase_requires_positions(spark, tmp_path):
     pages = generate_pages(spark, 50, seed=42)
     idx = build_index(spark, pages, str(tmp_path / "nopos"),
