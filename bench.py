@@ -73,6 +73,24 @@ def make_query_workload(vocab_pdf, n_queries: int, seed: int) -> list[list[int]]
     return out
 
 
+def make_phrase_workload(vocab_pdf, n_queries: int, seed: int,
+                         min_len: int = 2, max_len: int = 3) -> list[list[int]]:
+    """df-weighted term sequences for phrase/proximity timing: head-head
+    bigrams occur frequently in the Zipfian corpus (real hits, real
+    position-stream decode), tail picks exercise the early-exit miss path,
+    and sampling with replacement yields repeated-term phrases (the
+    overlap-counting path)."""
+    rng = np.random.default_rng(seed)
+    term_ids = vocab_pdf["term_id"].to_numpy()
+    p = vocab_pdf["df"].to_numpy().astype(np.float64)
+    p = p / p.sum()
+    out = []
+    for _ in range(n_queries):
+        plen = int(rng.integers(min_len, max_len + 1))
+        out.append([int(t) for t in rng.choice(term_ids, size=plen, p=p)])
+    return out
+
+
 def host_health_probe() -> dict:
     """Single-core sanity probe recorded alongside results: this sandbox
     shows intermittent hypervisor-level degradation (pure-CPU python up to
@@ -285,6 +303,37 @@ def main() -> None:
                                    algo="maxscore", k=TOPK).count())
         for _ in range(2))
 
+    # ---- positional index: phrase + proximity retrieval --------------------
+    # fulltext-tier extension (no reference counterpart): a third DINT-coded
+    # per-doc-gapped position stream per segment row. Build reported
+    # separately (like the multi-dict build) so the headline index_build
+    # stays comparable; the query timings join the headline total.
+    from dint_spark.queries import run_phrase_queries, run_proximity_queries
+
+    pdir = out_dir + "-pos"
+    shutil.rmtree(pdir, ignore_errors=True)
+    t0 = time.time()
+    pidx = build_index(spark, pages, pdir, IndexConfig(
+        num_buckets=8, input_tag=f"bench-{sf}-pos", positions=True))
+    t_build_pos = time.time() - t0
+    pos_bytes = int(pidx.segments.agg(
+        F.sum(F.length("pos_payload")).alias("b")).collect()[0]["b"])
+    sum_len = int(pidx.lens.sum())  # every token occurrence is one position
+    phrases = make_phrase_workload(vocab_pdf, NUM_QUERIES, SEED + 2)
+    run_phrase_queries(spark, pidx, phrases).count()  # warmup
+    t_phrase = min(
+        _timed(lambda: run_phrase_queries(spark, pidx, phrases).count())
+        for _ in range(2))
+    timings["phrase_500q"] = t_phrase
+    pairs = make_phrase_workload(vocab_pdf, NUM_QUERIES, SEED + 3,
+                                 min_len=2, max_len=2)
+    run_proximity_queries(spark, pidx, pairs, window=8).count()  # warmup
+    timings["proximity_500q"] = min(
+        _timed(lambda: run_proximity_queries(spark, pidx, pairs,
+                                             window=8).count())
+        for _ in range(2))
+    shutil.rmtree(pdir, ignore_errors=True)
+
     # ---- training-data ops over the driver tables -------------------------
     try:
         from dint_spark.ops import bench_entries
@@ -311,6 +360,9 @@ def main() -> None:
         "docs_bpi_multi": round(mm["docs_bpi"], 3),
         "freqs_bpi_multi": round(mm["freqs_bpi"], 3),
         "index_build_multi_s": round(t_build_multi, 3),
+        "index_build_pos_s": round(t_build_pos, 3),
+        "pos_bpi": round(pos_bytes * 8 / max(sum_len, 1), 3),
+        "phrase_queries_per_sec": round(NUM_QUERIES / t_phrase, 1),
         "build_docs_per_sec": round(num_docs / t_build, 1),
         "decode_ints_per_sec": round(ints_per_sec, 0),
         "decode_ints_per_sec_core": round(rate["ints_per_sec_core"], 0),
