@@ -146,7 +146,11 @@ def _q_values() -> str:
     return "qs(query_id, term_id, qf) AS (VALUES " + ", ".join(rows) + ")"
 
 
-_SCORED = f"""
+def _scored_cte(where: str = "") -> str:
+    """The BM25 scoring CTE; ``where`` filters candidate docs WITHOUT
+    touching the stats/vocab CTEs (the tombstone oracle: stale statistics,
+    live-only results)."""
+    return f"""
 , {_q_values()},
 scored AS (
   SELECT qs.query_id, tf.doc_id,
@@ -160,7 +164,44 @@ scored AS (
   JOIN tf ON tf.term = v.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {where}
   GROUP BY 1, 2
+)
+"""
+
+
+_SCORED = _scored_cte()
+
+# the surviving corpus after the driver's deterministic tombstone set
+# (doc_id % 7 == 3), with doc ids re-ranked densely in old-id order —
+# exactly compact_index's contract (dint_spark/compact.py): term ids,
+# doclens, N, df and avg_len all recompute over the survivors
+_PRELUDE_LIVE = """
+WITH live_docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text
+  FROM documents WHERE doc_id % 7 <> 3
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS term
+  FROM live_docs
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len
+  FROM live_docs d LEFT JOIN toks2 t ON d.doc_id = t.doc_id
+  GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM live_docs)::BIGINT AS n_docs,
+         avg(len) AS avg_len
+  FROM dl
+),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
 )
 """
 
@@ -188,10 +229,10 @@ ORDER BY query_id, rank
     )
 
 
-def _topk_or_sql() -> str:
+def _topk_or_sql(prelude: str | None = None, scored: str | None = None) -> str:
     return (
-        _PRELUDE
-        + _SCORED
+        (prelude if prelude is not None else _PRELUDE)
+        + (scored if scored is not None else _SCORED)
         + f"""
 SELECT query_id, rank, doc_id, score_q FROM (
   SELECT r.query_id, r.doc_id,
@@ -391,6 +432,64 @@ ORDER BY 1, 2
 )
 
 
+# ---------------------------------------------------------------------------
+# tombstoned deletes + compaction (index maintenance; no reference
+# counterpart — the reference's index is immutable once frozen,
+# src/create_freq_index.cpp:103-106)
+# ---------------------------------------------------------------------------
+
+def _get_deleted_index(spark, sf_dir):
+    """Base-config index with doc_id % 7 == 3 tombstoned. delete_docs is
+    idempotent, so re-entering on the cached index appends nothing."""
+    from dint_spark.index import delete_docs
+
+    idx = _get_variant_index(spark, sf_dir, {}, "del")
+    delete_docs(spark, idx,
+                [d for d in range(idx.num_docs) if d % 7 == 3])
+    return idx
+
+
+def _entry_bm25_with_deletes(spark, sf_dir):
+    """BMW-vec top-10 over a TOMBSTONED index (index.delete_docs /
+    queries.Tombstones): deleted docs are excluded from results while BM25
+    statistics (N, df, avg_len) keep pre-delete values — liveDocs
+    semantics; the oracle keeps full-corpus stats CTEs and filters
+    candidates only."""
+    idx = _get_deleted_index(spark, sf_dir)
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand_vec",
+                      k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
+def _entry_bm25_after_compact(spark, sf_dir):
+    """BMW-vec top-10 over the COMPACTED rewrite of the tombstoned index
+    (compact.compact_index == fresh build over the surviving corpus:
+    re-ranked doc ids, re-ranked vocabulary, refreshed N/df/avg_len) — the
+    oracle recomputes every CTE over the filtered documents."""
+    from dint_spark.compact import compact_index
+    from dint_spark.index import load_index
+
+    key = (os.path.abspath(sf_dir), "compacted")
+    if key not in _INDEX_CACHE:
+        base = (f"{os.path.basename(key[0].rstrip('/'))}-compacted"
+                f"-v{dint_spark.__version__}")
+        out = os.path.join("/tmp/dint_spark_entry", base)
+        if os.path.exists(os.path.join(out, "manifest.json")):
+            try:
+                _INDEX_CACHE[key] = load_index(spark, out)
+            except Exception as e:
+                print(f"[dint_spark] stale/corrupt cached index at {out}: "
+                      f"{e!r}; rebuilding", file=sys.stderr)
+                shutil.rmtree(out, ignore_errors=True)
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = compact_index(
+                spark, _get_deleted_index(spark, sf_dir), out)
+    idx = _INDEX_CACHE[key]
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand_vec",
+                      k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         "term_stats": _entry_term_stats,
@@ -414,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "proximity_within": _entry_proximity_within,
+        "bm25_with_deletes": _entry_bm25_with_deletes,
+        "bm25_after_compact": _entry_bm25_after_compact,
     }
     from dint_spark.ops import entries as ops_entries
 
@@ -685,6 +786,11 @@ FROM tf GROUP BY term ORDER BY term
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "proximity_within": _PROX_SQL,
+        # tombstoned: stats CTEs over the FULL corpus, candidates filtered
+        "bm25_with_deletes": _topk_or_sql(
+            scored=_scored_cte("WHERE tf.doc_id % 7 <> 3")),
+        # compacted: every CTE over the surviving corpus, ids re-ranked
+        "bm25_after_compact": _topk_or_sql(prelude=_PRELUDE_LIVE),
     }
     from dint_spark.ops import entries as ops_entries
 

@@ -555,6 +555,7 @@ class Index:
         self._norm_lens64 = None
         self._lens = None
         self._vocab_map = None
+        self._deleted = None
 
     @property
     def segments(self) -> DataFrame:
@@ -591,6 +592,29 @@ class Index:
         if self._norm_lens64 is None:
             self._norm_lens64 = self.lens.astype(np.float64) / self.avg_len_f64
         return self._norm_lens64
+
+    def deleted_docs(self) -> np.ndarray:
+        """Sorted doc ids tombstoned by delete_docs (empty array if none).
+        Collected driver-side: tombstones are assumed small relative to the
+        corpus, and under docid sharding each shard holds only its own
+        doc-local tombstones — the same bounding argument as norm_lens."""
+        if self._deleted is None:
+            ddir = os.path.join(self.dir, "deletes")
+            if not os.path.isdir(ddir):
+                self._deleted = np.empty(0, dtype=np.int64)
+            else:
+                pdf = self.spark.read.parquet(ddir).toPandas()
+                self._deleted = np.unique(
+                    pdf["doc_id"].to_numpy().astype(np.int64))
+        return self._deleted
+
+    @property
+    def has_deletes(self) -> bool:
+        return len(self.deleted_docs()) > 0
+
+    @property
+    def live_doc_count(self) -> int:
+        return self.num_docs - len(self.deleted_docs())
 
     def vocab(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "vocab.parquet"))
@@ -648,3 +672,46 @@ class Index:
 
 def load_index(spark: SparkSession, out_dir: str) -> Index:
     return Index(spark, out_dir)
+
+
+def delete_docs(spark: SparkSession, index: Index, doc_ids) -> int:
+    """Tombstone documents in a built index (the liveDocs pattern of
+    production search engines — e.g. Lucene's deleted-docs bitmap).
+
+    Appends the NEW ids to <index>/deletes/ (small doc_id parquet) and
+    records the epoch in the manifest with a timestamp + count. Query
+    semantics until compaction, pinned by tests and the driver oracle:
+    every retrieval path (BM25 ranked/boolean/phrase/proximity, batch and
+    served) excludes deleted docs from results, while corpus statistics
+    (N, df, avg_len -> BM25 weights) keep their pre-delete values —
+    refreshing them requires the physical rewrite, compact.compact_index,
+    which is equivalent to a fresh build over the surviving corpus.
+
+    Idempotent: already-tombstoned ids are not re-recorded (re-running an
+    ingestion job's delete step appends nothing). Returns the number of
+    newly deleted ids. ``doc_ids``: iterable of ints or a DataFrame with a
+    doc_id column. Raises on out-of-range ids.
+    """
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").toPandas()["doc_id"].to_numpy()
+    else:
+        ids = np.asarray(sorted({int(d) for d in doc_ids}))
+    ids = np.unique(ids.astype(np.int64)) if len(ids) else np.empty(
+        0, dtype=np.int64)
+    if len(ids) and (ids[0] < 0 or ids[-1] >= index.num_docs):
+        raise ValueError(
+            f"delete_docs: doc ids must be in [0, {index.num_docs}); got "
+            f"range [{ids[0]}, {ids[-1]}]")
+    new = np.setdiff1d(ids, index.deleted_docs(), assume_unique=True)
+    if not len(new):
+        return 0
+    ddir = os.path.join(index.dir, "deletes")
+    (spark.createDataFrame(pd.DataFrame({"doc_id": new}))
+     .coalesce(1).write.mode("append").parquet(ddir))
+    manifest = index.manifest
+    epochs = manifest.setdefault("deletes", {"epochs": [], "total": 0})
+    epochs["epochs"].append({"ts": time.time(), "count": int(len(new))})
+    epochs["total"] = int(epochs["total"]) + int(len(new))
+    _atomic_write_json(os.path.join(index.dir, "manifest.json"), manifest)
+    index._deleted = np.union1d(index.deleted_docs(), new)
+    return int(len(new))

@@ -233,6 +233,52 @@ _DENSE_SCORE_MAX_DOCS = int(
     os.environ.get("DINT_SPARK_DENSE_SCORE_MAX_DOCS", str(1 << 24)))
 
 
+class Tombstones:
+    """Deleted-document set applied at query time (the liveDocs pattern:
+    deleted docs are excluded from every result while corpus statistics —
+    N, df, avg_len, hence BM25 weights — keep their pre-delete values
+    until compact.compact_index rewrites the index; see index.delete_docs
+    for the contract). Broadcast once per batch carrying only the sorted
+    deleted ids; the dense O(num_docs) live mask materializes lazily ONCE
+    per worker process (a broadcast value is shared across that worker's
+    tasks), giving kernels O(1) membership tests. Under docid sharding
+    num_docs is shard-local, so the mask is bounded by the shard size —
+    the same footprint class as the norm_lens array that already ships."""
+
+    __slots__ = ("ids", "num_docs", "_mask")
+
+    def __init__(self, ids, num_docs: int):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.num_docs = int(num_docs)
+        self._mask = None
+
+    def __getstate__(self):
+        return (self.ids, self.num_docs)  # never pickle the dense mask
+
+    def __setstate__(self, state):
+        self.ids, self.num_docs = state
+        self._mask = None
+
+    @property
+    def mask(self) -> np.ndarray:
+        """Dense bool[num_docs]; True = live."""
+        if self._mask is None:
+            m = np.ones(self.num_docs, dtype=bool)
+            m[self.ids] = False
+            self._mask = m
+        return self._mask
+
+
+def _tombstones_bc(spark, index):
+    """Broadcast the index's tombstones, or None when it has none."""
+    if not getattr(index, "has_deletes", False):
+        return None
+    ids = index.deleted_docs()
+    if not len(ids):
+        return None
+    return spark.sparkContext.broadcast(Tombstones(ids, index.num_docs))
+
+
 def _cache_key(c: "Cursor") -> tuple:
     if c._ckey is None:
         c._ckey = (c.term_id, c.n, len(c.payload), hash(c.payload))
@@ -304,7 +350,8 @@ def _qtw(qf: int, df: int, num_docs: int, DT):
 # kernels; `cursors` arrive sorted by term_id asc with q_weight/max_weight set
 # ---------------------------------------------------------------------------
 
-def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
+              live=None):
     q = TopK(k)
     if not cursors:
         return []
@@ -319,12 +366,17 @@ def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
                 c.next()
             if c.docid() < next_doc:
                 next_doc = c.docid()
-        q.insert(score, cur_doc)
+        # tombstoned docs never enter the heap (so they can never raise a
+        # pruning threshold above what live docs justify); same guard shape
+        # in every kernel below
+        if live is None or live.mask[cur_doc]:
+            q.insert(score, cur_doc)
         cur_doc = next_doc
     return q.finalize()
 
 
-def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None):
+def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None,
+                deleted=None):
     """Exhaustive BM25 top-k via a docid-indexed accumulator.
 
     ``lists`` is (q_weight, docs, freqs) per cursor in term_id order — the
@@ -349,6 +401,10 @@ def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None):
         f = freqs.astype(DT)
         dtw = f / (f + K1 * (NORM + DT(0.5) * nl[docs].astype(DT, copy=False)))
         acc[docs] += qw * dtw
+    # tombstoned docs: zero their slots so selection can't pick them —
+    # O(|deleted|), and live docs' accumulated scores are untouched
+    if deleted is not None and len(deleted):
+        acc[deleted] = DT(0)
     # ``floor``: any certified lower bound on the k-th best score (BMW
     # passes its bootstrap theta — the k-th best of >= k exactly-scored
     # docs, whose acc entries are bit-identical to those scores). A mask
@@ -381,7 +437,8 @@ def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None):
     return [(int(cand[i]), float(vals[i])) for i in order]
 
 
-def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
+                  live=None):
     """Vectorized exhaustive DAAT: numerically identical to ranked_or.
 
     Per-doc accumulation order is term_id asc (the cursor order), exactly as
@@ -401,7 +458,14 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
         lists.append((c, docs, freqs))
     if num_docs <= _DENSE_SCORE_MAX_DOCS:
         return _dense_topk(((c.q_weight, d, f) for c, d, f in lists),
-                           norm_lens, num_docs, k, DT)
+                           norm_lens, num_docs, k, DT,
+                           deleted=live.ids if live is not None else None)
+    if live is not None:
+        # compaction path scatters by searchsorted position into the
+        # candidate union, so tombstoned postings must drop from BOTH the
+        # union and each list (live docs' adds are per-doc independent —
+        # their scores stay bit-identical)
+        lists = [(c, d[live.mask[d]], f[live.mask[d]]) for c, d, f in lists]
     union = np.unique(np.concatenate([d for _, d, _ in lists]))
     scores = np.zeros(len(union), dtype=DT)
     for c, docs, freqs in lists:
@@ -414,7 +478,8 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
     return [(int(union[i]), float(scores[i])) for i in order]
 
 
-def ranked_and(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+def ranked_and(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
+               live=None):
     q = TopK(k)
     if not cursors:
         return []
@@ -435,14 +500,15 @@ def ranked_and(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
             # canonical term_id accumulation order (see wand note)
             for c in sorted(cs, key=lambda c: c.term_id):
                 score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
-            q.insert(score, candidate)
+            if live is None or live.mask[candidate]:
+                q.insert(score, candidate)
             cs[0].next()
             candidate = cs[0].docid()
             i = 1
     return q.finalize()
 
 
-def boolean_and(cursors, num_docs: int) -> list[int]:
+def boolean_and(cursors, num_docs: int, live=None) -> list[int]:
     if not cursors:
         return []
     cs = sorted(cursors, key=lambda c: c.n)
@@ -458,20 +524,22 @@ def boolean_and(cursors, num_docs: int) -> list[int]:
                 break
             i += 1
         else:
-            out.append(candidate)
+            if live is None or live.mask[candidate]:
+                out.append(candidate)
             cs[0].next()
             candidate = cs[0].docid()
             i = 1
     return out
 
 
-def boolean_or(cursors, num_docs: int) -> list[int]:
+def boolean_or(cursors, num_docs: int, live=None) -> list[int]:
     if not cursors:
         return []
     out = []
     cur_doc = min(c.docid() for c in cursors)
     while cur_doc < num_docs:
-        out.append(cur_doc)
+        if live is None or live.mask[cur_doc]:
+            out.append(cur_doc)
         next_doc = num_docs
         for c in cursors:
             if c.docid() == cur_doc:
@@ -483,7 +551,7 @@ def boolean_or(cursors, num_docs: int) -> list[int]:
 
 
 def wand(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
-         block_max: bool = False):
+         block_max: bool = False, live=None):
     """WAND (ref queries.hpp:190-307); block_max=True adds the per-block
     max-score check + boundary skipping (Ding & Suel BMW)."""
     q = TopK(k)
@@ -543,7 +611,8 @@ def wand(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
                 score = score + c.q_weight * _dtw(c.freq(), norm_len, DT)
             for c in matching:
                 c.next()
-            q.insert(score, pivot_id)
+            if live is None or live.mask[pivot_id]:
+                q.insert(score, pivot_id)
             ordered.sort(key=lambda c: c.docid())
         else:
             next_list = pivot
@@ -563,7 +632,7 @@ def _bubble_down(ordered, i: int) -> None:
 
 
 def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
-                       DT=np.float32):
+                       DT=np.float32, live=None):
     """Block-level vectorized BMW: exact same top-k as ranked_or, with the
     per-doc Python loop replaced by numpy over 256-int blocks.
 
@@ -675,6 +744,11 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
         b = int(np.argmax(c.block_max_scores))
         parts0.append(get_span(ci, np.array([b], dtype=np.int64), False)[0])
     C0 = np.unique(np.concatenate(parts0))
+    if live is not None:
+        # theta must be certified from LIVE docs only: a tombstoned doc's
+        # score in the bootstrap could set a floor above what live docs
+        # justify and falsely prune intervals holding live answers
+        C0 = C0[live.mask[C0]]
     s0 = exact_scores(C0)
     theta = np.partition(s0, len(s0) - k)[len(s0) - k] if len(s0) >= k else None
 
@@ -722,7 +796,8 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
         for ci, c in enumerate(cursors):
             docs, freqs = get_span(ci, np.arange(c.nblocks), want_freqs=True)
             lists.append((c.q_weight, docs, freqs))
-        return _dense_topk(lists, nl_arr, num_docs, k, DT, floor=theta)
+        return _dense_topk(lists, nl_arr, num_docs, k, DT, floor=theta,
+                           deleted=live.ids if live is not None else None)
     for ci, c in enumerate(cursors):
         if exhaustive:
             docs, _ = get_span(ci, np.arange(c.nblocks), want_freqs=False)
@@ -732,6 +807,8 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
             iv = np.searchsorted(B, docs, side="left")
             parts.append(docs[cand[iv]])
     C = np.unique(np.concatenate(parts))
+    if live is not None:
+        C = C[live.mask[C]]  # C0 was filtered before scoring, so C stays ⊇ C0
     # bootstrap docs are already scored; only score the new candidates
     new = C[~np.isin(C, C0, assume_unique=True)]
     s_new = exact_scores(new) if len(new) else np.empty(0, dtype=DT)
@@ -741,7 +818,8 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
     return [(int(allC[i]), float(allS[i])) for i in order]
 
 
-def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
+def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
+             live=None):
     """ref queries.hpp:459-573."""
     q = TopK(k)
     if not cursors:
@@ -793,7 +871,7 @@ def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
             for _, qw, f in matches:
                 score = score + qw * _dtw(f, norm_len, DT)
 
-        if q.insert(score, cur_doc):
+        if (live is None or live.mask[cur_doc]) and q.insert(score, cur_doc):
             while non_essential < len(ordered) and not q.would_enter(ub[non_essential]):
                 non_essential += 1
 
@@ -802,13 +880,20 @@ def maxscore(cursors, norm_lens, num_docs: int, k: int, DT=np.float32):
 
 
 KERNELS = {
-    "ranked_or": lambda cs, nl, nd, k, DT: ranked_or(cs, nl, nd, k, DT),
-    "ranked_or_vec": lambda cs, nl, nd, k, DT: ranked_or_vec(cs, nl, nd, k, DT),
-    "ranked_and": lambda cs, nl, nd, k, DT: ranked_and(cs, nl, nd, k, DT),
-    "wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=False),
-    "block_max_wand": lambda cs, nl, nd, k, DT: wand(cs, nl, nd, k, DT, block_max=True),
-    "block_max_wand_vec": lambda cs, nl, nd, k, DT: block_max_wand_vec(cs, nl, nd, k, DT),
-    "maxscore": lambda cs, nl, nd, k, DT: maxscore(cs, nl, nd, k, DT),
+    "ranked_or": lambda cs, nl, nd, k, DT, live=None: ranked_or(
+        cs, nl, nd, k, DT, live=live),
+    "ranked_or_vec": lambda cs, nl, nd, k, DT, live=None: ranked_or_vec(
+        cs, nl, nd, k, DT, live=live),
+    "ranked_and": lambda cs, nl, nd, k, DT, live=None: ranked_and(
+        cs, nl, nd, k, DT, live=live),
+    "wand": lambda cs, nl, nd, k, DT, live=None: wand(
+        cs, nl, nd, k, DT, block_max=False, live=live),
+    "block_max_wand": lambda cs, nl, nd, k, DT, live=None: wand(
+        cs, nl, nd, k, DT, block_max=True, live=live),
+    "block_max_wand_vec": lambda cs, nl, nd, k, DT, live=None:
+        block_max_wand_vec(cs, nl, nd, k, DT, live=live),
+    "maxscore": lambda cs, nl, nd, k, DT, live=None: maxscore(
+        cs, nl, nd, k, DT, live=live),
 }
 
 TOPK_SCHEMA = T.StructType(
@@ -941,6 +1026,7 @@ def run_queries(
     )
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _tombstones_bc(spark, index)
     kernel = KERNELS[algo]
 
     qterms = (
@@ -974,7 +1060,8 @@ def run_queries(
                                 num_docs, DT, merge_chunks=merge_chunks,
                                 df_overrides=dfo_bc.value if dfo_bc else None,
                                 idf_docs=idf_docs)
-        topk = kernel(cursors, norm_bc.value, num_docs, k, DT)
+        topk = kernel(cursors, norm_bc.value, num_docs, k, DT,
+                      live=tomb_bc.value if tomb_bc is not None else None)
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -988,7 +1075,7 @@ def run_queries(
 
 
 def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
-                       DT, algo: str, k: int) -> list:
+                       DT, algo: str, k: int, live=None) -> list:
     """Run the pinned-segment kernel over (query_id, terms) rows; returns
     (query_id, rank, doc_id, score) tuples. This is the exact worker-side
     body of BroadcastQueryServer.serve — factored out so the bench/profiler
@@ -1027,7 +1114,8 @@ def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
                 a.max_weight = max(c.max_weight for c in term_cursors)
                 term_cursors = [a]
             cursors.extend(term_cursors)
-        topk = kernel(cursors, norm, num_docs, k, DT) if cursors else []
+        topk = (kernel(cursors, norm, num_docs, k, DT, live=live)
+                if cursors else [])
         for rank, (doc, score) in enumerate(topk, 1):
             outs.append((int(qid), rank, doc, score))
     return outs
@@ -1106,6 +1194,9 @@ class BroadcastQueryServer:
             index.norm_lens if dtype == "float32" else index.norm_lens64)
         self.docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
         self.freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+        # tombstones snapshot at pin time: later delete_docs calls need a
+        # new server (same contract as the pinned segments themselves)
+        self.tomb_bc = _tombstones_bc(spark, index)
 
     def serve(self, queries: list, algo: str = "block_max_wand_vec",
               k: int = 10, partitions: int | None = None) -> DataFrame:
@@ -1134,6 +1225,7 @@ class BroadcastQueryServer:
         spark = self.spark
         seg_bc, norm_bc = self.seg_bc, self.norm_bc
         docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
+        tomb_bc = self.tomb_bc
         DT, num_docs = self.DT, self.num_docs
 
         nparts = partitions or spark.sparkContext.defaultParallelism
@@ -1188,7 +1280,8 @@ class BroadcastQueryServer:
             for pdf in batches:
                 outs = _serve_kernel_rows(
                     zip(pdf["query_id"], pdf["terms"]), segs, dd, fd,
-                    norm, num_docs, DT, algo, k)
+                    norm, num_docs, DT, algo, k,
+                    live=tomb_bc.value if tomb_bc is not None else None)
                 if outs:
                     yield pd.DataFrame(
                         outs, columns=["query_id", "rank", "doc_id", "score"])
@@ -1199,9 +1292,9 @@ class BroadcastQueryServer:
         """Release the pinned broadcasts (call after all served DataFrames
         have been consumed — Spark broadcasts are lazy-referenced)."""
         for bc in (self.seg_bc, self.norm_bc, self.docs_dict_bc,
-                   self.freqs_dict_bc):
+                   self.freqs_dict_bc, self.tomb_bc):
             try:
-                bc.unpersist()
+                bc is not None and bc.unpersist()
             except Exception:
                 pass
 
@@ -1251,6 +1344,7 @@ def query_latency_stats(spark: SparkSession, index, queries: list,
         dtype=dtype, max_broadcast_bytes=max_broadcast_bytes)
     seg_bc, norm_bc = srv.seg_bc, srv.norm_bc
     docs_dict_bc, freqs_dict_bc = srv.docs_dict_bc, srv.freqs_dict_bc
+    tomb_bc = srv.tomb_bc
     DT, num_docs = srv.DT, srv.num_docs
     kernel = KERNELS[algo]
 
@@ -1287,7 +1381,10 @@ def query_latency_stats(spark: SparkSession, index, queries: list,
                     c.bound_scale = scale
                     c.max_weight = DT(qw * DT(mw) * c.bound_scale)
                     cursors.append(c)
-            return kernel(cursors, norm, num_docs, k, DT) if cursors else []
+            return (kernel(cursors, norm, num_docs, k, DT,
+                           live=tomb_bc.value if tomb_bc is not None
+                           else None)
+                    if cursors else [])
 
         for pdf in batches:
             outs = []
@@ -1367,6 +1464,7 @@ def run_boolean_queries(
     num_docs = index.num_docs
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _tombstones_bc(spark, index)
     fn = boolean_and if mode == "and" else boolean_or
 
     qterms = (
@@ -1384,7 +1482,8 @@ def run_boolean_queries(
         qid = int(pdf["query_id"].iloc[0])
         cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
                                 num_docs, merge_chunks=(mode == "and"))
-        docs = fn(cursors, num_docs)
+        docs = fn(cursors, num_docs,
+                  live=tomb_bc.value if tomb_bc is not None else None)
         return pd.DataFrame({"query_id": qid, "doc_id": docs})
 
     return joined.groupBy("query_id").applyInPandas(run_one, schema=BOOL_SCHEMA)
@@ -1529,6 +1628,7 @@ def run_proximity_queries(spark: SparkSession, index, pairs: list,
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+    tomb_bc = _tombstones_bc(spark, index)
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -1546,6 +1646,9 @@ def run_proximity_queries(spark: SparkSession, index, pairs: list,
             return pd.DataFrame(columns=["query_id", "doc_id", "phrase_tf"])
         a, b = (by_term[int(t)] for t in ords["term_id"])
         docs, cnts = proximity_pair_kernel(a, b, window)
+        if tomb_bc is not None and len(docs):
+            keep = tomb_bc.value.mask[docs]
+            docs, cnts = docs[keep], cnts[keep]
         return pd.DataFrame(
             {"query_id": qid, "doc_id": docs, "phrase_tf": cnts})
 
@@ -1591,6 +1694,7 @@ def run_phrase_queries(spark: SparkSession, index, phrases: list
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+    tomb_bc = _tombstones_bc(spark, index)
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -1612,6 +1716,9 @@ def run_phrase_queries(spark: SparkSession, index, phrases: list
             return pd.DataFrame(columns=["query_id", "doc_id", "phrase_tf"])
         chain = [by_term[int(t)] for t in ords["term_id"]]
         docs, tfs = phrase_match_kernel(chain)
+        if tomb_bc is not None and len(docs):
+            keep = tomb_bc.value.mask[docs]
+            docs, tfs = docs[keep], tfs[keep]
         return pd.DataFrame(
             {"query_id": qid, "doc_id": docs, "phrase_tf": tfs})
 
@@ -1935,3 +2042,74 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     if parallelism:
         seg = seg.repartition(parallelism)
     return seg.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+POSITIONS_SCHEMA = T.StructType([
+    T.StructField("term_id", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("pos", T.LongType(), False),
+])
+
+
+def decoded_positions(index, parallelism: int | None = None) -> DataFrame:
+    """Full decode of a positional index to one (term_id, doc_id, pos) row
+    per token occurrence — the positions-stream analogue of
+    decoded_postings (used by compact_index to reconstruct the surviving
+    documents' exact token sequences, and by tests as the positions
+    check_index). Emission batches ~1M rows per output frame."""
+    if not getattr(index, "has_positions", False):
+        raise ValueError("decoded_positions requires an index built with "
+                         "IndexConfig(positions=True)")
+    from dint_spark.dint.codec import (decode_list_bulk, decode_value_stream,
+                                       gaps_to_positions)
+
+    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+    pos_dict_bc = index.spark.sparkContext.broadcast(index.pos_dict)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dd, fd, pdict = (docs_dict_bc.value, freqs_dict_bc.value,
+                         pos_dict_bc.value)
+        acc_t: list = []
+        acc_d: list = []
+        acc_p: list = []
+        acc_n = 0
+
+        def emit() -> pd.DataFrame:
+            nonlocal acc_t, acc_d, acc_p, acc_n
+            out = pd.DataFrame({
+                "term_id": np.concatenate(acc_t),
+                "doc_id": np.concatenate(acc_d),
+                "pos": np.concatenate(acc_p),
+            })
+            acc_t, acc_d, acc_p, acc_n = [], [], [], 0
+            return out
+
+        for pdf in batches:
+            for row in pdf.itertuples():
+                docs, freqs = decode_list_bulk(
+                    bytes(row.payload), int(row.n),
+                    np.asarray(row.block_maxs, dtype=np.int64),
+                    np.asarray(row.endpoints, dtype=np.int64),
+                    np.asarray(row.freq_offsets, dtype=np.int64), dd, fd,
+                )
+                npos = int(freqs.sum())
+                vals = decode_value_stream(
+                    bytes(row.pos_payload), npos,
+                    np.asarray(row.pos_endpoints, dtype=np.int64), pdict)
+                pos = gaps_to_positions(vals, freqs)
+                acc_t.append(np.full(npos, int(row.term_id), dtype=np.int64))
+                acc_d.append(np.repeat(docs, freqs).astype(np.int64))
+                acc_p.append(pos.astype(np.int64))
+                acc_n += npos
+                if acc_n >= 1 << 20:
+                    yield emit()
+        if acc_n:
+            yield emit()
+
+    seg = index.segments.select(
+        "term_id", "n", "block_maxs", "endpoints", "freq_offsets", "payload",
+        "pos_payload", "pos_endpoints")
+    if parallelism:
+        seg = seg.repartition(parallelism)
+    return seg.mapInPandas(run, schema=POSITIONS_SCHEMA)
