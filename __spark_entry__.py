@@ -438,6 +438,67 @@ ORDER BY 1, 2
 # src/create_freq_index.cpp:103-106)
 # ---------------------------------------------------------------------------
 
+# keyword-in-context snippet terms: head terms (many docs), mid and tail
+KWIC_TERMS: list[int] = [0, 3, 7, 12, 19, 30]
+KWIC_WIDTH = 3
+
+
+def _entry_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippets (queries.run_kwic_queries): first
+    occurrence per matching doc from the POSITIONAL index, ±3-token window
+    sliced JVM-side from the source documents — search-result snippet
+    generation; the text join touches only matched docs."""
+    from dint_spark.queries import run_kwic_queries
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    res = run_kwic_queries(spark, idx, _documents(spark, sf_dir),
+                           KWIC_TERMS, width=KWIC_WIDTH)
+    return res.orderBy("query_id", "doc_id")
+
+
+def _kwic_values() -> str:
+    rows = ",".join(f"({i},{t})" for i, t in enumerate(KWIC_TERMS))
+    return f"(VALUES {rows}) AS t(query_id, term_id)"
+
+
+_KWIC_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_ord GROUP BY 1, 2),
+vocab AS (
+  SELECT term,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+doc_toks AS (
+  SELECT doc_id, list(term ORDER BY pos) AS toks FROM toks_ord GROUP BY 1
+),
+kq AS (SELECT * FROM {_kwic_values()}),
+first_hit AS (
+  SELECT kq.query_id, tp.doc_id, min(tp.pos)::BIGINT AS pos
+  FROM kq JOIN vocab v ON v.term_id = kq.term_id
+  JOIN toks_ord tp ON tp.term = v.term
+  GROUP BY 1, 2
+)
+SELECT f.query_id, f.doc_id, f.pos,
+       array_to_string(list_slice(
+         d.toks, greatest(f.pos + 1 - {KWIC_WIDTH}, 1),
+         f.pos + 1 + {KWIC_WIDTH}), ' ') AS snippet
+FROM first_hit f JOIN doc_toks d ON d.doc_id = f.doc_id
+ORDER BY 1, 2
+"""
+
+
 def _get_deleted_index(spark, sf_dir):
     """Base-config index with doc_id % 7 == 3 tombstoned. delete_docs is
     idempotent, so re-entering on the cached index appends nothing."""
@@ -515,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_after_compact": _entry_bm25_after_compact,
+        "kwic_snippets": _entry_kwic_snippets,
     }
     from dint_spark.ops import entries as ops_entries
 
@@ -791,6 +853,7 @@ FROM tf GROUP BY term ORDER BY term
             scored=_scored_cte("WHERE tf.doc_id % 7 <> 3")),
         # compacted: every CTE over the surviving corpus, ids re-ranked
         "bm25_after_compact": _topk_or_sql(prelude=_PRELUDE_LIVE),
+        "kwic_snippets": _KWIC_SQL,
     }
     from dint_spark.ops import entries as ops_entries
 

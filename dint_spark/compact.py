@@ -62,6 +62,16 @@ def compact_index(spark: SparkSession, index: Index, out_dir: str,
     the rewrite is a normal resumable build there.
     """
     config = _clone_config(index, num_buckets)
+    corpus = reconstruct_corpus(spark, index, config)
+    return build_index(spark, None, out_dir, config, corpus_docs=corpus)
+
+
+def reconstruct_corpus(spark: SparkSession, index: Index,
+                       config: IndexConfig) -> DataFrame:
+    """The surviving corpus as (doc_id, tokens), rebuilt from the index:
+    compact_index's dataflow up to (but not including) the standard build.
+    Exposed separately so the plan audit can assert its shape (broadcast
+    left-anti tombstone filter, hash-join vocab attach, no cartesian)."""
     deleted = index.deleted_docs()
     del_df = (spark.createDataFrame([(int(d),) for d in deleted],
                                     "doc_id long")
@@ -101,6 +111,5 @@ def compact_index(spark: SparkSession, index: Index, out_dir: str,
 
     # dense survivor ranks in old-id order == fresh-build ids over the
     # surviving pages (deletion preserves the survivors' url-rank order)
-    corpus = add_dense_index(toks, [F.col("doc_id")], "new_doc_id").select(
+    return add_dense_index(toks, [F.col("doc_id")], "new_doc_id").select(
         F.col("new_doc_id").alias("doc_id"), "tokens")
-    return build_index(spark, None, out_dir, config, corpus_docs=corpus)

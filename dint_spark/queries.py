@@ -1656,6 +1656,82 @@ def run_proximity_queries(spark: SparkSession, index, pairs: list,
                                                     schema=PHRASE_SCHEMA)
 
 
+KWIC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+
+def run_kwic_queries(spark: SparkSession, index, docs: DataFrame,
+                     terms: list, width: int = 3) -> DataFrame:
+    """Keyword-in-context snippet extraction (search-result presentation):
+    for each queried term, every matching doc's FIRST occurrence position
+    from the positional index, joined back to the source documents for the
+    ±``width`` token window around it.
+
+    ``docs``: DataFrame with (doc_id, text) — the corpus the index was
+    built from. Returns (query_id, doc_id, pos, snippet). Plan shape: the
+    occurrence pass is the phrase path's pruned scan + one applyInPandas
+    group per term (only (query, doc, pos) rows leave the workers); the
+    snippet pass is ONE hash join of those hit rows against the documents
+    table, with tokenization and the window slice computed JVM-side on the
+    joined (= matched-docs-only) stream — no text ever enters Python.
+    Tombstoned docs are excluded like every other retrieval path."""
+    from dint_spark.tokenizer import tokenize
+
+    if not getattr(index, "has_positions", False):
+        raise ValueError("run_kwic_queries requires an index built with "
+                         "IndexConfig(positions=True)")
+    local_terms = sorted({int(t) for t in terms})
+    qdf = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(terms)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term_id", T.LongType(), False),
+        ]),
+    )
+    segs = _pruned_segments(index, qdf, local_terms).select(
+        "term_id", "seg_id", "n", "block_maxs", "endpoints", "freq_offsets",
+        "payload", "pos_payload", "pos_endpoints")
+    joined = qdf.join(segs, "term_id").repartition(
+        spark.sparkContext.defaultParallelism * 2, "query_id")
+
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+    tomb_bc = _tombstones_bc(spark, index)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "doc_id", "pos"])
+        qid = int(pdf["query_id"].iloc[0])
+        keys = _term_occurrence_keys(
+            pdf.drop_duplicates(subset=["seg_id"]), docs_dict_bc.value,
+            freqs_dict_bc.value, pos_dict_bc.value)
+        d = (keys >> _POS_SHIFT).astype(np.int64)
+        p = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        docs_u, first = np.unique(d, return_index=True)  # keys sorted ->
+        pos_u = p[first]                                 # first occurrence
+        if tomb_bc is not None and len(docs_u):
+            keep = tomb_bc.value.mask[docs_u]
+            docs_u, pos_u = docs_u[keep], pos_u[keep]
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs_u, "pos": pos_u})
+
+    occ = joined.groupBy("query_id").applyInPandas(run_one,
+                                                   schema=KWIC_SCHEMA)
+    hit_docs = tokenize(occ.join(docs.select("doc_id", "text"), "doc_id"))
+    lo = F.greatest(F.col("pos") + 1 - width, F.lit(1))
+    return hit_docs.select(
+        "query_id", "doc_id", "pos",
+        F.concat_ws(" ", F.slice(
+            "tokens", lo, F.col("pos") + 1 + width - lo + 1)).alias("snippet"),
+    )
+
+
 def run_phrase_queries(spark: SparkSession, index, phrases: list
                        ) -> DataFrame:
     """Distributed exact-phrase retrieval over a positional index.

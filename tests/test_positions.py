@@ -234,3 +234,30 @@ def test_bm25_unaffected_by_positions(spark, pos_index):
     b = run_queries(spark, plain, qs, algo="block_max_wand", k=10
                     ).toPandas().sort_values(["query_id", "rank"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_kwic_snippets_match_bruteforce(spark, pos_index, corpus_tokens):
+    from dint_spark.corpus import generate_pages
+    from dint_spark.queries import run_kwic_queries
+    from dint_spark.tokenizer import assign_doc_ids
+
+    vocab = {r.term_id: r.term for r in pos_index.vocab().collect()}
+    docs = assign_doc_ids(
+        generate_pages(spark, N_DOCS, seed=42).select("url", "text"))
+    terms = [0, 4, 11, 99999999]  # head, mid terms + absent term
+    W = 3
+    res = run_kwic_queries(spark, pos_index, docs, terms,
+                           width=W).toPandas()
+    for qid, tid in enumerate(terms):
+        term = vocab.get(tid)
+        expect = {}
+        if term is not None:
+            for did, tl in corpus_tokens.items():
+                hits = [j for j, t in enumerate(tl) if t == term]
+                if hits:
+                    p = hits[0]
+                    expect[did] = (p, " ".join(
+                        tl[max(p - W, 0):p + W + 1]))
+        got = {int(r.doc_id): (int(r.pos), r.snippet)
+               for r in res[res.query_id == qid].itertuples()}
+        assert got == expect, (qid, tid)
