@@ -185,3 +185,34 @@ def run_queries_sharded(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "doc_id", "score")
     )
+
+
+def delete_docs_sharded(spark: SparkSession, sidx: ShardedIndex,
+                        doc_ids) -> int:
+    """Tombstone GLOBAL doc ids across a sharded index.
+
+    Ids route to their owning shard via the manifest bases and tombstone
+    shard-locally (index.delete_docs), so run_queries_sharded's per-shard
+    fan-out applies each shard's live mask automatically — the tombstone
+    state is as document-partitioned as the index itself (no global
+    deleted-set broadcast ever exists, which is what keeps deletes O(1)
+    per shard at 10^12 docs). Statistics stay at pre-delete GLOBAL values
+    until compaction, exactly the unsharded delete_docs contract.
+    Idempotent; returns the number of newly deleted ids."""
+    import numpy as np
+
+    from dint_spark.index import delete_docs as _delete_docs
+
+    ids = np.unique(np.asarray([int(d) for d in doc_ids], dtype=np.int64))
+    if len(ids) and (ids[0] < 0 or ids[-1] >= sidx.num_docs):
+        raise ValueError(
+            f"delete_docs_sharded: doc ids must be in [0, {sidx.num_docs}); "
+            f"got range [{ids[0]}, {ids[-1]}]")
+    bases = np.asarray(sidx.bases[:-1], dtype=np.int64)
+    owner = np.searchsorted(bases, ids, side="right") - 1
+    total = 0
+    for s, idx in enumerate(sidx.shards):
+        mine = ids[owner == s] - bases[s]
+        if len(mine):
+            total += _delete_docs(spark, idx, mine.tolist())
+    return total

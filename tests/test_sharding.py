@@ -84,3 +84,25 @@ def test_sharded_resume(pair, spark):
     re = ShardedIndex(spark, sidx.dir)
     assert re.num_docs == sidx.num_docs
     assert re.bases == sidx.bases
+
+
+def test_sharded_deletes_match_unsharded(spark, pair):
+    """Keep LAST in the module: tombstones mutate the fixture indexes.
+    Global ids route to their owning shard; the fan-out then applies each
+    shard's live mask, and results stay bit-identical to the unsharded
+    tombstoned index (same stale global stats, same tie-breaks)."""
+    from dint_spark.index import delete_docs
+    from dint_spark.sharding import delete_docs_sharded
+
+    idx, sidx, queries = pair
+    dead = list(range(0, N_DOCS, 5))
+    assert delete_docs(spark, idx, dead) == len(dead)
+    assert delete_docs_sharded(spark, sidx, dead) == len(dead)
+    assert delete_docs_sharded(spark, sidx, dead) == 0  # idempotent
+    a = _pdf(run_queries(spark, idx, queries, algo="block_max_wand", k=10),
+             ["query_id", "rank"])
+    b = _pdf(run_queries_sharded(spark, sidx, queries,
+                                 algo="block_max_wand", k=10),
+             ["query_id", "rank"])
+    assert len(a) and not (a.doc_id % 5 == 0).any()
+    assert a.equals(b)
