@@ -332,6 +332,13 @@ def main() -> None:
         _timed(lambda: run_proximity_queries(spark, pidx, pairs,
                                              window=8).count())
         for _ in range(2))
+    # served phrase path: pos payloads pinned once, only query rows move
+    psrv = BroadcastQueryServer(spark, pidx, with_positions=True)
+    psrv.serve_phrases(phrases).count()  # warmup
+    timings["phrase_500q_serve"] = min(
+        _timed(lambda: psrv.serve_phrases(phrases).count())
+        for _ in range(2))
+    psrv.close()
     shutil.rmtree(pdir, ignore_errors=True)
 
     # ---- training-data ops over the driver tables -------------------------

@@ -1095,7 +1095,8 @@ def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
             df_total = sum(p[1] for p in parts)
             qw = _qtw(qf, df_total, num_docs, DT)
             term_cursors = []
-            for _, n, bmax, bms, endp, foff, payload, mw in parts:
+            for _, n, bmax, bms, endp, foff, payload, mw in (
+                    p[:8] for p in parts):  # pos-pinned servers carry 2 more
                 c = Cursor(n, bmax, endp, foff, payload,
                            num_docs, dd, fd,
                            block_max_scores=bms, term_id=tid)
@@ -1142,7 +1143,11 @@ class BroadcastQueryServer:
 
     def __init__(self, spark: SparkSession, index, terms: list | None = None,
                  dtype: str = "float32",
-                 max_broadcast_bytes: int = 1 << 29):
+                 max_broadcast_bytes: int = 1 << 29,
+                 with_positions: bool = False):
+        if with_positions and not getattr(index, "has_positions", False):
+            raise ValueError("with_positions requires an index built with "
+                             "IndexConfig(positions=True)")
         if terms is None:
             pruned = index.segments
         else:
@@ -1151,25 +1156,26 @@ class BroadcastQueryServer:
         # size pre-check BEFORE collecting: an oversized term set must raise
         # the intended ValueError, not hit driver maxResultSize/OOM in
         # collect()
+        size_expr = F.sum(F.length("payload"))
+        if with_positions:
+            size_expr = size_expr + F.sum(F.length("pos_payload"))
         est = pruned.agg(
-            F.sum(F.length("payload")).alias("b"), F.count("*").alias("c")
+            size_expr.alias("b"), F.count("*").alias("c")
         ).collect()[0]
         total = int(est["b"] or 0) + 200 * int(est["c"] or 0)
         if total > max_broadcast_bytes:
             raise ValueError(
                 f"pruned segments ({total} bytes) exceed the broadcast "
                 "budget; use run_queries (shuffle path) or shard the index")
-        rows = (
-            pruned
-            .select("term_id", "seg_id", "n", "block_maxs",
-                    "block_max_scores", "endpoints", "freq_offsets",
-                    "payload", "max_weight")
-            .collect()
-        )
+        cols = ["term_id", "seg_id", "n", "block_maxs", "block_max_scores",
+                "endpoints", "freq_offsets", "payload", "max_weight"]
+        if with_positions:
+            cols += ["pos_payload", "pos_endpoints"]
+        rows = pruned.select(*cols).collect()
         seg_map: dict[int, list] = {}
         for r in rows:
             payload = bytes(r["payload"])
-            seg_map.setdefault(int(r["term_id"]), []).append((
+            entry = (
                 int(r["seg_id"]),
                 int(r["n"]),
                 np.asarray(r["block_maxs"], dtype=np.int64),
@@ -1178,9 +1184,17 @@ class BroadcastQueryServer:
                 np.asarray(r["freq_offsets"], dtype=np.int64),
                 payload,
                 float(r["max_weight"]),
-            ))
+            )
+            if with_positions:
+                entry = entry + (bytes(r["pos_payload"]),
+                                 np.asarray(r["pos_endpoints"],
+                                            dtype=np.int64))
+            seg_map.setdefault(int(r["term_id"]), []).append(entry)
         for parts in seg_map.values():
             parts.sort(key=lambda p: p[0])
+        self.with_positions = with_positions
+        self.pos_dict_bc = (spark.sparkContext.broadcast(index.pos_dict)
+                            if with_positions else None)
         self.spark = spark
         self.dtype = dtype
         self.DT = np.float32 if dtype == "float32" else np.float64
@@ -1228,49 +1242,9 @@ class BroadcastQueryServer:
         tomb_bc = self.tomb_bc
         DT, num_docs = self.DT, self.num_docs
 
-        nparts = partitions or spark.sparkContext.defaultParallelism
-        nparts = max(1, min(nparts, max(1, len(queries))))
-        costs = [
-            sum(self.term_cost.get(int(t), 0) for t in set(map(int, ts)))
-            + 64  # per-query fixed work so empty/tail queries still count
-            for ts in queries
-        ]
-        # LPT: heaviest query first onto the lightest bin
-        heap = [(0, b) for b in range(nparts)]
-        heapq.heapify(heap)
-        bins: list[list[int]] = [[] for _ in range(nparts)]
-        for i in sorted(range(len(queries)), key=lambda i: -costs[i]):
-            load, b = heapq.heappop(heap)
-            bins[b].append(i)
-            heapq.heappush(heap, (load + costs[i], b))
-        m = max((len(b) for b in bins), default=0)
-        if m == 0:
+        qdf = self._binned_query_df(queries, partitions)
+        if qdf is None:
             return spark.createDataFrame([], schema=TOPK_SCHEMA)
-        qids: list[int] = []
-        terms_col: list[list[int]] = []
-        for b in bins:
-            for i in b:
-                qids.append(i)
-                terms_col.append([int(t) for t in queries[i]])
-            qids.extend([-1] * (m - len(b)))
-            terms_col.extend([[]] * (m - len(b)))
-        pdf_in = pd.DataFrame({
-            "query_id": np.asarray(qids, dtype=np.int64),
-            "terms": terms_col,
-        })
-        rec_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        old_rec = spark.conf.get(rec_key)
-        spark.conf.set(rec_key, str(m))
-        try:
-            qdf = spark.createDataFrame(
-                pdf_in,
-                schema=T.StructType([
-                    T.StructField("query_id", T.LongType(), False),
-                    T.StructField("terms", T.ArrayType(T.LongType()), False),
-                ]),
-            )
-        finally:
-            spark.conf.set(rec_key, old_rec)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             segs = seg_bc.value
@@ -1288,11 +1262,140 @@ class BroadcastQueryServer:
 
         return qdf.mapInPandas(run, schema=TOPK_SCHEMA)
 
+    def _binned_query_df(self, queries: list, partitions: int | None):
+        """LPT-cost-balanced, one-Arrow-batch-per-bin query DataFrame (the
+        serve() layout, see its docstring); None for an empty batch."""
+        spark = self.spark
+        nparts = partitions or spark.sparkContext.defaultParallelism
+        nparts = max(1, min(nparts, max(1, len(queries))))
+        costs = [
+            sum(self.term_cost.get(int(t), 0) for t in set(map(int, ts)))
+            + 64  # per-query fixed work so empty/tail queries still count
+            for ts in queries
+        ]
+        # LPT: heaviest query first onto the lightest bin
+        heap = [(0, b) for b in range(nparts)]
+        heapq.heapify(heap)
+        bins: list[list[int]] = [[] for _ in range(nparts)]
+        for i in sorted(range(len(queries)), key=lambda i: -costs[i]):
+            load, b = heapq.heappop(heap)
+            bins[b].append(i)
+            heapq.heappush(heap, (load + costs[i], b))
+        m = max((len(b) for b in bins), default=0)
+        if m == 0:
+            return None
+        qids: list[int] = []
+        terms_col: list[list[int]] = []
+        for b in bins:
+            for i in b:
+                qids.append(i)
+                terms_col.append([int(t) for t in queries[i]])
+            qids.extend([-1] * (m - len(b)))
+            terms_col.extend([[]] * (m - len(b)))
+        pdf_in = pd.DataFrame({
+            "query_id": np.asarray(qids, dtype=np.int64),
+            "terms": terms_col,
+        })
+        rec_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_rec = spark.conf.get(rec_key)
+        spark.conf.set(rec_key, str(m))
+        try:
+            return spark.createDataFrame(
+                pdf_in,
+                schema=T.StructType([
+                    T.StructField("query_id", T.LongType(), False),
+                    T.StructField("terms", T.ArrayType(T.LongType()), False),
+                ]),
+            )
+        finally:
+            spark.conf.set(rec_key, old_rec)
+
+    def _serve_positional(self, queries: list, kernel_fn,
+                          partitions: int | None) -> DataFrame:
+        """Common served positional path: per query, occurrence keys per
+        distinct term from the pinned segments (worker-level _POS_CACHE
+        LRU amortizes head terms across the batch and across batches),
+        then ``kernel_fn(ord_keys) -> (docs, tfs)``."""
+        if not self.with_positions:
+            raise ValueError("server was built without with_positions=True")
+        spark = self.spark
+        seg_bc, pos_dict_bc = self.seg_bc, self.pos_dict_bc
+        docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
+        tomb_bc = self.tomb_bc
+
+        qdf = self._binned_query_df(queries, partitions)
+        if qdf is None:
+            return spark.createDataFrame([], schema=PHRASE_SCHEMA)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            segs = seg_bc.value
+            dd, fd = docs_dict_bc.value, freqs_dict_bc.value
+            pdict = pos_dict_bc.value
+            live = tomb_bc.value if tomb_bc is not None else None
+            for pdf in batches:
+                out_q, out_d, out_t = [], [], []
+                for qid, terms in zip(pdf["query_id"], pdf["terms"]):
+                    if qid < 0 or not len(terms):
+                        continue
+                    keys, absent = {}, False
+                    for tid in {int(t) for t in terms}:
+                        parts = segs.get(tid)
+                        if parts is None:
+                            absent = True
+                            break
+                        # parts are seg_id-sorted disjoint increasing doc
+                        # ranges -> the concat is globally sorted
+                        per_seg = [
+                            _seg_occurrence_keys(
+                                tid, p[0], p[1], p[6], p[2], p[4], p[5],
+                                p[8], p[9], dd, fd, pdict)
+                            for p in parts
+                        ]
+                        keys[tid] = (per_seg[0] if len(per_seg) == 1
+                                     else np.concatenate(per_seg))
+                    if absent:
+                        continue
+                    docs, tfs = kernel_fn([keys[int(t)] for t in terms])
+                    if live is not None and len(docs):
+                        keep = live.mask[docs]
+                        docs, tfs = docs[keep], tfs[keep]
+                    if len(docs):
+                        out_q.append(np.full(len(docs), int(qid), np.int64))
+                        out_d.append(docs)
+                        out_t.append(tfs)
+                if out_q:
+                    yield pd.DataFrame({
+                        "query_id": np.concatenate(out_q),
+                        "doc_id": np.concatenate(out_d),
+                        "phrase_tf": np.concatenate(out_t),
+                    })
+
+        return qdf.mapInPandas(run, schema=PHRASE_SCHEMA)
+
+    def serve_phrases(self, phrases: list,
+                      partitions: int | None = None) -> DataFrame:
+        """Exact-phrase retrieval against the pinned positional segments:
+        the phrase analogue of serve() — only (query_id, terms) rows move
+        per batch, the pos payloads having shipped once at pin time."""
+        return self._serve_positional(
+            phrases, phrase_match_kernel, partitions)
+
+    def serve_proximity(self, pairs: list, window: int = 8,
+                        partitions: int | None = None) -> DataFrame:
+        """Ordered within-window proximity against the pinned positional
+        segments (see serve_phrases)."""
+        if any(len(p) != 2 for p in pairs):
+            raise ValueError("proximity queries are ordered term PAIRS")
+        return self._serve_positional(
+            pairs,
+            lambda ks: proximity_pair_kernel(ks[0], ks[1], window),
+            partitions)
+
     def close(self) -> None:
         """Release the pinned broadcasts (call after all served DataFrames
         have been consumed — Spark broadcasts are lazy-referenced)."""
         for bc in (self.seg_bc, self.norm_bc, self.docs_dict_bc,
-                   self.freqs_dict_bc, self.tomb_bc):
+                   self.freqs_dict_bc, self.tomb_bc, self.pos_dict_bc):
             try:
                 bc is not None and bc.unpersist()
             except Exception:
@@ -1374,7 +1477,8 @@ def query_latency_stats(spark: SparkSession, index, queries: list,
                     continue
                 df_total = sum(p[1] for p in parts)
                 qw = _qtw(qf, df_total, num_docs, DT)
-                for _, n, bmax, bms, endp, foff, payload, mw in parts:
+                for _, n, bmax, bms, endp, foff, payload, mw in (
+                        p[:8] for p in parts):
                     c = Cursor(n, bmax, endp, foff, payload, num_docs,
                                dd, fd, block_max_scores=bms, term_id=tid)
                     c.q_weight = qw
@@ -1511,40 +1615,52 @@ _POS_CACHE: OrderedDict = OrderedDict()
 _POS_CACHE_ENTRIES = 256
 
 
+def _seg_occurrence_keys(term_id: int, seg_id: int, n: int, payload,
+                         block_maxs, endpoints, freq_offsets, pos_payload,
+                         pos_endpoints, docs_dict, freqs_dict, pos_dict
+                         ) -> np.ndarray:
+    """Sorted u64 (doc<<32|pos) occurrence keys of ONE segment chunk row,
+    via the worker-level positional decode LRU (shared by the shuffle and
+    the served phrase paths)."""
+    from dint_spark.dint.codec import (decode_list_bulk, decode_value_stream,
+                                       gaps_to_positions)
+
+    ckey = (int(term_id), int(seg_id), int(n),
+            len(pos_payload), hash(bytes(pos_payload)))
+    hit = _POS_CACHE.get(ckey)
+    if hit is not None:
+        _POS_CACHE.move_to_end(ckey)
+        return hit
+    docs, freqs = decode_list_bulk(
+        payload, int(n),
+        np.asarray(block_maxs, dtype=np.int64),
+        np.asarray(endpoints, dtype=np.int64),
+        np.asarray(freq_offsets, dtype=np.int64),
+        docs_dict, freqs_dict)
+    npos = int(freqs.sum())
+    vals = decode_value_stream(
+        pos_payload, npos,
+        np.asarray(pos_endpoints, dtype=np.int64), pos_dict)
+    pos = gaps_to_positions(vals, freqs)
+    keys = (np.repeat(docs, freqs).astype(np.uint64)
+            << _POS_SHIFT) | pos.astype(np.uint64)
+    _POS_CACHE[ckey] = keys
+    while len(_POS_CACHE) > _POS_CACHE_ENTRIES:
+        _POS_CACHE.popitem(last=False)
+    return keys
+
+
 def _term_occurrence_keys(rows: pd.DataFrame, docs_dict, freqs_dict,
                           pos_dict) -> np.ndarray:
     """Sorted u64 (doc<<32|pos) occurrence keys of ONE term, concatenated
     across its segment chunk rows (seg order = disjoint increasing doc
     ranges, so the concatenation is globally sorted)."""
-    from dint_spark.dint.codec import (decode_list_bulk, decode_value_stream,
-                                       gaps_to_positions)
-
     parts = []
     for row in rows.sort_values("seg_id").itertuples():
-        ckey = (int(row.term_id), int(row.seg_id), int(row.n),
-                len(row.pos_payload), hash(bytes(row.pos_payload)))
-        hit = _POS_CACHE.get(ckey)
-        if hit is not None:
-            _POS_CACHE.move_to_end(ckey)
-            parts.append(hit)
-            continue
-        docs, freqs = decode_list_bulk(
-            row.payload, int(row.n),
-            np.asarray(row.block_maxs, dtype=np.int64),
-            np.asarray(row.endpoints, dtype=np.int64),
-            np.asarray(row.freq_offsets, dtype=np.int64),
-            docs_dict, freqs_dict)
-        npos = int(freqs.sum())
-        vals = decode_value_stream(
-            row.pos_payload, npos,
-            np.asarray(row.pos_endpoints, dtype=np.int64), pos_dict)
-        pos = gaps_to_positions(vals, freqs)
-        keys = (np.repeat(docs, freqs).astype(np.uint64)
-                << _POS_SHIFT) | pos.astype(np.uint64)
-        _POS_CACHE[ckey] = keys
-        while len(_POS_CACHE) > _POS_CACHE_ENTRIES:
-            _POS_CACHE.popitem(last=False)
-        parts.append(keys)
+        parts.append(_seg_occurrence_keys(
+            row.term_id, row.seg_id, row.n, row.payload, row.block_maxs,
+            row.endpoints, row.freq_offsets, row.pos_payload,
+            row.pos_endpoints, docs_dict, freqs_dict, pos_dict))
     if not parts:
         return np.empty(0, dtype=np.uint64)
     return parts[0] if len(parts) == 1 else np.concatenate(parts)

@@ -216,3 +216,45 @@ def delete_docs_sharded(spark: SparkSession, sidx: ShardedIndex,
         if len(mine):
             total += _delete_docs(spark, idx, mine.tolist())
     return total
+
+
+def _fanout_positional(spark, sidx: ShardedIndex, runner, out_cols):
+    parts = []
+    for s, idx in enumerate(sidx.shards):
+        base = sidx.bases[s]
+        r = runner(idx)
+        parts.append(r.select(
+            out_cols[0], (F.col("doc_id") + base).alias("doc_id"),
+            *out_cols[2:]))
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return allr
+
+
+def run_phrase_queries_sharded(spark: SparkSession, sidx: ShardedIndex,
+                               phrases: list) -> DataFrame:
+    """Exact-phrase retrieval fanned out over a docid-sharded POSITIONAL
+    index. Phrase matching needs no cross-shard statistics (unlike BM25's
+    global N/df), so the fan-out is a plain union: each shard matches its
+    doc range with shard-local ids, shifts by the manifest base, and the
+    union IS the global result (shards partition the doc space). Requires
+    every shard built with IndexConfig(positions=True)."""
+    from dint_spark.queries import run_phrase_queries
+
+    return _fanout_positional(
+        spark, sidx,
+        lambda idx: run_phrase_queries(spark, idx, phrases),
+        ["query_id", "doc_id", "phrase_tf"])
+
+
+def run_proximity_queries_sharded(spark: SparkSession, sidx: ShardedIndex,
+                                  pairs: list, window: int = 8) -> DataFrame:
+    """Ordered within-window proximity over a docid-sharded positional
+    index — same plain-union fan-out as run_phrase_queries_sharded."""
+    from dint_spark.queries import run_proximity_queries
+
+    return _fanout_positional(
+        spark, sidx,
+        lambda idx: run_proximity_queries(spark, idx, pairs, window=window),
+        ["query_id", "doc_id", "phrase_tf"])

@@ -261,3 +261,76 @@ def test_kwic_snippets_match_bruteforce(spark, pos_index, corpus_tokens):
         got = {int(r.doc_id): (int(r.pos), r.snippet)
                for r in res[res.query_id == qid].itertuples()}
         assert got == expect, (qid, tid)
+
+
+def test_sharded_phrase_matches_unsharded(spark, pos_index, tmp_path):
+    from dint_spark.queries import run_proximity_queries
+    from dint_spark.sharding import (build_sharded_index,
+                                     run_phrase_queries_sharded,
+                                     run_proximity_queries_sharded)
+
+    pages = generate_pages(spark, N_DOCS, seed=42)
+    sidx = build_sharded_index(
+        spark, pages, str(tmp_path / "spos"), num_shards=2,
+        config=IndexConfig(num_buckets=2, input_tag="spos", positions=True))
+    phrases = [[0, 1], [1, 0], [2, 3, 4], [0, 0], [6], [5, 99999999]]
+
+    def norm(df):
+        return (df.toPandas().sort_values(["query_id", "doc_id"])
+                .reset_index(drop=True))
+
+    a = norm(run_phrase_queries(spark, pos_index, phrases))
+    b = norm(run_phrase_queries_sharded(spark, sidx, phrases))
+    assert len(a) and a.equals(b)
+    pairs = [[0, 1], [1, 0], [3, 4]]
+    c = norm(run_proximity_queries(spark, pos_index, pairs, window=5))
+    d = norm(run_proximity_queries_sharded(spark, sidx, pairs, window=5))
+    assert len(c) and c.equals(d)
+
+
+def test_served_phrase_matches_shuffle_path(spark, pos_index):
+    from dint_spark.queries import (BroadcastQueryServer, run_phrase_queries,
+                                    run_proximity_queries)
+
+    srv = BroadcastQueryServer(spark, pos_index, with_positions=True)
+    phrases = [[0, 1], [1, 0], [2, 3, 4], [0, 0], [6], [5, 99999999]]
+
+    def norm(df):
+        return (df.toPandas().sort_values(["query_id", "doc_id"])
+                .reset_index(drop=True))
+
+    a = norm(run_phrase_queries(spark, pos_index, phrases))
+    b = norm(srv.serve_phrases(phrases))
+    assert len(a) and a.equals(b)
+    pairs = [[0, 1], [1, 0], [3, 3]]
+    c = norm(run_proximity_queries(spark, pos_index, pairs, window=5))
+    d = norm(srv.serve_proximity(pairs, window=5))
+    assert len(c) and c.equals(d)
+    # a non-positional server refuses the phrase path
+    import pytest as _pytest
+    plain = BroadcastQueryServer(spark, pos_index)  # positions not pinned
+    with _pytest.raises(ValueError, match="with_positions"):
+        plain.serve_phrases(phrases)
+    srv.close()
+
+
+def test_served_phrase_respects_deletes(spark, tmp_path):
+    from dint_spark.index import delete_docs
+    from dint_spark.queries import BroadcastQueryServer, run_phrase_queries
+
+    pages = generate_pages(spark, 120, seed=55)
+    idx = build_index(spark, pages, str(tmp_path / "posdel"),
+                      IndexConfig(num_buckets=1, input_tag="posdel",
+                                  positions=True))
+    full = run_phrase_queries(spark, idx, [[0, 1], [2]]).toPandas()
+    dead = sorted({int(d) for d in full.doc_id})[::3]
+    assert dead
+    delete_docs(spark, idx, dead)
+    srv = BroadcastQueryServer(spark, idx, with_positions=True)
+    got = srv.serve_phrases([[0, 1], [2]]).toPandas()
+    assert len(got) and not set(got.doc_id) & set(dead)
+    survivors = (full[~full.doc_id.isin(dead)]
+                 .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+    assert (got.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+            .equals(survivors))
+    srv.close()
