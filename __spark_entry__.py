@@ -522,6 +522,26 @@ def _entry_bm25_with_deletes(spark, sf_dir):
     return _rank_quantized(raw)
 
 
+FILTER_LEN_T = 60  # metadata predicate for the filtered-search entry
+
+
+def _entry_bm25_filtered(spark, sf_dir):
+    """BMW-vec top-10 under a metadata doc filter (doclen >= FILTER_LEN_T):
+    queries.build_doc_filter packs the allowlist into a DocMask bitmap
+    (1 bit/doc, selectivity-independent) and every kernel applies it with
+    corpus-wide BM25 statistics — the Lucene filter/liveDocs pattern. The
+    oracle keeps full-corpus stats CTEs and restricts candidates only."""
+    from dint_spark.queries import build_doc_filter
+
+    idx = _get_index(spark, sf_dir)
+    dl = spark.read.parquet(os.path.join(idx.dir, "doclens.parquet"))
+    dm = build_doc_filter(spark, dl.filter(F.col("len") >= FILTER_LEN_T),
+                          idx.num_docs)
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand_vec",
+                      k=100, dtype="float64", doc_filter=dm)
+    return _rank_quantized(raw)
+
+
 def _entry_bm25_after_compact(spark, sf_dir):
     """BMW-vec top-10 over the COMPACTED rewrite of the tombstoned index
     (compact.compact_index == fresh build over the surviving corpus:
@@ -575,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _entry_phrase_match,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
+        "bm25_filtered": _entry_bm25_filtered,
         "bm25_after_compact": _entry_bm25_after_compact,
         "kwic_snippets": _entry_kwic_snippets,
     }
@@ -851,6 +872,9 @@ FROM tf GROUP BY term ORDER BY term
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered
         "bm25_with_deletes": _topk_or_sql(
             scored=_scored_cte("WHERE tf.doc_id % 7 <> 3")),
+        # filtered search: same stale-stats shape, metadata predicate
+        "bm25_filtered": _topk_or_sql(
+            scored=_scored_cte(f"WHERE dl.len >= {FILTER_LEN_T}")),
         # compacted: every CTE over the surviving corpus, ids re-ranked
         "bm25_after_compact": _topk_or_sql(prelude=_PRELUDE_LIVE),
         "kwic_snippets": _KWIC_SQL,

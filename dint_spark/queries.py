@@ -268,6 +268,102 @@ class Tombstones:
             self._mask = m
         return self._mask
 
+    def excl_ids(self):
+        """Excluded ids when that set is the cheap representation (dense
+        kernels zero O(|deleted|) accumulator slots instead of scanning
+        the mask); None tells callers to use ``mask`` instead."""
+        return self.ids
+
+
+class DocMask:
+    """Query-time document filter (metadata predicate -> eligible-doc set),
+    the Lucene filter/liveDocs pattern: every retrieval kernel consumes it
+    through the same ``mask`` interface as Tombstones, BM25 statistics stay
+    corpus-wide (a filter narrows candidates, it does not re-weigh terms).
+    Ships as a packed little-endian bitmap — 1 bit/doc, 2 MiB per 2^24-doc
+    shard — so a 1%-selective filter costs the same broadcast bytes as a
+    99%-selective one (an id list would not). Under docid sharding the
+    bitmap is shard-local, the same bounding argument as norm_lens."""
+
+    __slots__ = ("packed", "num_docs", "_mask")
+
+    def __init__(self, packed: np.ndarray, num_docs: int):
+        self.packed = np.asarray(packed, dtype=np.uint8)
+        self.num_docs = int(num_docs)
+        self._mask = None
+
+    @classmethod
+    def from_mask(cls, mask: np.ndarray) -> "DocMask":
+        m = np.asarray(mask, dtype=bool)
+        out = cls(np.packbits(m, bitorder="little"), len(m))
+        out._mask = m
+        return out
+
+    def __getstate__(self):
+        return (self.packed, self.num_docs)  # never pickle the dense mask
+
+    def __setstate__(self, state):
+        self.packed, self.num_docs = state
+        self._mask = None
+
+    @property
+    def mask(self) -> np.ndarray:
+        """Dense bool[num_docs]; True = eligible. Materialized lazily once
+        per worker process (broadcast values are shared across tasks)."""
+        if self._mask is None:
+            self._mask = np.unpackbits(
+                self.packed, count=self.num_docs, bitorder="little"
+            ).view(bool)
+        return self._mask
+
+    def excl_ids(self):
+        return None  # excluded set may be O(num_docs); kernels use mask
+
+
+_FILTER_CHUNK_BITS = 1 << 19  # 64 KiB of bitmap per aggregated chunk row
+
+
+def build_doc_filter(spark: SparkSession, allowed: DataFrame, num_docs: int,
+                     id_col: str = "doc_id") -> DocMask:
+    """Distributed allowlist -> DocMask: ``allowed`` is any DataFrame with
+    an eligible-doc id column (e.g. doclens filtered by a length predicate,
+    or a lang/domain metadata table joined to the docmap). Each executor
+    packs its 2^19-bit chunk of the bitmap (groupBy chunk -> packbits), the
+    driver assembles num_docs/8 bytes — the collect is bits, never ids, so
+    it is selectivity-independent and bounded per shard by docid sharding
+    exactly like norm_lens. Out-of-range ids fail loudly."""
+    chunk_rows = (
+        allowed.select(F.col(id_col).cast("long").alias("doc_id"))
+        .withColumn("chunk", F.shiftright("doc_id", 19))
+        .groupBy("chunk")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(pdf["chunk"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        off = ids - (chunk << 19)
+        bits = np.zeros(_FILTER_CHUNK_BITS, dtype=bool)
+        bits[off] = True
+        return pd.DataFrame({
+            "chunk": [chunk],
+            "max_id": [int(ids.max())],
+            "bits": [np.packbits(bits, bitorder="little").tobytes()],
+        })
+
+    rows = chunk_rows.applyInPandas(
+        pack, "chunk long, max_id long, bits binary").collect()
+    packed = np.zeros((num_docs + 7) // 8, dtype=np.uint8)
+    cbytes = _FILTER_CHUNK_BITS // 8
+    for r in rows:
+        c = int(r["chunk"])
+        if c < 0 or int(r["max_id"]) >= num_docs:
+            raise ValueError(f"allowed doc id {r['max_id']} out of range "
+                             f"(num_docs={num_docs})")
+        buf = np.frombuffer(r["bits"], dtype=np.uint8)
+        end = min((c + 1) * cbytes, len(packed))
+        packed[c * cbytes:end] = buf[: end - c * cbytes]
+    return DocMask(packed, num_docs)
+
 
 def _tombstones_bc(spark, index):
     """Broadcast the index's tombstones, or None when it has none."""
@@ -277,6 +373,26 @@ def _tombstones_bc(spark, index):
     if not len(ids):
         return None
     return spark.sparkContext.broadcast(Tombstones(ids, index.num_docs))
+
+
+def _live_bc(spark, index, doc_filter: DocMask | None):
+    """One broadcast combining the index's tombstones with an optional
+    query-time DocMask (eligible = live AND allowed). The combine happens
+    driver-side on the packed/ids forms — num_docs/8 bytes of work, the
+    same footprint class as the norm_lens array the driver already holds."""
+    if doc_filter is None:
+        return _tombstones_bc(spark, index)
+    if doc_filter.num_docs != index.num_docs:
+        raise ValueError(
+            f"doc_filter.num_docs={doc_filter.num_docs} != "
+            f"index.num_docs={index.num_docs}")
+    tomb_ids = (index.deleted_docs()
+                if getattr(index, "has_deletes", False) else None)
+    if tomb_ids is not None and len(tomb_ids):
+        m = doc_filter.mask.copy()
+        m[tomb_ids] = False
+        doc_filter = DocMask.from_mask(m)
+    return spark.sparkContext.broadcast(doc_filter)
 
 
 def _cache_key(c: "Cursor") -> tuple:
@@ -376,7 +492,7 @@ def ranked_or(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
 
 
 def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None,
-                deleted=None):
+                live=None):
     """Exhaustive BM25 top-k via a docid-indexed accumulator.
 
     ``lists`` is (q_weight, docs, freqs) per cursor in term_id order — the
@@ -401,10 +517,18 @@ def _dense_topk(lists, norm_lens, num_docs: int, k: int, DT, floor=None,
         f = freqs.astype(DT)
         dtw = f / (f + K1 * (NORM + DT(0.5) * nl[docs].astype(DT, copy=False)))
         acc[docs] += qw * dtw
-    # tombstoned docs: zero their slots so selection can't pick them —
-    # O(|deleted|), and live docs' accumulated scores are untouched
-    if deleted is not None and len(deleted):
-        acc[deleted] = DT(0)
+    # excluded docs (tombstones and/or DocMask filter): zero their slots so
+    # selection can't pick them; live docs' accumulated scores are
+    # untouched. Tombstones expose the excluded ids (O(|deleted|) zeroing);
+    # DocMask filters may exclude O(num_docs), so they zero via the bitmap
+    # mask instead — O(num_docs), the class this kernel already lives in.
+    if live is not None:
+        excl = live.excl_ids()
+        if excl is not None:
+            if len(excl):
+                acc[excl] = DT(0)
+        else:
+            acc[~live.mask] = DT(0)
     # ``floor``: any certified lower bound on the k-th best score (BMW
     # passes its bootstrap theta — the k-th best of >= k exactly-scored
     # docs, whose acc entries are bit-identical to those scores). A mask
@@ -458,8 +582,7 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
         lists.append((c, docs, freqs))
     if num_docs <= _DENSE_SCORE_MAX_DOCS:
         return _dense_topk(((c.q_weight, d, f) for c, d, f in lists),
-                           norm_lens, num_docs, k, DT,
-                           deleted=live.ids if live is not None else None)
+                           norm_lens, num_docs, k, DT, live=live)
     if live is not None:
         # compaction path scatters by searchsorted position into the
         # candidate union, so tombstoned postings must drop from BOTH the
@@ -797,7 +920,7 @@ def block_max_wand_vec(cursors, norm_lens, num_docs: int, k: int,
             docs, freqs = get_span(ci, np.arange(c.nblocks), want_freqs=True)
             lists.append((c.q_weight, docs, freqs))
         return _dense_topk(lists, nl_arr, num_docs, k, DT, floor=theta,
-                           deleted=live.ids if live is not None else None)
+                           live=live)
     for ci, c in enumerate(cursors):
         if exhaustive:
             docs, _ = get_span(ci, np.arange(c.nblocks), want_freqs=False)
@@ -993,9 +1116,15 @@ def run_queries(
     df_overrides: dict | None = None,
     idf_docs: int | None = None,
     qpart_mult: int = 2,
+    doc_filter: DocMask | None = None,
 ) -> DataFrame:
     """Distributed batch retrieval. queries: DataFrame(query_id, terms
     array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
+
+    ``doc_filter``: optional DocMask (build_doc_filter) restricting results
+    to eligible docs — filtered search (lang/domain/date/length predicates)
+    with corpus-wide BM25 statistics; combined with tombstones into one
+    broadcast bitmap.
 
     ``qpart_mult``: query partitions = defaultParallelism * qpart_mult.
     More partitions bound per-query skew (the unluckiest partition); fewer
@@ -1026,7 +1155,7 @@ def run_queries(
     )
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
-    tomb_bc = _tombstones_bc(spark, index)
+    tomb_bc = _live_bc(spark, index, doc_filter)
     kernel = KERNELS[algo]
 
     qterms = (
@@ -1211,11 +1340,42 @@ class BroadcastQueryServer:
         # tombstones snapshot at pin time: later delete_docs calls need a
         # new server (same contract as the pinned segments themselves)
         self.tomb_bc = _tombstones_bc(spark, index)
+        # per-filter combined-mask broadcasts, keyed by DocMask identity so
+        # a reused filter ships once however many batches it serves
+        self._filter_bcs: dict[int, object] = {}
+
+    def _live_for(self, doc_filter: "DocMask | None"):
+        """Broadcast for this batch's eligible set: the pin-time tombstones
+        when unfiltered, else tombstones AND the DocMask (combined once per
+        distinct filter object and cached — steady-state serving reuses a
+        handful of long-lived filters across many batches)."""
+        if doc_filter is None:
+            return self.tomb_bc
+        key = id(doc_filter)
+        hit = self._filter_bcs.get(key)
+        if hit is not None:
+            return hit
+        if doc_filter.num_docs != self.num_docs:
+            raise ValueError(
+                f"doc_filter.num_docs={doc_filter.num_docs} != "
+                f"server num_docs={self.num_docs}")
+        tomb = self.tomb_bc.value if self.tomb_bc is not None else None
+        if tomb is not None and len(tomb.ids):
+            m = doc_filter.mask.copy()
+            m[tomb.ids] = False
+            doc_filter = DocMask.from_mask(m)
+        bc = self.spark.sparkContext.broadcast(doc_filter)
+        self._filter_bcs[key] = bc
+        return bc
 
     def serve(self, queries: list, algo: str = "block_max_wand_vec",
-              k: int = 10, partitions: int | None = None) -> DataFrame:
+              k: int = 10, partitions: int | None = None,
+              doc_filter: "DocMask | None" = None) -> DataFrame:
         """One batch against the pinned segments. Only (query_id, terms)
         rows move; kernels run executor-side against the broadcast.
+        ``doc_filter``: optional DocMask applied batch-wide (filtered
+        search with corpus-wide statistics); combined with the pin-time
+        tombstones and broadcast once per distinct filter object.
 
         A served batch's wall is dominated by Spark's FIXED per-task cost
         (measured ~170 ms of JVM<->python-runner machinery per mapInPandas
@@ -1239,7 +1399,7 @@ class BroadcastQueryServer:
         spark = self.spark
         seg_bc, norm_bc = self.seg_bc, self.norm_bc
         docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
-        tomb_bc = self.tomb_bc
+        tomb_bc = self._live_for(doc_filter)
         DT, num_docs = self.DT, self.num_docs
 
         qdf = self._binned_query_df(queries, partitions)
@@ -1311,7 +1471,8 @@ class BroadcastQueryServer:
             spark.conf.set(rec_key, old_rec)
 
     def _serve_positional(self, queries: list, kernel_fn,
-                          partitions: int | None) -> DataFrame:
+                          partitions: int | None,
+                          doc_filter: "DocMask | None" = None) -> DataFrame:
         """Common served positional path: per query, occurrence keys per
         distinct term from the pinned segments (worker-level _POS_CACHE
         LRU amortizes head terms across the batch and across batches),
@@ -1321,7 +1482,7 @@ class BroadcastQueryServer:
         spark = self.spark
         seg_bc, pos_dict_bc = self.seg_bc, self.pos_dict_bc
         docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
-        tomb_bc = self.tomb_bc
+        tomb_bc = self._live_for(doc_filter)
 
         qdf = self._binned_query_df(queries, partitions)
         if qdf is None:
@@ -1373,15 +1534,17 @@ class BroadcastQueryServer:
         return qdf.mapInPandas(run, schema=PHRASE_SCHEMA)
 
     def serve_phrases(self, phrases: list,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      doc_filter: "DocMask | None" = None) -> DataFrame:
         """Exact-phrase retrieval against the pinned positional segments:
         the phrase analogue of serve() — only (query_id, terms) rows move
         per batch, the pos payloads having shipped once at pin time."""
         return self._serve_positional(
-            phrases, phrase_match_kernel, partitions)
+            phrases, phrase_match_kernel, partitions, doc_filter)
 
     def serve_proximity(self, pairs: list, window: int = 8,
-                        partitions: int | None = None) -> DataFrame:
+                        partitions: int | None = None,
+                        doc_filter: "DocMask | None" = None) -> DataFrame:
         """Ordered within-window proximity against the pinned positional
         segments (see serve_phrases)."""
         if any(len(p) != 2 for p in pairs):
@@ -1389,13 +1552,14 @@ class BroadcastQueryServer:
         return self._serve_positional(
             pairs,
             lambda ks: proximity_pair_kernel(ks[0], ks[1], window),
-            partitions)
+            partitions, doc_filter)
 
     def close(self) -> None:
         """Release the pinned broadcasts (call after all served DataFrames
         have been consumed — Spark broadcasts are lazy-referenced)."""
         for bc in (self.seg_bc, self.norm_bc, self.docs_dict_bc,
-                   self.freqs_dict_bc, self.tomb_bc, self.pos_dict_bc):
+                   self.freqs_dict_bc, self.tomb_bc, self.pos_dict_bc,
+                   *self._filter_bcs.values()):
             try:
                 bc is not None and bc.unpersist()
             except Exception:
@@ -1551,10 +1715,12 @@ BOOL_SCHEMA = T.StructType(
 
 
 def run_boolean_queries(
-    spark: SparkSession, index, queries, mode: str = "and"
+    spark: SparkSession, index, queries, mode: str = "and",
+    doc_filter: DocMask | None = None,
 ) -> DataFrame:
     """Boolean AND (leapfrog intersection) / OR (k-way union) over the
-    compressed index; returns (query_id, doc_id). (ref queries.hpp:34-130)"""
+    compressed index; returns (query_id, doc_id). (ref queries.hpp:34-130)
+    ``doc_filter``: optional DocMask restricting results (see run_queries)."""
     local_terms = None
     if not isinstance(queries, DataFrame):
         local_terms = sorted({int(t) for ts in queries for t in ts})
@@ -1568,7 +1734,7 @@ def run_boolean_queries(
     num_docs = index.num_docs
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
-    tomb_bc = _tombstones_bc(spark, index)
+    tomb_bc = _live_bc(spark, index, doc_filter)
     fn = boolean_and if mode == "and" else boolean_or
 
     qterms = (
@@ -1714,7 +1880,8 @@ def proximity_pair_kernel(keys_a: np.ndarray, keys_b: np.ndarray,
 
 
 def run_proximity_queries(spark: SparkSession, index, pairs: list,
-                          window: int = 8) -> DataFrame:
+                          window: int = 8,
+                          doc_filter: DocMask | None = None) -> DataFrame:
     """Distributed ordered-proximity retrieval: for each (t1, t2) query,
     docs where t2 occurs within ``window`` tokens AFTER an occurrence of
     t1, with the exact ordered-pair count. Same plan shape and decode LRU
@@ -1744,7 +1911,7 @@ def run_proximity_queries(spark: SparkSession, index, pairs: list,
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
-    tomb_bc = _tombstones_bc(spark, index)
+    tomb_bc = _live_bc(spark, index, doc_filter)
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -1848,8 +2015,8 @@ def run_kwic_queries(spark: SparkSession, index, docs: DataFrame,
     )
 
 
-def run_phrase_queries(spark: SparkSession, index, phrases: list
-                       ) -> DataFrame:
+def run_phrase_queries(spark: SparkSession, index, phrases: list,
+                       doc_filter: DocMask | None = None) -> DataFrame:
     """Distributed exact-phrase retrieval over a positional index.
 
     ``phrases``: list of term_id sequences (order = phrase order; repeated
@@ -1886,7 +2053,7 @@ def run_phrase_queries(spark: SparkSession, index, phrases: list
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
-    tomb_bc = _tombstones_bc(spark, index)
+    tomb_bc = _live_bc(spark, index, doc_filter)
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
