@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": _entry_boolean_or,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
+        "phrase_ranked": _entry_phrase_ranked,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
@@ -711,6 +712,102 @@ occ AS (
 )
 SELECT phrase_id, doc_id, count(*)::BIGINT AS phrase_tf
 FROM occ GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _entry_phrase_ranked(spark, sf_dir):
+    """BM25-ranked phrase search (queries.run_phrase_queries_ranked):
+    match on the exact consecutive phrase, rank matches by the BM25 score
+    of the phrase's terms (qf = multiplicity in the phrase, full-corpus
+    statistics) — the match-on-phrase / rank-on-terms model of search
+    result pages. Scores equal run_queries over the same terms, so the
+    oracle composes the phrase-match CTEs with the standard scored CTE."""
+    from dint_spark.queries import run_phrase_queries_ranked
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    raw = run_phrase_queries_ranked(spark, idx, PHRASE_SPECS, k=100,
+                                    dtype="float64")
+    return _rank_quantized(raw)
+
+
+# ranked-phrase oracle: the phrase-match CTEs (toks_ord/occ) supply the
+# matched (phrase, doc) pairs; BM25 CTEs (tf/dl/stats/vocab-with-df) score
+# them with full-corpus statistics, qf = the term's multiplicity in the
+# phrase; top-10 by quantized score, ties doc asc
+_PHRASE_RANKED_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_ord
+       GROUP BY 1, 2),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len
+  FROM documents d LEFT JOIN toks_ord t ON d.doc_id = t.doc_id
+  GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         avg(len) AS avg_len
+  FROM dl
+),
+pterms AS (SELECT * FROM {_phrase_values()}),
+plen AS (SELECT phrase_id, count(*) AS len FROM pterms GROUP BY 1),
+hits AS (
+  SELECT pt.phrase_id, tp.doc_id, tp.pos - pt.off AS start
+  FROM pterms pt
+  JOIN vocab v ON v.term_id = pt.term_id
+  JOIN toks_ord tp ON tp.term = v.term
+),
+occ AS (
+  SELECT h.phrase_id, h.doc_id, h.start
+  FROM hits h JOIN plen l ON l.phrase_id = h.phrase_id
+  GROUP BY h.phrase_id, h.doc_id, h.start, l.len
+  HAVING count(*) = l.len
+),
+matched AS (SELECT DISTINCT phrase_id, doc_id FROM occ),
+pqs AS (
+  SELECT phrase_id AS query_id, term_id, count(*)::BIGINT AS qf
+  FROM pterms GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, m.doc_id,
+         sum(
+           q.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (t.tf / (t.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM pqs q
+  JOIN vocab v ON v.term_id = q.term_id
+  JOIN matched m ON m.phrase_id = q.query_id
+  JOIN tf t ON t.term = v.term AND t.doc_id = m.doc_id
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT r.query_id, r.doc_id,
+         floor(r.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+         )::INT AS rank
+  FROM scored r
+) ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
 """
 
 
@@ -868,6 +965,7 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_or": _BOOL_OR_SQL,
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
+        "phrase_ranked": _PHRASE_RANKED_SQL,
         "proximity_within": _PROX_SQL,
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered
         "bm25_with_deletes": _topk_or_sql(

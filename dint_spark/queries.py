@@ -1554,6 +1554,92 @@ class BroadcastQueryServer:
             lambda ks: proximity_pair_kernel(ks[0], ks[1], window),
             partitions, doc_filter)
 
+    def serve_phrases_ranked(self, phrases: list, k: int = 10,
+                             partitions: int | None = None,
+                             doc_filter: "DocMask | None" = None
+                             ) -> DataFrame:
+        """BM25-ranked phrase search against the pinned positional
+        segments: match on the exact phrase, rank matches by the BM25
+        score of the phrase's terms (run_phrase_queries_ranked semantics).
+        Occurrence keys and full posting decodes both ride the worker
+        LRUs, so head phrase terms amortize across batches."""
+        if not self.with_positions:
+            raise ValueError("server was built without with_positions=True")
+        from collections import Counter
+
+        spark = self.spark
+        seg_bc, pos_dict_bc = self.seg_bc, self.pos_dict_bc
+        docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
+        norm_bc = self.norm_bc
+        tomb_bc = self._live_for(doc_filter)
+        DT, num_docs = self.DT, self.num_docs
+
+        qdf = self._binned_query_df(phrases, partitions)
+        if qdf is None:
+            return spark.createDataFrame([], schema=TOPK_SCHEMA)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            segs = seg_bc.value
+            dd, fd = docs_dict_bc.value, freqs_dict_bc.value
+            pdict = pos_dict_bc.value
+            norm = norm_bc.value
+            live = tomb_bc.value if tomb_bc is not None else None
+            for pdf in batches:
+                outs = []
+                for qid, terms in zip(pdf["query_id"], pdf["terms"]):
+                    if qid < 0 or not len(terms):
+                        continue
+                    phrase = [int(t) for t in terms]
+                    keys, absent = {}, False
+                    for tid in set(phrase):
+                        parts = segs.get(tid)
+                        if parts is None:
+                            absent = True
+                            break
+                        per_seg = [
+                            _seg_occurrence_keys(
+                                tid, p[0], p[1], p[6], p[2], p[4], p[5],
+                                p[8], p[9], dd, fd, pdict)
+                            for p in parts
+                        ]
+                        keys[tid] = (per_seg[0] if len(per_seg) == 1
+                                     else np.concatenate(per_seg))
+                    if absent:
+                        continue
+                    docs, _tfs = phrase_match_kernel(
+                        [keys[t] for t in phrase])
+                    if live is not None and len(docs):
+                        docs = docs[live.mask[docs]]
+                    if not len(docs):
+                        continue
+                    counts = Counter(phrase)
+                    infos = []
+                    for tid in sorted(counts):
+                        parts = segs[tid]
+                        df_total = sum(p[1] for p in parts)
+                        dec = []
+                        for p in parts:
+                            c = Cursor(p[1], p[2], p[4], p[5], p[6],
+                                       num_docs, dd, fd, term_id=tid)
+                            dec.append(_cached_full_decode(c))
+                        dl = (dec[0][0] if len(dec) == 1
+                              else np.concatenate([d[0] for d in dec]))
+                        fl = (dec[0][1] if len(dec) == 1
+                              else np.concatenate([d[1] for d in dec]))
+                        infos.append((counts[tid], df_total, dl, fl))
+                    score = _bm25_score_matched(docs, infos, norm,
+                                                num_docs, DT)
+                    order = np.lexsort((docs, -score))[:k]
+                    for rank, i in enumerate(order, 1):
+                        outs.append((int(qid), rank, int(docs[i]),
+                                     float(score[i])))
+                if outs:
+                    yield pd.DataFrame(
+                        outs, columns=["query_id", "rank", "doc_id",
+                                       "score"])
+
+        return qdf.mapInPandas(run, schema=TOPK_SCHEMA)
+
     def close(self) -> None:
         """Release the pinned broadcasts (call after all served DataFrames
         have been consumed — Spark broadcasts are lazy-referenced)."""
@@ -2083,6 +2169,128 @@ def run_phrase_queries(spark: SparkSession, index, phrases: list,
 
     return joined.groupBy("query_id").applyInPandas(run_one,
                                                     schema=PHRASE_SCHEMA)
+
+
+def _bm25_score_matched(docs: np.ndarray, term_infos, norm_lens,
+                        num_docs: int, DT) -> np.ndarray:
+    """BM25 scores for ``docs`` (sorted ids, each matched by EVERY term)
+    over term_infos = (qf, df_total, docs_t, freqs_t) tuples in term_id asc
+    order — the same per-term accumulation sequence as the ranked kernels,
+    so a phrase-ranked score equals what ranked_and would assign the doc."""
+    score = np.zeros(len(docs), dtype=DT)
+    nl = np.asarray(norm_lens)[docs].astype(DT, copy=False)
+    K1 = DT(1.2)
+    NORM = DT(1.0) - DT(0.5)  # 1 - b
+    for qf, df_total, dlist, flist in term_infos:
+        qw = _qtw(qf, df_total, num_docs, DT)
+        f = flist[np.searchsorted(dlist, docs)].astype(DT)
+        score = score + qw * (f / (f + K1 * (NORM + DT(0.5) * nl)))
+    return score
+
+
+def _phrase_term_infos(phrase, pdf: pd.DataFrame, dd, fd, num_docs: int):
+    """(qf, df_total, docs_t, freqs_t) per DISTINCT phrase term, term_id
+    asc; decode goes through the worker-level full-list LRU (head phrase
+    terms amortize across the batch exactly like the BM25 serve path)."""
+    from collections import Counter
+
+    counts = Counter(int(t) for t in phrase)
+    infos = []
+    for tid in sorted(counts):
+        rows = (pdf[pdf["term_id"] == tid]
+                .drop_duplicates(subset=["seg_id"]).sort_values("seg_id"))
+        df_total = int(rows["n"].sum())
+        parts = []
+        for r in rows.itertuples():
+            c = Cursor(r.n, r.block_maxs, r.endpoints, r.freq_offsets,
+                       r.payload, num_docs, dd, fd, term_id=tid)
+            parts.append(_cached_full_decode(c))
+        dlist = (parts[0][0] if len(parts) == 1
+                 else np.concatenate([p[0] for p in parts]))
+        flist = (parts[0][1] if len(parts) == 1
+                 else np.concatenate([p[1] for p in parts]))
+        infos.append((counts[tid], df_total, dlist, flist))
+    return infos
+
+
+def run_phrase_queries_ranked(
+    spark: SparkSession, index, phrases: list, k: int = 10,
+    dtype: str = "float32", doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Phrase search ranked by BM25: docs containing the exact consecutive
+    phrase, ordered by the BM25 score of the phrase's terms (qf = each
+    term's multiplicity in the phrase, full-corpus statistics) — the
+    match-on-phrase / rank-on-terms model of web search result pages.
+    Returns TOPK_SCHEMA (query_id, rank, doc_id, score); ties doc_id asc,
+    identical to the ranked kernels' rule. The phrase occurrence count
+    gates matching only — standard BM25 does not reward repetition of the
+    phrase beyond its terms' tf, keeping scores comparable with
+    run_queries over the same terms."""
+    if not getattr(index, "has_positions", False):
+        raise ValueError("run_phrase_queries_ranked requires an index "
+                         "built with IndexConfig(positions=True)")
+    DT = np.float32 if dtype == "float32" else np.float64
+    local_terms = sorted({int(t) for ts in phrases for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(phrases)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    qterms = qdf.select(
+        "query_id", F.col("terms").alias("phrase"),
+        F.size("terms").alias("plen"),
+        F.posexplode("terms").alias("ord", "term_id"))
+    segs = _pruned_segments(index, qterms, local_terms).select(
+        "term_id", "seg_id", "n", "block_maxs", "endpoints", "freq_offsets",
+        "payload", "pos_payload", "pos_endpoints")
+    joined = qterms.join(segs, "term_id").repartition(
+        spark.sparkContext.defaultParallelism * 2, "query_id")
+
+    num_docs = index.num_docs
+    norm_bc = spark.sparkContext.broadcast(
+        index.norm_lens if dtype == "float32" else index.norm_lens64)
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+
+    empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        dd, fd, pdict = (docs_dict_bc.value, freqs_dict_bc.value,
+                         pos_dict_bc.value)
+        by_term = {
+            int(tid): _term_occurrence_keys(
+                rows.drop_duplicates(subset=["seg_id"]), dd, fd, pdict)
+            for tid, rows in pdf.groupby("term_id")
+        }
+        ords = pdf[["ord", "term_id"]].drop_duplicates().sort_values("ord")
+        if len(ords) < int(pdf["plen"].iloc[0]):
+            return empty  # a phrase term is absent from the index
+        phrase = [int(t) for t in ords["term_id"]]
+        docs, _tfs = phrase_match_kernel([by_term[t] for t in phrase])
+        if tomb_bc is not None and len(docs):
+            docs = docs[tomb_bc.value.mask[docs]]
+        if not len(docs):
+            return empty
+        infos = _phrase_term_infos(phrase, pdf, dd, fd, num_docs)
+        score = _bm25_score_matched(docs, infos, norm_bc.value,
+                                    num_docs, DT)
+        order = np.lexsort((docs, -score))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": docs[order],
+            "score": score[order].astype(np.float64),
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one,
+                                                    schema=TOPK_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(

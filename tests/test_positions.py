@@ -334,3 +334,54 @@ def test_served_phrase_respects_deletes(spark, tmp_path):
     assert (got.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
             .equals(survivors))
     srv.close()
+
+
+def test_phrase_ranked_scores_and_served_path(spark, pos_index):
+    """run_phrase_queries_ranked: result docs == phrase matches (top-k
+    capped), scores == run_queries over the same terms (match on phrase,
+    rank on BM25 of its terms), served == shuffle, doc_filter applies."""
+    import pyspark.sql.functions as F
+
+    from dint_spark.queries import (BroadcastQueryServer, build_doc_filter,
+                                    run_phrase_queries,
+                                    run_phrase_queries_ranked, run_queries)
+
+    phrases = [[0, 1], [1, 0], [2, 3, 4], [0, 0], [6], [5, 99999999]]
+    ranked = run_phrase_queries_ranked(spark, pos_index, phrases, k=10,
+                                       dtype="float64").toPandas()
+    match = run_phrase_queries(spark, pos_index, phrases).toPandas()
+    for q in range(len(phrases)):
+        md = set(match[match.query_id == q].doc_id)
+        sub = ranked[ranked.query_id == q].sort_values("rank")
+        assert set(sub.doc_id) <= md
+        assert len(sub) == min(10, len(md))
+        # ranks are contiguous, scores non-increasing, ties doc asc
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        s = sub.score.to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+    # scores equal the ranked kernels' BM25 over the same terms
+    rq = run_queries(spark, pos_index, phrases, algo="ranked_or",
+                     k=pos_index.num_docs, dtype="float64").toPandas()
+    mr = ranked.merge(rq, on=["query_id", "doc_id"], suffixes=("", "_rq"))
+    assert len(mr) == len(ranked)
+    assert np.array_equal(mr.score.to_numpy(), mr.score_rq.to_numpy())
+    # served path identical
+    srv = BroadcastQueryServer(spark, pos_index, with_positions=True,
+                               dtype="float64")
+    sv = srv.serve_phrases_ranked(phrases, k=10).toPandas()
+    a = ranked.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = sv.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    # doc_filter restricts both paths identically
+    dl = spark.read.parquet(f"{pos_index.dir}/doclens.parquet")
+    dm = build_doc_filter(spark, dl.filter(F.col("len") >= 60),
+                          pos_index.num_docs)
+    fr = run_phrase_queries_ranked(spark, pos_index, phrases, k=10,
+                                   dtype="float64",
+                                   doc_filter=dm).toPandas()
+    assert len(fr) and all(dm.mask[d] for d in fr.doc_id)
+    fs = srv.serve_phrases_ranked(phrases, k=10, doc_filter=dm).toPandas()
+    af = fr.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    bf = fs.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert af.equals(bf)
+    srv.close()
