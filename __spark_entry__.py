@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
+        "search_text": _entry_search_text,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
@@ -712,6 +713,67 @@ occ AS (
 )
 SELECT phrase_id, doc_id, count(*)::BIGINT AS phrase_tf
 FROM occ GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# free-text query workload: punctuation/case to exercise the pinned query
+# tokenizer, duplicate terms (qf=2), a tail term, partial- and fully-OOV
+# queries (OOV terms drop per query; a fully-OOV query returns no rows)
+TEXT_QUERY_SPECS: list[str] = [
+    "hash join",
+    "Sort-Merge JOIN!",
+    "fast vector scan",
+    "the the big table",
+    "dup",
+    "quantum flux spark",
+    "zzz unknown words only",
+    "group by key order",
+]
+
+
+def _entry_search_text(spark, sf_dir):
+    """Free-text search front end (search.search_text): raw query strings
+    tokenized under the index's pinned contract, term ids resolved via a
+    pushed-filter vocab scan (never a full-vocab collect), OOV terms
+    dropped, BMW-vec top-10. The oracle tokenizes the same literal
+    strings in SQL and joins the vocab CTE by term."""
+    from dint_spark.search import search_text
+
+    idx = _get_index(spark, sf_dir)
+    raw = search_text(spark, idx, TEXT_QUERY_SPECS,
+                      algo="block_max_wand_vec", k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
+def _text_scored() -> str:
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(TEXT_QUERY_SPECS))
+    return f"""
+, qraw AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qtext)),
+qtok AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '[^0-9a-z]+')) AS term
+  FROM qraw
+),
+qs AS (
+  SELECT q.query_id, v.term_id, count(*)::BIGINT AS qf
+  FROM qtok q JOIN vocab v ON v.term = q.term
+  WHERE q.term <> ''
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         count(*)::BIGINT AS matched,
+         sum(
+           qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
 """
 
 
@@ -966,6 +1028,7 @@ FROM tf GROUP BY term ORDER BY term
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,
+        "search_text": _topk_or_sql(scored=_text_scored()),
         "proximity_within": _PROX_SQL,
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered
         "bm25_with_deletes": _topk_or_sql(
