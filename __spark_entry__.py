@@ -522,6 +522,44 @@ def _entry_bm25_with_deletes(spark, sf_dir):
     return _rank_quantized(raw)
 
 
+def _entry_bm25_merged(spark, sf_dir):
+    """BMW-vec top-10 over the MERGE of two half-corpus indexes
+    (merge.merge_indexes, SURVEY B19): unified vocab re-ranked by combined
+    (df desc, term asc), half B's doc ids offset by A's num_docs, sorted-
+    array postings merge, then the standard pipeline resumes from the
+    merged corpus checkpoint. The halves split on the url-ordered doc id,
+    so merged == one-shot build (tests/test_merge.py pins decoded-postings
+    equality) and the oracle is the standard full-corpus top-k SQL."""
+    from dint_spark.merge import merge_indexes
+
+    key = (os.path.abspath(sf_dir), "merged")
+    if key not in _INDEX_CACHE:
+        base = (f"{os.path.basename(key[0].rstrip('/'))}-merged"
+                f"-v{dint_spark.__version__}")
+        out = os.path.join("/tmp/dint_spark_entry", base)
+        if os.path.exists(os.path.join(out, "manifest.json")):
+            try:
+                _INDEX_CACHE[key] = load_index(spark, out)
+            except Exception as e:
+                print(f"[dint_spark] stale/corrupt cached index at {out}: "
+                      f"{e!r}; rebuilding", file=sys.stderr)
+                shutil.rmtree(out, ignore_errors=True)
+        if key not in _INDEX_CACHE:
+            docs = _documents(spark, sf_dir)
+            cut = docs.count() // 2
+            cfg = lambda t: IndexConfig(  # noqa: E731
+                num_buckets=4, input_tag=f"{base}-{t}")
+            build_index(spark, pages_from_documents(
+                docs.where(F.col("doc_id") < cut)), f"{out}-a", cfg("a"))
+            build_index(spark, pages_from_documents(
+                docs.where(F.col("doc_id") >= cut)), f"{out}-b", cfg("b"))
+            _INDEX_CACHE[key] = merge_indexes(
+                spark, f"{out}-a", f"{out}-b", out, cfg("m"))
+    raw = run_queries(spark, _INDEX_CACHE[key], QUERY_SPECS,
+                      algo="block_max_wand_vec", k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
 FILTER_LEN_T = 60  # metadata predicate for the filtered-search entry
 
 
@@ -598,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
+        "bm25_merged": _entry_bm25_merged,
         "bm25_after_compact": _entry_bm25_after_compact,
         "kwic_snippets": _entry_kwic_snippets,
     }
@@ -1036,6 +1075,8 @@ FROM tf GROUP BY term ORDER BY term
         # filtered search: same stale-stats shape, metadata predicate
         "bm25_filtered": _topk_or_sql(
             scored=_scored_cte(f"WHERE dl.len >= {FILTER_LEN_T}")),
+        # merged halves == one-shot build -> the standard full-corpus SQL
+        "bm25_merged": _topk_or_sql(),
         # compacted: every CTE over the surviving corpus, ids re-ranked
         "bm25_after_compact": _topk_or_sql(prelude=_PRELUDE_LIVE),
         "kwic_snippets": _KWIC_SQL,
