@@ -150,6 +150,63 @@ class ShardedIndex:
         return {t: self._df_cache[t] for t in term_ids if t in self._df_cache}
 
 
+def build_doc_filters_sharded(spark: SparkSession, sidx: ShardedIndex,
+                              allowed: DataFrame, id_col: str = "doc_id"
+                              ) -> list:
+    """Route a GLOBAL allowlist to per-shard DocMasks — filter state stays
+    document-partitioned like the index and its tombstones
+    (delete_docs_sharded): each shard's bitmap is bounded by the shard
+    size, and no global bitmap ever materializes (a 10^12-doc corpus is
+    ~10^5 shards of 2 MiB bitmaps, each pinned only where its shard
+    serves). ONE Spark job packs every shard's chunks: shard = global id
+    DIV shard width (shards are equal-width by construction,
+    build_sharded_index's `per`), then the same distributed packbits as
+    queries.build_doc_filter keyed by (shard, chunk)."""
+    import numpy as np
+    import pandas as pd
+
+    from dint_spark.queries import _FILTER_CHUNK_BITS, DocMask
+
+    nsh = len(sidx.shards)
+    per = -(-sidx.num_docs // nsh)  # ceil; bases[s] = s * per
+    rows = (
+        allowed.select(F.col(id_col).cast("long").alias("doc_id"))
+        .withColumn("shard", F.expr(f"doc_id DIV {per}"))
+        .withColumn("local", F.col("doc_id") - F.col("shard") * per)
+        .withColumn("chunk", F.shiftright("local", 19))
+        .groupBy("shard", "chunk")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard, chunk = int(pdf["shard"].iloc[0]), int(pdf["chunk"].iloc[0])
+        loc = pdf["local"].to_numpy()
+        bits = np.zeros(_FILTER_CHUNK_BITS, dtype=bool)
+        bits[loc - (chunk << 19)] = True
+        return pd.DataFrame({
+            "shard": [shard], "chunk": [chunk],
+            "max_local": [int(loc.max())],
+            "bits": [np.packbits(bits, bitorder="little").tobytes()],
+        })
+
+    collected = rows.applyInPandas(
+        pack, "shard long, chunk long, max_local long, bits binary"
+    ).collect()
+    cbytes = _FILTER_CHUNK_BITS // 8
+    packed = [np.zeros((idx.num_docs + 7) // 8, dtype=np.uint8)
+              for idx in sidx.shards]
+    for r in collected:
+        s, c = int(r["shard"]), int(r["chunk"])
+        if not (0 <= s < nsh) or int(r["max_local"]) >= sidx.shards[s].num_docs:
+            raise ValueError(
+                f"allowed doc id out of range (shard {s}, "
+                f"max_local {r['max_local']})")
+        buf = np.frombuffer(r["bits"], dtype=np.uint8)
+        end = min((c + 1) * cbytes, len(packed[s]))
+        packed[s][c * cbytes:end] = buf[: end - c * cbytes]
+    return [DocMask(p, idx.num_docs)
+            for p, idx in zip(packed, sidx.shards)]
+
+
 def run_queries_sharded(
     spark: SparkSession,
     sidx: ShardedIndex,
@@ -157,10 +214,15 @@ def run_queries_sharded(
     algo: str = "block_max_wand",
     k: int = 10,
     dtype: str = "float32",
+    doc_filters: list | None = None,
 ) -> DataFrame:
     """Document-partitioned fan-out: per-shard exact top-k with GLOBAL
     (N, df) statistics, shifted to global doc ids and merged to the global
-    exact top-k. Returns (query_id, rank, doc_id, score) like run_queries."""
+    exact top-k. Returns (query_id, rank, doc_id, score) like run_queries.
+    ``doc_filters``: per-shard DocMasks from build_doc_filters_sharded."""
+    if doc_filters is not None and len(doc_filters) != len(sidx.shards):
+        raise ValueError(f"doc_filters must have one DocMask per shard "
+                         f"({len(sidx.shards)}), got {len(doc_filters)}")
     terms = sorted({int(t) for ts in queries for t in ts})
     dfo = sidx.term_df(terms)
     parts = []
@@ -169,6 +231,7 @@ def run_queries_sharded(
         r = run_queries(
             spark, idx, queries, algo=algo, k=k, dtype=dtype,
             df_overrides=dfo, idf_docs=sidx.num_docs,
+            doc_filter=doc_filters[s] if doc_filters is not None else None,
         )
         parts.append(
             r.select(
@@ -222,7 +285,7 @@ def _fanout_positional(spark, sidx: ShardedIndex, runner, out_cols):
     parts = []
     for s, idx in enumerate(sidx.shards):
         base = sidx.bases[s]
-        r = runner(idx)
+        r = runner(s, idx)
         parts.append(r.select(
             out_cols[0], (F.col("doc_id") + base).alias("doc_id"),
             *out_cols[2:]))
@@ -233,7 +296,8 @@ def _fanout_positional(spark, sidx: ShardedIndex, runner, out_cols):
 
 
 def run_phrase_queries_sharded(spark: SparkSession, sidx: ShardedIndex,
-                               phrases: list) -> DataFrame:
+                               phrases: list,
+                               doc_filters: list | None = None) -> DataFrame:
     """Exact-phrase retrieval fanned out over a docid-sharded POSITIONAL
     index. Phrase matching needs no cross-shard statistics (unlike BM25's
     global N/df), so the fan-out is a plain union: each shard matches its
@@ -244,17 +308,23 @@ def run_phrase_queries_sharded(spark: SparkSession, sidx: ShardedIndex,
 
     return _fanout_positional(
         spark, sidx,
-        lambda idx: run_phrase_queries(spark, idx, phrases),
+        lambda s, idx: run_phrase_queries(
+            spark, idx, phrases,
+            doc_filter=doc_filters[s] if doc_filters is not None else None),
         ["query_id", "doc_id", "phrase_tf"])
 
 
 def run_proximity_queries_sharded(spark: SparkSession, sidx: ShardedIndex,
-                                  pairs: list, window: int = 8) -> DataFrame:
+                                  pairs: list, window: int = 8,
+                                  doc_filters: list | None = None
+                                  ) -> DataFrame:
     """Ordered within-window proximity over a docid-sharded positional
     index — same plain-union fan-out as run_phrase_queries_sharded."""
     from dint_spark.queries import run_proximity_queries
 
     return _fanout_positional(
         spark, sidx,
-        lambda idx: run_proximity_queries(spark, idx, pairs, window=window),
+        lambda s, idx: run_proximity_queries(
+            spark, idx, pairs, window=window,
+            doc_filter=doc_filters[s] if doc_filters is not None else None),
         ["query_id", "doc_id", "phrase_tf"])

@@ -86,6 +86,35 @@ def test_sharded_resume(pair, spark):
     assert re.bases == sidx.bases
 
 
+def test_sharded_filters_match_unsharded(spark, pair):
+    """A GLOBAL allowlist routes to per-shard DocMasks (bitmaps stay
+    document-partitioned, one packing job) and the filtered fan-out equals
+    the unsharded filtered run. Runs BEFORE the deletes test (which
+    mutates the fixture indexes)."""
+    from dint_spark.queries import build_doc_filter
+    from dint_spark.sharding import build_doc_filters_sharded
+
+    idx, sidx, queries = pair
+    allowed = spark.range(N_DOCS).where("id % 3 != 0") \
+        .withColumnRenamed("id", "doc_id")
+    dm = build_doc_filter(spark, allowed, idx.num_docs)
+    dms = build_doc_filters_sharded(spark, sidx, allowed)
+    assert len(dms) == len(sidx.shards)
+    # per-shard bitmaps slice the global mask exactly
+    import numpy as np
+    glob = np.concatenate([m.mask for m in dms])
+    assert np.array_equal(glob, dm.mask)
+    a = _pdf(run_queries(spark, idx, queries, algo="block_max_wand_vec",
+                         k=10, doc_filter=dm), ["query_id", "rank"])
+    b = _pdf(run_queries_sharded(spark, sidx, queries,
+                                 algo="block_max_wand_vec", k=10,
+                                 doc_filters=dms), ["query_id", "rank"])
+    assert len(a) and not (a.doc_id % 3 == 0).any()
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="one DocMask per shard"):
+        run_queries_sharded(spark, sidx, queries, doc_filters=[dm])
+
+
 def test_sharded_deletes_match_unsharded(spark, pair):
     """Keep LAST in the module: tombstones mutate the fixture indexes.
     Global ids route to their owning shard; the fan-out then applies each
