@@ -633,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
         "search_text": _entry_search_text,
+        "search_prefix": _entry_search_prefix,
+        "search_fuzzy": _entry_search_fuzzy,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
@@ -814,6 +816,98 @@ scored AS (
   GROUP BY 1, 2
 )
 """
+
+
+# wildcard workload over the 31-term documents vocabulary: a dense prefix
+# ("s" -> scan/slow/small/sort/spark/stream), a 2-term one, a single-term
+# one, and a no-match prefix (no rows for that query_id)
+PREFIX_QUERY_SPECS: list[str] = ["s", "b", "qu", "zz"]
+# fuzzy workload: a typo within distance 1 of TWO terms (sart -> sort,
+# part), a deletion typo (dat -> data), an exact in-vocab word, a miss
+FUZZY_QUERY_SPECS: list[str] = ["sart", "dat", "data", "zzzq"]
+MAX_EXPAND = 64  # the Lucene-style rewrite cap, identical in both engines
+
+# the BM25 scoring CTE over an already-materialized qs(query_id, term_id,
+# qf) relation — shared by the text/prefix/fuzzy front-end oracles
+_SCORED_FROM_QS = """
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         count(*)::BIGINT AS matched,
+         sum(
+           qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+"""
+
+
+def _entry_search_prefix(spark, sf_dir):
+    """Wildcard search (search.search_prefix): each ``prefix*`` expands to
+    the top-MAX_EXPAND matching vocabulary terms by (df DESC, term ASC) —
+    the rewrite cap that bounds a short prefix over a 10^8-term web
+    vocabulary — then ranks by BM25 over the disjunction (per-term idf,
+    qf=1). The oracle expands the same prefixes with LIKE under the same
+    deterministic cap."""
+    from dint_spark.search import search_prefix
+
+    idx = _get_index(spark, sf_dir)
+    raw = search_prefix(spark, idx, PREFIX_QUERY_SPECS, k=100,
+                        dtype="float64", max_terms=MAX_EXPAND)
+    return _rank_quantized(raw)
+
+
+def _prefix_scored() -> str:
+    vals = ", ".join(f"({i}, '{p}')"
+                     for i, p in enumerate(PREFIX_QUERY_SPECS))
+    return f"""
+, qraw AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qtext)),
+expand AS (
+  SELECT q.query_id, v.term_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY v.df DESC, v.term ASC) AS rn
+  FROM qraw q JOIN vocab v ON v.term LIKE q.qtext || '%'
+),
+qs AS (SELECT query_id, term_id, 1::BIGINT AS qf FROM expand
+       WHERE rn <= {MAX_EXPAND}),
+""" + _SCORED_FROM_QS
+
+
+def _entry_search_fuzzy(spark, sf_dir):
+    """Fuzzy search (search.search_fuzzy): each word matches vocabulary
+    terms at levenshtein distance <= 1 via the SymSpell delete-1
+    neighborhood table (build_fuzzy_table: probe ~len(word)+1 keys with a
+    pushed IN filter, verify exactly — never a vocab-wide levenshtein
+    scan), then ranks like the prefix path. The oracle joins the vocab
+    CTE on DuckDB's levenshtein under the same cap."""
+    from dint_spark.search import build_fuzzy_table, search_fuzzy
+
+    idx = _get_index(spark, sf_dir)
+    build_fuzzy_table(spark, idx)  # idempotent; exercises the scale path
+    raw = search_fuzzy(spark, idx, FUZZY_QUERY_SPECS, k=100,
+                       dtype="float64", max_terms=MAX_EXPAND)
+    return _rank_quantized(raw)
+
+
+def _fuzzy_scored() -> str:
+    vals = ", ".join(f"({i}, '{w}')"
+                     for i, w in enumerate(FUZZY_QUERY_SPECS))
+    return f"""
+, qraw AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qtext)),
+expand AS (
+  SELECT q.query_id, v.term_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY v.df DESC, v.term ASC) AS rn
+  FROM qraw q JOIN vocab v ON levenshtein(q.qtext, v.term) <= 1
+),
+qs AS (SELECT query_id, term_id, 1::BIGINT AS qf FROM expand
+       WHERE rn <= {MAX_EXPAND}),
+""" + _SCORED_FROM_QS
 
 
 def _entry_phrase_ranked(spark, sf_dir):
@@ -1068,6 +1162,8 @@ FROM tf GROUP BY term ORDER BY term
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,
         "search_text": _topk_or_sql(scored=_text_scored()),
+        "search_prefix": _topk_or_sql(scored=_prefix_scored()),
+        "search_fuzzy": _topk_or_sql(scored=_fuzzy_scored()),
         "proximity_within": _PROX_SQL,
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered
         "bm25_with_deletes": _topk_or_sql(

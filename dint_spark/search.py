@@ -68,6 +68,184 @@ def parse_queries(index, queries: list[str], nfc: bool = False
     return specs, oov
 
 
+def _single_token(word: str, nfc: bool = False) -> str | None:
+    """Normalize ONE query word under the pinned tokenizer contract.
+    Multi-token inputs are a caller error (wildcard/fuzzy expansion is
+    per-term, like Lucene's PrefixQuery/FuzzyQuery); empty-after-
+    normalization returns None (the query matches nothing)."""
+    toks = tokenize_query(word, nfc=nfc)
+    if len(toks) > 1:
+        raise ValueError(
+            f"expected a single term, got {len(toks)} tokens in {word!r}")
+    return toks[0] if toks else None
+
+
+def expand_prefix(index, prefix: str, max_terms: int = 64,
+                  nfc: bool = False) -> list[int]:
+    """``prefix*`` wildcard expansion: the matching vocabulary term ids,
+    capped to the top ``max_terms`` by (df DESC, term ASC) — Lucene's
+    rewrite bound, so a short prefix over a 10^8-term web vocabulary
+    expands to a bounded disjunction instead of millions of clauses.
+
+    The StartsWith filter pushes to the vocab.parquet scan and the
+    top-k cap runs distributed (TakeOrdered): nothing vocabulary-sized
+    ever reaches the driver."""
+    stripped = prefix.rstrip("*")
+    tok = _single_token(stripped, nfc=nfc)
+    if tok is None:
+        return []
+    rows = (index.vocab()
+            .filter(F.col("term").startswith(tok))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .select("term_id").collect())
+    return sorted(int(r["term_id"]) for r in rows)
+
+
+def _delete1(word: str) -> list[str]:
+    return [word[:i] + word[i + 1:] for i in range(len(word))]
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 without building the DP table —
+    the driver-side verify for delete-neighborhood candidates."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0  # a is b with one char deleted?
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def build_fuzzy_table(spark: SparkSession, index, path: str | None = None,
+                      num_files: int | None = None) -> str:
+    """Materialize the SymSpell/FastSS delete-1 neighborhood of the
+    vocabulary: one row per (key, term) where key ∈ {term} ∪ deletes1(term)
+    — the classic scale structure for edit-distance-1 lookup. A fuzzy
+    query then touches only its own ~len(word)+1 keys via a pushed IN
+    filter instead of scanning the vocabulary with a levenshtein UDF
+    (10^8 terms × levenshtein per query word is the plan this avoids).
+
+    Size is O(sum of term lengths) ≈ (avg_len+1)× vocab rows; the table
+    is range-partitioned and sorted by key so parquet min/max stats prune
+    to the few files holding the probe keys. Single-char terms keep their
+    empty-string delete key: that bucket holds every 1-char term (≤36
+    under the [0-9a-z]+ tokenizer) and is what makes the candidate set
+    COMPLETE for distance ≤1 between 1-char words. Idempotent: an
+    existing table (manifest _SUCCESS) is reused."""
+    import os
+
+    path = path or os.path.join(index.dir, "fuzzy_deletes.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    keys = (index.vocab()
+            .select(F.explode(F.array_union(
+                F.array("term"),
+                F.expr("transform(sequence(0, length(term) - 1), "
+                       "i -> concat(substring(term, 1, i), "
+                       "substring(term, i + 2)))"),
+            )).alias("key"), "term", "term_id", "df"))
+    # keys ≈ (avg term length + 1) × vocab ≈ 8× vocab; ~2M keys per file
+    # keeps file-level min/max pruning effective
+    n = num_files or max(1, index.num_terms // 250_000)
+    (keys.repartitionByRange(n, "key").sortWithinPartitions("key")
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+def fuzzy_term_ids(index, words: list[str], max_terms: int = 64,
+                   fuzzy_path: str | None = None,
+                   nfc: bool = False) -> list[list[int]]:
+    """Edit-distance-≤1 expansion for a BATCH of query words in ONE Spark
+    job: probe the delete-1 table (build_fuzzy_table) with the union of
+    every word's {word} ∪ deletes1(word) keys, verify candidates with the
+    exact levenshtein ≤ 1 predicate driver-side (candidate sets are
+    per-key-bucket bounded), and cap each word's expansion to the top
+    ``max_terms`` by (df DESC, term ASC). Falls back to a distributed
+    levenshtein scan of the vocabulary when no delete table exists —
+    correct at any scale, just a full vocab pass per batch."""
+    import os
+    from functools import reduce
+    from operator import or_
+
+    toks = [_single_token(w, nfc=nfc) for w in words]
+    live = sorted({t for t in toks if t is not None})
+    if not live:
+        return [[] for _ in toks]
+    path = fuzzy_path or os.path.join(index.dir, "fuzzy_deletes.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        probe = sorted({k for w in live for k in [w, *_delete1(w)]})
+        cand = (index.spark.read.parquet(path)
+                .filter(F.col("key").isin(probe))
+                .select("term", "term_id", "df")
+                .dropDuplicates(["term_id"]))
+    else:
+        pred = reduce(or_, [
+            F.levenshtein(F.col("term"), F.lit(w)) <= 1 for w in live])
+        cand = index.vocab().filter(pred).select("term", "term_id", "df")
+    rows = cand.collect()
+    out = []
+    for tok in toks:
+        if tok is None:
+            out.append([])
+            continue
+        hits = sorted(((-int(r["df"]), r["term"], int(r["term_id"]))
+                       for r in rows if _lev_le1(r["term"], tok)))
+        out.append(sorted(t for _, _, t in hits[:max_terms]))
+    return out
+
+
+def search_prefix(
+    spark: SparkSession,
+    index,
+    prefixes: list[str],
+    algo: str = "block_max_wand_vec",
+    k: int = 10,
+    dtype: str = "float32",
+    max_terms: int = 64,
+    nfc: bool = False,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Wildcard search: each query is a single ``prefix*`` term; matches
+    rank by BM25 over the expanded disjunction (each expanded term scores
+    with its own idf, qf=1 — multi-term-synonym semantics rather than
+    Lucene's constant-score rewrite, so ranking stays comparable to
+    run_queries). Returns (query_id, rank, doc_id, score)."""
+    specs = [expand_prefix(index, p, max_terms=max_terms, nfc=nfc)
+             for p in prefixes]
+    return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
+                       doc_filter=doc_filter)
+
+
+def search_fuzzy(
+    spark: SparkSession,
+    index,
+    words: list[str],
+    algo: str = "block_max_wand_vec",
+    k: int = 10,
+    dtype: str = "float32",
+    max_terms: int = 64,
+    fuzzy_path: str | None = None,
+    nfc: bool = False,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Fuzzy search: each query is a single word matched against the
+    vocabulary at levenshtein distance ≤ 1 (delete-neighborhood probe when
+    build_fuzzy_table ran, distributed levenshtein scan otherwise), then
+    ranked like search_prefix. Returns (query_id, rank, doc_id, score)."""
+    specs = fuzzy_term_ids(index, words, max_terms=max_terms,
+                           fuzzy_path=fuzzy_path, nfc=nfc)
+    return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
+                       doc_filter=doc_filter)
+
+
 def search_text(
     spark: SparkSession,
     index,

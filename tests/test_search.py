@@ -103,3 +103,86 @@ def test_vocab_lookup_pushes_filter(spark, sidx):
     plan = (sidx.vocab().filter(F.col("term").isin([w, "zz"]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_expand_prefix_matches_bruteforce(spark, sidx):
+    from dint_spark.search import expand_prefix
+
+    vocab = sidx.vocab().toPandas()
+    for pre in ["w0000", "w00001", "zz"]:
+        want = (vocab[vocab.term.str.startswith(pre)]
+                .sort_values(["df", "term"], ascending=[False, True])
+                .head(64).term_id.astype(int).tolist())
+        assert expand_prefix(sidx, pre) == sorted(want)
+        assert expand_prefix(sidx, pre + "*") == sorted(want)  # wildcard ok
+    # the rewrite cap binds deterministically: top max_terms by (df, term)
+    want2 = (vocab[vocab.term.str.startswith("w0000")]
+             .sort_values(["df", "term"], ascending=[False, True])
+             .head(2).term_id.astype(int).tolist())
+    assert expand_prefix(sidx, "w0000", max_terms=2) == sorted(want2)
+    assert expand_prefix(sidx, "") == []
+    with pytest.raises(ValueError, match="single term"):
+        expand_prefix(sidx, "two words")
+
+
+def test_fuzzy_deletes_equal_levenshtein_scan(spark, sidx):
+    """The SymSpell delete-1 probe must return EXACTLY the levenshtein<=1
+    vocabulary set for every query word — including 1-char words, whose
+    substitution case rides on the empty-string delete key."""
+    import pyspark.sql.functions as F
+
+    from dint_spark.search import build_fuzzy_table, fuzzy_term_ids
+
+    vocab = sidx.vocab().toPandas()
+    words = ([w[:-1] for w in vocab.term.iloc[:5]]       # deletions
+             + [w + "x" for w in vocab.term.iloc[5:10]]  # insertions
+             + ["x" + w[1:] for w in vocab.term.iloc[10:15]]  # substitutions
+             + [vocab.term.iloc[0], "b", "zzzzq"])       # exact, 1-char, miss
+    path = build_fuzzy_table(spark, sidx)
+    assert path == build_fuzzy_table(spark, sidx)  # idempotent reuse
+    got = fuzzy_term_ids(sidx, words)
+    for w, ids in zip(words, got):
+        # brute force via Spark's levenshtein (the fallback path)
+        want = sorted(
+            r["term_id"] for r in sidx.vocab()
+            .filter(F.levenshtein(F.col("term"), F.lit(w)) <= 1)
+            .select("term_id").collect())
+        assert ids == want, (w, ids, want)
+
+
+def test_fuzzy_fallback_scan_agrees(spark, sidx):
+    """Without a delete table the vocab levenshtein scan gives the same
+    expansions (correct-at-any-scale fallback)."""
+    from dint_spark.search import fuzzy_term_ids
+
+    vocab = sidx.vocab().toPandas()
+    words = [vocab.term.iloc[0] + "x", "b", ""]
+    with_table = fuzzy_term_ids(sidx, words)
+    without = fuzzy_term_ids(sidx, words, fuzzy_path="/tmp/does_not_exist_x")
+    assert with_table == without
+    assert without[2] == []  # empty word expands to nothing
+
+
+def test_search_prefix_and_fuzzy_equal_manual(spark, sidx):
+    from dint_spark.queries import run_queries
+    from dint_spark.search import (expand_prefix, fuzzy_term_ids,
+                                   search_fuzzy, search_prefix)
+
+    vocab = sidx.vocab().toPandas()
+    prefixes = ["w00001*", "w0000", "zzq"]
+    got = search_prefix(spark, sidx, prefixes, k=10).toPandas()
+    specs = [expand_prefix(sidx, p) for p in prefixes]
+    want = run_queries(spark, sidx, specs, algo="block_max_wand_vec",
+                       k=10).toPandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(a) and a.equals(
+        want.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    words = [vocab.term.iloc[3] + "x", "zzzzq"]
+    gotf = search_fuzzy(spark, sidx, words, k=10).toPandas()
+    wantf = run_queries(spark, sidx, fuzzy_term_ids(sidx, words),
+                        algo="block_max_wand_vec", k=10).toPandas()
+    af = gotf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(af) and af.equals(
+        wantf.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert 1 not in set(af.query_id)  # no-match word yields nothing
