@@ -580,6 +580,27 @@ def _entry_bm25_filtered(spark, sf_dir):
     return _rank_quantized(raw)
 
 
+def _entry_bm25_filtered_sharded(spark, sf_dir):
+    """The same metadata filter routed across docid shards
+    (sharding.build_doc_filters_sharded): the GLOBAL allowlist packs into
+    per-shard DocMasks in one Spark job — filter state stays document-
+    partitioned like the index itself, no global bitmap materializes —
+    and the sharded fan-out must equal the unsharded filtered run, so the
+    oracle is identical to bm25_filtered."""
+    from dint_spark.sharding import (build_doc_filters_sharded,
+                                     run_queries_sharded)
+
+    idx = _get_index(spark, sf_dir)
+    sidx = _get_sharded_index(spark, sf_dir)
+    dl = spark.read.parquet(os.path.join(idx.dir, "doclens.parquet"))
+    dms = build_doc_filters_sharded(
+        spark, sidx, dl.filter(F.col("len") >= FILTER_LEN_T))
+    raw = run_queries_sharded(spark, sidx, QUERY_SPECS,
+                              algo="block_max_wand_vec", k=100,
+                              dtype="float64", doc_filters=dms)
+    return _rank_quantized(raw)
+
+
 def _entry_bm25_after_compact(spark, sf_dir):
     """BMW-vec top-10 over the COMPACTED rewrite of the tombstoned index
     (compact.compact_index == fresh build over the surviving corpus:
@@ -638,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
+        "bm25_filtered_sharded": _entry_bm25_filtered_sharded,
         "bm25_merged": _entry_bm25_merged,
         "bm25_after_compact": _entry_bm25_after_compact,
         "kwic_snippets": _entry_kwic_snippets,
@@ -1170,6 +1192,9 @@ FROM tf GROUP BY term ORDER BY term
             scored=_scored_cte("WHERE tf.doc_id % 7 <> 3")),
         # filtered search: same stale-stats shape, metadata predicate
         "bm25_filtered": _topk_or_sql(
+            scored=_scored_cte(f"WHERE dl.len >= {FILTER_LEN_T}")),
+        # sharded fan-out of the same filter == the unsharded filtered run
+        "bm25_filtered_sharded": _topk_or_sql(
             scored=_scored_cte(f"WHERE dl.len >= {FILTER_LEN_T}")),
         # merged halves == one-shot build -> the standard full-corpus SQL
         "bm25_merged": _topk_or_sql(),
