@@ -152,10 +152,20 @@ def build_fuzzy_table(spark: SparkSession, index, path: str | None = None,
                        "i -> concat(substring(term, 1, i), "
                        "substring(term, i + 2)))"),
             )).alias("key"), "term", "term_id", "df"))
-    # keys ≈ (avg term length + 1) × vocab ≈ 8× vocab; ~2M keys per file
-    # keeps file-level min/max pruning effective
-    n = num_files or max(1, index.num_terms // 250_000)
-    (keys.repartitionByRange(n, "key").sortWithinPartitions("key")
+    if num_files is None:
+        # File granularity IS the probe's pruning granularity: each
+        # range-partitioned file is one parquet row group, and a probe's
+        # key IN (...) survives only in row groups whose [min,max] key
+        # range intersects a probe key — a query word's delete keys
+        # cluster in ~2 tight alphabetic ranges (every delete at position
+        # i >= 1 keeps the word's first letter), so SMALL files mean a
+        # probe reads ~ranges×files, independent of vocabulary size.
+        # Big files (the naive ~2M-keys/file layout) kill pruning: a
+        # measured 10M-term probe READ 67M rows and lost to the plain
+        # levenshtein scan. ~64k keys/file makes the same probe touch
+        # <1% of the table. Capped at 32768 files per directory.
+        num_files = min(32768, max(1, int(keys.count()) // 64_000 + 1))
+    (keys.repartitionByRange(num_files, "key").sortWithinPartitions("key")
          .write.mode("overwrite").parquet(path))
     return path
 
@@ -182,15 +192,39 @@ def fuzzy_term_ids(index, words: list[str], max_terms: int = 64,
     path = fuzzy_path or os.path.join(index.dir, "fuzzy_deletes.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         probe = sorted({k for w in live for k in [w, *_delete1(w)]})
-        cand = (index.spark.read.parquet(path)
-                .filter(F.col("key").isin(probe))
-                .select("term", "term_id", "df")
-                .dropDuplicates(["term_id"]))
-    else:
-        pred = reduce(or_, [
-            F.levenshtein(F.col("term"), F.lit(w)) <= 1 for w in live])
-        cand = index.vocab().filter(pred).select("term", "term_id", "df")
-    rows = cand.collect()
+        # Above spark.sql.parquet.pushdown.inFilterThreshold (default 10)
+        # Spark collapses an IN pushdown into ONE [min,max] range — for
+        # scattered probe keys that spans the whole keyspace and defeats
+        # row-group pruning entirely (measured: a 10M-term probe read the
+        # full 67M-row table). Raise it past the batch's key count so the
+        # discrete predicates reach parquet and prune to the ~2 tight key
+        # ranges per word; restore the session value after planning.
+        spark = index.spark
+        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+        old = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(len(probe) + 1))
+        try:
+            cand = (spark.read.parquet(path)
+                    .filter(F.col("key").isin(probe))
+                    .select("term", "term_id", "df")
+                    .dropDuplicates(["term_id"]))
+            rows = cand.collect()
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
+        return _rank_and_cap(rows, toks, max_terms)
+    pred = reduce(or_, [
+        F.levenshtein(F.col("term"), F.lit(w)) <= 1 for w in live])
+    rows = index.vocab().filter(pred).select("term", "term_id", "df") \
+        .collect()
+    return _rank_and_cap(rows, toks, max_terms)
+
+
+def _rank_and_cap(rows, toks: list, max_terms: int) -> list[list[int]]:
+    """Per-word verify (exact levenshtein <= 1) + deterministic
+    (df DESC, term ASC) cap over the collected candidate rows."""
     out = []
     for tok in toks:
         if tok is None:
