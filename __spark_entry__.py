@@ -650,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ranked_and": lambda s, d: _ranked_and(s, d),
         "boolean_and": _entry_boolean_and,
         "boolean_or": _entry_boolean_or,
+        "boolean_and_not": _entry_boolean_and_not,
+        "search_facets": _entry_search_facets,
+        "search_rerank": _entry_search_rerank,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
@@ -1088,6 +1091,69 @@ def _entry_boolean_or(spark, sf_dir):
     return run_boolean_queries(spark, idx, QUERY_SPECS, mode="or")
 
 
+# (pos_terms, neg_terms) AND-NOT workload: exclusions that bite, a
+# self-contradiction (x AND NOT x = empty), and rare-tail exclusions
+ANDNOT_SPECS: list[tuple[list[int], list[int]]] = [
+    ([0], [1]),
+    ([1, 3], [2]),
+    ([2], [2]),
+    ([0, 4], [30, 29]),
+    ([5], [0]),
+    ([9, 11], [13, 17]),
+]
+
+
+def _entry_boolean_and_not(spark, sf_dir):
+    """Boolean MUST/MUST_NOT (Lucene clause pair): docs containing every
+    positive term and none of the negative terms. The exclusion is a
+    next_geq leapfrog over the already-intersected matches, so negative
+    lists are block-skipped, never fully decoded (queries.boolean_and_not;
+    no reference counterpart — queries.hpp stops at AND/OR)."""
+    idx = _get_index(spark, sf_dir)
+    return run_boolean_queries(spark, idx, ANDNOT_SPECS, mode="and_not")
+
+
+# facet-counting workload: AND match sets of varying selectivity
+FACET_SPECS: list[list[int]] = [[0], [1, 3], [2, 5], [0, 4, 7], [30]]
+
+
+def _entry_search_facets(spark, sf_dir):
+    """Faceted search (Lucene doc-values facets): per matched query, the
+    count of matching docs per `lang` value over the FULL match set. The
+    facet ordinal array ships once per worker (norm_lens bounding
+    argument) and counting is one np.bincount inside the match kernel —
+    no (query, doc) row ever shuffles (dint_spark/facets.py)."""
+    from dint_spark.facets import build_doc_facets, run_facet_queries
+
+    idx = _get_index(spark, sf_dir)
+    fac = build_doc_facets(
+        spark, _documents(spark, sf_dir), idx.num_docs, "lang")
+    return run_facet_queries(spark, idx, FACET_SPECS, fac, mode="and")
+
+
+RERANK_N_CANDIDATES = 50
+
+
+def _entry_search_rerank(spark, sf_dir):
+    """Two-phase retrieval: BM25 top-50 candidates (float64 BMW) -> exact
+    int-quantized embedding-cosine rerank -> top-10 by (cos desc, bm25
+    desc, doc_id asc). Query vector for query_id q = embeddings row
+    vec_id=q; corpus vectors join candidates by doc_id=vec_id
+    (search.rerank_by_embedding — broadcast candidates against the big
+    embeddings table, dot product JVM-side)."""
+    from dint_spark.search import rerank_by_embedding
+
+    idx = _get_index(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    qv = emb.where(F.col("vec_id") < len(QUERY_SPECS)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return rerank_by_embedding(
+        spark, idx, QUERY_SPECS, corpus_vecs, qv,
+        n_candidates=RERANK_N_CANDIDATES, k=TOPK,
+        algo="block_max_wand", dtype="float64")
+
+
 def _entry_wand_max_weights(spark, sf_dir):
     """wand_data relational build: per-term max partial BM25 weight
     (float64, quantized) — ref include/ds2i/wand_data.hpp:34-48."""
@@ -1138,6 +1204,121 @@ ORDER BY 1, 2
 """
 )
 
+def _andnot_values() -> tuple[str, str]:
+    pos, neg = [], []
+    for qid, (p, n) in enumerate(ANDNOT_SPECS):
+        pos += [f"({qid}, {t})" for t in sorted(set(p))]
+        neg += [f"({qid}, {t})" for t in sorted(set(n))]
+    return (
+        "qp(query_id, term_id) AS (VALUES " + ", ".join(pos) + ")",
+        "qn(query_id, term_id) AS (VALUES " + ", ".join(neg) + ")",
+    )
+
+
+_QP_VALUES, _QN_VALUES = _andnot_values()
+
+_BOOL_ANDNOT_SQL = (
+    _PRELUDE
+    + f", {_QP_VALUES}, {_QN_VALUES}"
+    + """
+SELECT m.query_id, m.doc_id FROM (
+  SELECT qp.query_id, tf.doc_id
+  FROM qp
+  JOIN vocab v ON v.term_id = qp.term_id
+  JOIN tf ON tf.term = v.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT count(*) FROM qp q2
+                     WHERE q2.query_id = qp.query_id)
+) m
+WHERE NOT EXISTS (
+  SELECT 1 FROM qn
+  JOIN vocab v2 ON v2.term_id = qn.term_id
+  JOIN tf t2 ON t2.term = v2.term
+  WHERE qn.query_id = m.query_id AND t2.doc_id = m.doc_id
+)
+ORDER BY 1, 2
+"""
+)
+
+
+def _facet_values() -> str:
+    rows = []
+    for qid, terms in enumerate(FACET_SPECS):
+        rows += [f"({qid}, {t})" for t in sorted(set(terms))]
+    return "fq(query_id, term_id) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_FACETS_SQL = (
+    _PRELUDE
+    + f", {_facet_values()}"
+    + """
+, matched AS (
+  SELECT fq.query_id, tf.doc_id
+  FROM fq
+  JOIN vocab v ON v.term_id = fq.term_id
+  JOIN tf ON tf.term = v.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT count(*) FROM fq q2
+                     WHERE q2.query_id = fq.query_id)
+)
+SELECT m.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM matched m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.lang IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+_RERANK_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+, cands AS (
+  SELECT query_id, doc_id, score_q FROM (
+    SELECT r.query_id, r.doc_id,
+           floor(r.score * 1e9)::BIGINT AS score_q,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+           ) AS crank
+    FROM scored r
+  ) c WHERE crank <= {RERANK_N_CANDIDATES}
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+eq AS (
+  SELECT vec_id, d.d,
+         floor(embedding[d.d]::DOUBLE * {1 << 20})::BIGINT AS c
+  FROM embeddings, dims d
+),
+n2 AS (SELECT vec_id, sum(c * c)::BIGINT AS n2 FROM eq GROUP BY 1),
+dots AS (
+  SELECT ca.query_id, ca.doc_id, ca.score_q, sum(x.c * y.c)::BIGINT AS dot
+  FROM cands ca
+  JOIN eq x ON x.vec_id = ca.query_id
+  JOIN eq y ON y.vec_id = ca.doc_id AND y.d = x.d
+  GROUP BY 1, 2, 3
+),
+rer AS (
+  SELECT d.query_id, d.doc_id, d.score_q,
+         floor(d.dot / sqrt(nq.n2::DOUBLE * nv.n2::DOUBLE) * 1e6)::BIGINT
+           AS cos_q
+  FROM dots d
+  JOIN n2 nq ON nq.vec_id = d.query_id
+  JOIN n2 nv ON nv.vec_id = d.doc_id
+)
+SELECT query_id, rank, doc_id, cos_q, score_q FROM (
+  SELECT query_id, doc_id, cos_q, score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_q DESC, score_q DESC, doc_id ASC
+         )::INT AS rank
+  FROM rer
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+)
+
 _WAND_MW_SQL = (
     _PRELUDE
     + """
@@ -1180,6 +1361,9 @@ FROM tf GROUP BY term ORDER BY term
         "bm25_ranked_and": _topk_and_sql(),
         "boolean_and": _BOOL_AND_SQL,
         "boolean_or": _BOOL_OR_SQL,
+        "boolean_and_not": _BOOL_ANDNOT_SQL,
+        "search_facets": _FACETS_SQL,
+        "search_rerank": _RERANK_SQL,
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,

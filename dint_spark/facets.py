@@ -1,0 +1,195 @@
+"""Faceted search: per-facet-value match counts over the FULL match set.
+
+The Lucene facets model (doc-values counting during collection, not a
+post-hoc join): a facet column is materialized once as a per-doc ordinal
+array (``DocFacets`` — u16/u32 ordinal per doc_id, built distributively
+like queries.build_doc_filter, shipped once per worker like norm_lens),
+and each query's matched docs are counted per ordinal with one bincount
+inside the same applyInPandas group that ran the boolean kernel. No
+(query_id, doc_id) match rows ever hit a shuffle or a join: the operator
+returns one row per (query, facet value) directly.
+
+Scale shape at 10^12 docs: the ordinal array is 2-4 bytes/doc and
+shard-local under docid sharding — the exact bounding argument already
+made for norm_lens and DocMask (2^24-doc shard = 32-64 MB). The facet
+dimension table (ordinal -> value) is vocabulary-sized (languages,
+domains, ...), broadcast-joined onto the tiny result.
+
+No reference counterpart: the reference engine (fanhualta/dint) stops at
+ranked/boolean retrieval (include/ds2i/queries.hpp:34-130); facets are
+engine-completeness scope (the builder brief's web-search surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dint_spark.queries import (
+    DocMask,
+    _live_bc,
+    _pruned_segments,
+    _BM25_SEG_COLS,
+    boolean_and,
+    boolean_or,
+    build_cursors,
+)
+
+_FACET_CHUNK = 1 << 19  # docs per aggregated chunk row (64 KiB-1 MiB each)
+
+
+class DocFacets:
+    """Per-doc facet ordinals: ``ords[doc_id] -> ordinal`` (u32), plus the
+    ordinal->value dimension rows. Docs with no facet value carry ordinal
+    ``num_values`` (a reserved "missing" slot that is never emitted)."""
+
+    __slots__ = ("ords", "values")
+
+    def __init__(self, ords: np.ndarray, values: list[str]):
+        self.ords = np.asarray(ords, dtype=np.uint32)
+        self.values = list(values)
+
+    @property
+    def num_values(self) -> int:
+        return len(self.values)
+
+
+def build_doc_facets(spark: SparkSession, docs: DataFrame, num_docs: int,
+                     facet_col: str, id_col: str = "doc_id") -> DocFacets:
+    """Distributed (doc_id, facet_value) -> DocFacets.
+
+    Ordinals are assigned deterministically by facet value ASC (a global
+    sort of the DISTINCT values — facet cardinality, not corpus-sized).
+    Each executor packs its 2^19-doc chunk of the ordinal array
+    (groupBy chunk -> u32 tobytes); the driver assembles num_docs*4 bytes
+    of ordinals and never sees per-doc rows — selectivity- and
+    cardinality-independent, the build_doc_filter collect contract."""
+    vals = [r[0] for r in (docs.select(F.col(facet_col).cast("string"))
+                           .where(F.col(facet_col).isNotNull())
+                           .distinct().orderBy(facet_col).collect())]
+    missing = len(vals)
+    dim = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)],
+        schema=T.StructType([
+            T.StructField("fv", T.StringType(), False),
+            T.StructField("o", T.LongType(), False),
+        ]),
+    )
+    chunk_rows = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(facet_col).cast("string").alias("fv"))
+        # broadcast dim join, not a literal map: facet cardinality is
+        # dimension-sized (langs/domains), never corpus-sized
+        .join(F.broadcast(dim), "fv", "left")
+        .select("doc_id", F.coalesce("o", F.lit(missing)).alias("o"))
+        .withColumn("chunk", F.shiftright("doc_id", 19))
+        .groupBy("chunk")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(pdf["chunk"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        off = ids - (chunk << 19)
+        arr = np.full(_FACET_CHUNK, missing, dtype=np.uint32)
+        arr[off] = pdf["o"].to_numpy().astype(np.uint32)
+        return pd.DataFrame({
+            "chunk": [chunk],
+            "max_id": [int(ids.max())],
+            "ords": [arr.tobytes()],
+        })
+
+    rows = chunk_rows.applyInPandas(
+        pack, "chunk long, max_id long, ords binary").collect()
+    ords = np.full(num_docs, missing, dtype=np.uint32)
+    for r in rows:
+        c = int(r["chunk"])
+        if int(r["max_id"]) >= num_docs:
+            raise ValueError(
+                f"facet doc_id {int(r['max_id'])} >= num_docs {num_docs}")
+        lo = c << 19
+        hi = min(lo + _FACET_CHUNK, num_docs)
+        ords[lo:hi] = np.frombuffer(
+            r["ords"], dtype=np.uint32)[: hi - lo]
+    return DocFacets(ords, vals)
+
+
+FACET_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("facet_ord", T.LongType(), False),
+    T.StructField("n_docs", T.LongType(), False),
+])
+
+
+def run_facet_queries(
+    spark: SparkSession, index, queries, facets: DocFacets,
+    mode: str = "and", doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Boolean match + facet counting in one pass: returns
+    (query_id, facet_value, n_docs) — the count of matching docs per facet
+    value over the FULL match set (not a top-k sample), the search-page
+    sidebar number. Missing-facet docs are matched but not counted under
+    any value. Deletes/DocMask compose exactly as in run_boolean_queries.
+
+    The kernel appends one np.bincount over the matched ids' ordinals to
+    the existing leapfrog — the match list never leaves the worker; the
+    operator's output is |queries| x |facet values| rows."""
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    num_docs = index.num_docs
+    if len(facets.ords) != num_docs:
+        raise ValueError(
+            f"facets cover {len(facets.ords)} docs, index has {num_docs}")
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    ords_bc = spark.sparkContext.broadcast(facets.ords)
+    nvals = facets.num_values
+    fn = boolean_and if mode == "and" else boolean_or
+
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=["query_id", "facet_ord", "n_docs"])
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                                num_docs, merge_chunks=(mode == "and"))
+        docs = fn(cursors, num_docs,
+                  live=tomb_bc.value if tomb_bc is not None else None)
+        counts = np.bincount(
+            ords_bc.value[np.asarray(docs, dtype=np.int64)],
+            minlength=nvals + 1)[:nvals]
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({
+            "query_id": qid,
+            "facet_ord": nz.astype(np.int64),
+            "n_docs": counts[nz].astype(np.int64),
+        })
+
+    out = joined.groupBy("query_id").applyInPandas(run_one, FACET_SCHEMA)
+    dim = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(facets.values)],
+        schema=T.StructType([
+            T.StructField("facet_ord", T.LongType(), False),
+            T.StructField("facet", T.StringType(), False),
+        ]),
+    )
+    return (out.join(F.broadcast(dim), "facet_ord")
+            .select("query_id", "facet", "n_docs"))

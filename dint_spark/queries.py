@@ -673,6 +673,34 @@ def boolean_or(cursors, num_docs: int, live=None) -> list[int]:
     return out
 
 
+def boolean_and_not(cursors, neg_cursors, num_docs: int, live=None
+                    ) -> list[int]:
+    """AND over ``cursors`` minus any doc present in a ``neg_cursors`` list
+    (Lucene's MUST/MUST_NOT clause pair; no reference counterpart — the
+    reference's boolean kernels stop at AND/OR, queries.hpp:34-130).
+
+    Exclusion is a next_geq leapfrog per negative list over the (sorted,
+    already-intersected) positive matches, so a huge negative list ("NOT
+    the") is *skipped through* via its block endpoints — never fully
+    decoded — and the work is O(|matches| * |neg_terms|) skip probes, the
+    same complexity class as the AND itself."""
+    matches = boolean_and(cursors, num_docs, live=live)
+    if not matches or not neg_cursors:
+        return matches
+    keep = np.ones(len(matches), dtype=bool)
+    for c in neg_cursors:
+        for i, d in enumerate(matches):
+            if not keep[i]:
+                continue
+            if c.docid() < d:
+                c.next_geq(d)
+            if c.docid() == d:
+                keep[i] = False
+            elif c.docid() >= num_docs:
+                break
+    return [d for d, k in zip(matches, keep) if k]
+
+
 def wand(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
          block_max: bool = False, live=None):
     """WAND (ref queries.hpp:190-307); block_max=True adds the per-block
@@ -1804,11 +1832,33 @@ def run_boolean_queries(
     spark: SparkSession, index, queries, mode: str = "and",
     doc_filter: DocMask | None = None,
 ) -> DataFrame:
-    """Boolean AND (leapfrog intersection) / OR (k-way union) over the
-    compressed index; returns (query_id, doc_id). (ref queries.hpp:34-130)
+    """Boolean AND (leapfrog intersection) / OR (k-way union) / AND-NOT
+    (MUST terms minus MUST_NOT terms) over the compressed index; returns
+    (query_id, doc_id). (ref queries.hpp:34-130; AND-NOT has no reference
+    counterpart — Lucene MUST/MUST_NOT scope.)
+
+    ``queries``: for "and"/"or", a list of term-id lists (or a DataFrame
+    (query_id, terms)); for "and_not", a list of (pos_terms, neg_terms)
+    pairs. A term that appears on both sides of one query excludes every
+    match (x AND NOT x = empty), matching the SQL semantics.
     ``doc_filter``: optional DocMask restricting results (see run_queries)."""
     local_terms = None
-    if not isinstance(queries, DataFrame):
+    if mode == "and_not":
+        if isinstance(queries, DataFrame):
+            raise ValueError("and_not takes (pos_terms, neg_terms) pairs")
+        local_terms = sorted({int(t) for pos, neg in queries
+                              for t in list(pos) + list(neg)})
+        rows = [(i, [int(t) for t in pos], [int(t) for t in neg])
+                for i, (pos, neg) in enumerate(queries)]
+        queries = spark.createDataFrame(
+            rows,
+            schema=T.StructType([
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("terms", T.ArrayType(T.LongType()), False),
+                T.StructField("neg_terms", T.ArrayType(T.LongType()), False),
+            ]),
+        )
+    elif not isinstance(queries, DataFrame):
         local_terms = sorted({int(t) for ts in queries for t in ts})
         queries = spark.createDataFrame(
             [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
@@ -1821,25 +1871,52 @@ def run_boolean_queries(
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
-    fn = boolean_and if mode == "and" else boolean_or
 
-    qterms = (
-        queries.select("query_id", F.explode("terms").alias("term_id"))
-        .groupBy("query_id", "term_id")
-        .agg(F.count("*").alias("qf"))
-    )
+    if mode == "and_not":
+        pos = queries.select(
+            "query_id", F.explode("terms").alias("term_id")
+        ).withColumn("neg", F.lit(False))
+        neg = queries.select(
+            "query_id", F.explode("neg_terms").alias("term_id")
+        ).withColumn("neg", F.lit(True))
+        qterms = (
+            pos.unionByName(neg)
+            .groupBy("query_id", "term_id", "neg")
+            .agg(F.count("*").alias("qf"))
+        )
+    else:
+        qterms = (
+            queries.select("query_id", F.explode("terms").alias("term_id"))
+            .groupBy("query_id", "term_id")
+            .agg(F.count("*").alias("qf"))
+        )
     joined = qterms.join(
         _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
         "term_id")
+    fn = boolean_and if mode == "and" else boolean_or
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame(columns=["query_id", "doc_id"])
         qid = int(pdf["query_id"].iloc[0])
-        cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
-                                num_docs, merge_chunks=(mode == "and"))
-        docs = fn(cursors, num_docs,
-                  live=tomb_bc.value if tomb_bc is not None else None)
+        live = tomb_bc.value if tomb_bc is not None else None
+        if mode == "and_not":
+            pos_pdf = pdf[~pdf["neg"]]
+            neg_pdf = pdf[pdf["neg"]]
+            if not len(pos_pdf):
+                return pd.DataFrame(columns=["query_id", "doc_id"])
+            cursors = build_cursors(
+                pos_pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                num_docs, merge_chunks=True)
+            neg_cursors = build_cursors(
+                neg_pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                num_docs, merge_chunks=True) if len(neg_pdf) else []
+            docs = boolean_and_not(cursors, neg_cursors, num_docs, live=live)
+        else:
+            cursors = build_cursors(
+                pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                num_docs, merge_chunks=(mode == "and"))
+            docs = fn(cursors, num_docs, live=live)
         return pd.DataFrame({"query_id": qid, "doc_id": docs})
 
     return joined.groupBy("query_id").applyInPandas(run_one, schema=BOOL_SCHEMA)

@@ -303,3 +303,98 @@ def search_text(
                                          dtype=dtype, doc_filter=doc_filter)
     return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
                        doc_filter=doc_filter)
+
+
+# ---------------------------------------------------------------------------
+# two-phase retrieval: BM25 candidates -> embedding-cosine rerank
+# ---------------------------------------------------------------------------
+
+def rerank_by_embedding(
+    spark: SparkSession,
+    index,
+    queries,
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    n_candidates: int = 50,
+    k: int = 10,
+    algo: str = "block_max_wand",
+    dtype: str = "float32",
+    scale: int = 1 << 20,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Two-phase retrieval (the retrieve-then-rerank serving pattern):
+    BM25 top-``n_candidates`` per query from the compressed index, then an
+    EXACT cosine rerank of those candidates against a per-query embedding,
+    returning the top-``k`` by (cosine desc, bm25 desc, doc_id asc).
+
+    ``embeddings``: (doc_id, embedding array<float>) — the corpus-side
+    vector table; ``query_vecs``: (query_id, embedding array<float>).
+    Vectors are floor-quantized to integers at ``scale`` so the dot
+    product is an exact (order-independent) i64 sum — the same numeric
+    contract as ops.similarity, and the reason a SQL oracle can replay
+    the ranking bit-for-bit. Cosines quantize to 1e-6 before ranking.
+
+    Scale shape at 10^12 docs: phase 1 is the standard pruned-scan BMW
+    batch (candidates = |queries| x n_candidates rows, tiny); phase 2
+    BROADCASTS the candidate ids against the big embeddings table — the
+    embeddings side streams, nothing corpus-sized shuffles, and the dot
+    product runs JVM-side (zip_with/aggregate, no Python). No reference
+    counterpart: the reference stops at BM25 top-k (queries.hpp:132-188);
+    rerank is builder-brief LLM-pipeline scope.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T  # noqa: F401  (schema parity w/ file)
+
+    # fetch 2x raw candidates, then cut to n_candidates on the QUANTIZED
+    # score: the candidate boundary is then decided by the quantized
+    # ranking (reproducible in SQL), and the headroom absorbs last-ulp
+    # accumulation-order differences at the raw top-k edge — the same
+    # contract as __spark_entry__._ranked
+    raw = run_queries(spark, index, queries, algo=algo, k=2 * n_candidates,
+                      dtype=dtype, doc_filter=doc_filter)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    cands = (
+        raw.withColumn("score_q",
+                       F.floor(F.col("score").cast("double") * 1e9)
+                       .cast("long"))
+        .withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_candidates)
+        .select("query_id", "doc_id", "score_q")
+    )
+
+    def _q(df: DataFrame, idc: str) -> DataFrame:
+        eq = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * scale).cast("long"))
+        return df.select(
+            F.col(idc),
+            eq.alias("eq"),
+            F.aggregate(eq, F.lit(0).cast("long"),
+                        lambda a, x: a + x * x).alias("n2"),
+        )
+
+    emb_q = _q(embeddings, "doc_id")
+    qv_q = _q(query_vecs, "query_id").select(
+        "query_id", F.col("eq").alias("q_eq"), F.col("n2").alias("q_n2"))
+
+    dot = F.aggregate(
+        F.zip_with("eq", "q_eq", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    cos = F.col("dot") / F.sqrt(
+        F.col("n2").cast("double") * F.col("q_n2").cast("double"))
+
+    scored = (
+        emb_q.join(F.broadcast(cands), "doc_id")
+        .join(F.broadcast(qv_q), "query_id")
+        .withColumn("dot", dot)
+        .withColumn("cos_q", F.floor(cos * 1e6).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "cos_q", "score_q")
+    )

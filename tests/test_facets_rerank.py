@@ -1,0 +1,252 @@
+"""Boolean AND-NOT, faceted counting, and embedding rerank.
+
+Contracts under test:
+  - boolean_and_not kernel == brute-force (AND over pos) \\ (OR over neg),
+    including a term on both sides (x AND NOT x = empty) and live masks;
+  - run_boolean_queries(mode="and_not") == the engine's own AND minus its
+    own OR matches (metamorphic over two independently oracle-gated ops);
+  - build_doc_facets assembles the exact per-doc ordinal array
+    distributively (NULL facet -> reserved missing slot, never emitted)
+    and run_facet_queries counts == pandas brute force, composing with a
+    DocMask;
+  - rerank_by_embedding == numpy brute force under the exact integer
+    quantization contract (floor at 2^20, i64 dot, cos floor at 1e-6),
+    tie rule (cos desc, bm25 desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fixtures import (build_dicts, build_segments, gen_collection,
+                      gen_queries, make_cursors)
+
+from dint_spark.queries import (DocMask, Tombstones, boolean_and,
+                                boolean_and_not, boolean_or,
+                                run_boolean_queries, run_queries)
+
+N_DOCS = 300
+
+
+# ---------------------------------------------------------------------------
+# kernel layer (no Spark)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small():
+    plists, doclens, num_docs, docs_tokens = gen_collection(
+        num_docs=400, seed=23)
+    docs_dict, freqs_dict = build_dicts(plists)
+    segs, norm = build_segments(plists, doclens, docs_dict, freqs_dict)
+    queries = gen_queries(docs_tokens, num_queries=30, seed=9)
+    return plists, doclens, num_docs, docs_dict, freqs_dict, segs, norm, queries
+
+
+def _brute_and_not(plists, pos, neg, num_docs, mask=None):
+    sets = [set(plists[t][0]) for t in pos if t in plists]
+    if len(sets) != len(set(pos)):
+        return []  # a pos term with no postings matches nothing
+    m = set.intersection(*sets) if sets else set()
+    for t in set(neg):
+        if t in plists:
+            m -= set(plists[t][0])
+    if mask is not None:
+        m = {d for d in m if mask[d]}
+    return sorted(m)
+
+
+def test_kernel_and_not_matches_brute(small):
+    plists, doclens, num_docs, dd, fd, segs, norm, queries = small
+    rng = np.random.default_rng(5)
+    live = Tombstones(
+        np.flatnonzero(rng.random(num_docs) < 0.1), num_docs)
+    for q in queries:
+        q = list(dict.fromkeys(q))
+        pos, neg = q[: max(1, len(q) // 2)], q[max(1, len(q) // 2):]
+        for mask in (None, live):
+            cs = make_cursors(pos, segs, dd, fd, norm, num_docs)
+            ns = make_cursors(neg, segs, dd, fd, norm, num_docs)
+            got = boolean_and_not(cs, ns, num_docs, live=mask)
+            want = _brute_and_not(
+                plists, pos, neg, num_docs,
+                mask=None if mask is None else mask.mask)
+            assert got == want, (pos, neg)
+
+
+def test_kernel_and_not_contradiction_and_empty_neg(small):
+    plists, doclens, num_docs, dd, fd, segs, norm, _ = small
+    t = next(iter(plists))
+    cs = make_cursors([t], segs, dd, fd, norm, num_docs)
+    ns = make_cursors([t], segs, dd, fd, norm, num_docs)
+    assert boolean_and_not(cs, ns, num_docs) == []
+    cs = make_cursors([t], segs, dd, fd, norm, num_docs)
+    assert (boolean_and_not(cs, [], num_docs)
+            == sorted(plists[t][0]))
+
+
+# ---------------------------------------------------------------------------
+# Spark layer
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    """Deterministic small documents table: doc_id, text, lang (with NULLs)."""
+    rng = np.random.default_rng(77)
+    words = [f"w{i}" for i in range(40)]
+    langs = ["en", "de", "fr", None]
+    rows = []
+    for d in range(N_DOCS):
+        n = int(rng.integers(5, 60))
+        toks = rng.choice(words, size=n,
+                          p=np.arange(40, 0, -1) / np.arange(40, 0, -1).sum())
+        rows.append((d, " ".join(toks), langs[int(rng.integers(0, 4))]))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+
+@pytest.fixture(scope="module")
+def sidx(spark, tmp_path_factory, docs_pdf):
+    from dint_spark.corpus import pages_from_documents
+    from dint_spark.index import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("idx") / "facets")
+    docs = spark.createDataFrame(docs_pdf)
+    # pages.lang is non-null in the schema; facet tests use the REAL
+    # nullable column from `docs_pdf` directly
+    pages = pages_from_documents(docs.fillna({"lang": "xx"}))
+    idx = build_index(spark, pages, out,
+                      IndexConfig(num_buckets=2, input_tag="facets-test"))
+    return idx
+
+
+def _tok_matrix(docs_pdf, vocab):
+    """doc -> set(term_id) from the engine's vocab ranking."""
+    out = []
+    for text in docs_pdf["text"]:
+        toks = {t for t in text.lower().split() if t}
+        out.append({vocab[t] for t in toks if t in vocab})
+    return out
+
+
+def _vocab_map(spark, idx):
+    v = spark.read.parquet(f"{idx.dir}/vocab.parquet").collect()
+    return {r["term"]: r["term_id"] for r in v}
+
+
+def test_spark_and_not_metamorphic(spark, sidx):
+    specs = [([0], [1]), ([1, 2], [3]), ([4], [4]), ([0, 3], [10, 11])]
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in run_boolean_queries(spark, sidx, specs,
+                                     mode="and_not").collect()
+    }
+    want = set()
+    for qid, (pos, neg) in enumerate(specs):
+        a = {r["doc_id"] for r in run_boolean_queries(
+            spark, sidx, [pos], mode="and").collect()}
+        o = {r["doc_id"] for r in run_boolean_queries(
+            spark, sidx, [neg], mode="or").collect()}
+        want |= {(qid, d) for d in a - o}
+    assert got == want
+
+
+def test_build_doc_facets_and_counts(spark, sidx, docs_pdf):
+    from dint_spark.facets import build_doc_facets, run_facet_queries
+
+    docs = spark.createDataFrame(docs_pdf)
+    fac = build_doc_facets(spark, docs, sidx.num_docs, "lang")
+    # ordinal array matches a local recompute; NULL -> missing slot
+    vals = sorted({v for v in docs_pdf["lang"] if v is not None})
+    assert fac.values == vals
+    want = np.array([
+        vals.index(v) if v is not None else len(vals)
+        for v in docs_pdf["lang"]], dtype=np.uint32)
+    assert np.array_equal(fac.ords, want)
+
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    specs = [[0], [1, 2], [0, 3, 5]]
+    got = {
+        (r["query_id"], r["facet"]): r["n_docs"]
+        for r in run_facet_queries(spark, sidx, specs, fac,
+                                   mode="and").collect()
+    }
+    expect: dict = {}
+    for qid, terms in enumerate(specs):
+        for d, tset in enumerate(tm):
+            if set(terms) <= tset and docs_pdf["lang"][d] is not None:
+                k = (qid, docs_pdf["lang"][d])
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+def test_facets_compose_with_docmask(spark, sidx, docs_pdf):
+    from dint_spark.facets import build_doc_facets, run_facet_queries
+
+    docs = spark.createDataFrame(docs_pdf)
+    fac = build_doc_facets(spark, docs, sidx.num_docs, "lang")
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    got = {
+        (r["query_id"], r["facet"]): r["n_docs"]
+        for r in run_facet_queries(spark, sidx, [[0]], fac, mode="and",
+                                   doc_filter=dm).collect()
+    }
+    expect: dict = {}
+    for d, tset in enumerate(tm):
+        if 0 in tset and mask[d] and docs_pdf["lang"][d] is not None:
+            k = (0, docs_pdf["lang"][d])
+            expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+def test_rerank_matches_numpy_brute(spark, sidx, docs_pdf):
+    from dint_spark.search import rerank_by_embedding
+
+    rng = np.random.default_rng(13)
+    dim = 16
+    vecs = rng.standard_normal((N_DOCS, dim)).astype(np.float32)
+    n_q = 6
+    emb = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(N_DOCS),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    qv = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(n_q),
+        "embedding": [vecs[i].tolist() for i in range(n_q)],
+    }))
+    specs = [[0], [1, 2], [3], [0, 4], [5, 6], [2]][:n_q]
+    n_cand, k = 20, 5
+    got = rerank_by_embedding(
+        spark, sidx, specs, emb, qv, n_candidates=n_cand, k=k,
+        dtype="float64").collect()
+
+    # brute force under the exact quantization contract
+    scale = 1 << 20
+    eq = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+    n2 = (eq * eq).sum(axis=1)
+    raw = run_queries(spark, sidx, specs, algo="block_max_wand",
+                      k=2 * n_cand, dtype="float64").collect()
+    by_q: dict = {}
+    for r in raw:
+        by_q.setdefault(r["query_id"], []).append(
+            (int(np.floor(r["score"] * 1e9)), r["doc_id"]))
+    want = []
+    for qid in range(n_q):
+        cands = sorted(by_q.get(qid, []),
+                       key=lambda x: (-x[0], x[1]))[:n_cand]
+        rer = []
+        for sq, d in cands:
+            dot = int((eq[d] * eq[qid]).sum())
+            cos = dot / np.sqrt(float(n2[d]) * float(n2[qid]))
+            rer.append((int(np.floor(cos * 1e6)), sq, d))
+        rer.sort(key=lambda x: (-x[0], -x[1], x[2]))
+        for rank, (cq, sq, d) in enumerate(rer[:k], 1):
+            want.append((qid, rank, d, cq, sq))
+    got_t = sorted((r["query_id"], r["rank"], r["doc_id"], r["cos_q"],
+                    r["score_q"]) for r in got)
+    assert got_t == sorted(want)
