@@ -405,6 +405,62 @@ def _entry_bm25_sharded(spark, sf_dir):
     return _rank_quantized(raw)
 
 
+def _get_appended_index(spark: SparkSession, sf_dir: str):
+    """Index built in two generations: the first 60% of docs (by the
+    url = doc-id order of pages_from_documents) as the base epoch, the
+    remaining 40% added later via sharding.append_docs — old epoch keeps
+    its pre-append baked stats; queries re-derive global ones."""
+    from dint_spark.sharding import (ShardedIndex, append_docs,
+                                     build_sharded_index)
+
+    key = (os.path.abspath(sf_dir), "appended")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    base = (f"{os.path.basename(key[0].rstrip('/'))}-appended-"
+            f"v{dint_spark.__version__}")
+    out = os.path.join("/tmp/dint_spark_entry", base)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pivot = (docs.count() * 3) // 5
+    cfg = IndexConfig(num_buckets=2, input_tag=base)
+    if os.path.exists(os.path.join(out, "shards.json")):
+        try:
+            sidx = ShardedIndex(spark, out)
+            if int(sidx.manifest["num_shards"]) == 2:  # append committed
+                _INDEX_CACHE[key] = sidx
+                return sidx
+        except Exception as e:
+            print(f"[dint_spark] stale/corrupt cached index at {out}: "
+                  f"{e!r}; rebuilding", file=sys.stderr)
+        shutil.rmtree(out, ignore_errors=True)
+    old = pages_from_documents(docs.where(F.col("doc_id") < pivot))
+    new = pages_from_documents(docs.where(F.col("doc_id") >= pivot))
+    sidx = build_sharded_index(spark, old, out, num_shards=1, config=cfg)
+    sidx = append_docs(spark, sidx, new)
+    _INDEX_CACHE[key] = sidx
+    return sidx
+
+
+def _entry_bm25_appended(spark, sf_dir):
+    """Incremental indexing gate: a base epoch over 60% of the corpus plus
+    an append_docs epoch over the rest must score EXACTLY like one index
+    over everything — global (N, df) through the override channel, old-
+    epoch norms re-derived under the post-append avg_len, pruning bounds
+    inflated by avg_new/avg_old (sharding.append_docs; no reference
+    counterpart — the reference index is immutable once frozen,
+    src/create_freq_index.cpp:103-106). Queries go in as term STRINGS
+    (the appended vocabulary ranks old-epoch terms first, so raw term ids
+    don't transfer); the oracle is the very same full-corpus BM25 SQL the
+    search_text entry uses."""
+    from dint_spark.search import parse_queries
+    from dint_spark.sharding import run_queries_sharded
+
+    sidx = _get_appended_index(spark, sf_dir)
+    specs, _ = parse_queries(sidx, TEXT_QUERY_SPECS)
+    raw = run_queries_sharded(spark, sidx, specs, algo="block_max_wand",
+                              k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
 def _rank_quantized(raw):
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q"), F.asc("doc_id")
@@ -653,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_not": _entry_boolean_and_not,
         "search_facets": _entry_search_facets,
         "search_rerank": _entry_search_rerank,
+        "bm25_appended": _entry_bm25_appended,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
@@ -1364,6 +1421,9 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_and_not": _BOOL_ANDNOT_SQL,
         "search_facets": _FACETS_SQL,
         "search_rerank": _RERANK_SQL,
+        # same full-corpus SQL as search_text: the appended two-epoch index
+        # must reproduce the one-shot build's ranking exactly
+        "bm25_appended": _topk_or_sql(scored=_text_scored()),
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,

@@ -593,6 +593,27 @@ class Index:
             self._norm_lens64 = self.lens.astype(np.float64) / self.avg_len_f64
         return self._norm_lens64
 
+    def norm_lens_for(self, avg_len_f64: float, dtype: str) -> np.ndarray:
+        """norm_lens recomputed under a caller-supplied GLOBAL average
+        document length (exactly what a fresh build over the grown corpus
+        would store: f32 lens / f32(avg), or f64 lens / avg). Used by the
+        incremental-append query path (sharding.append_docs): epochs built
+        before an append baked the then-current avg_len into their stored
+        norms and max-weight metadata; scoring stays exact because norms
+        are derived from the RAW lens here, and pruning stays safe because
+        run_queries inflates the stale bounds by avg_new/avg_old."""
+        key = (float(avg_len_f64), dtype)
+        cache = getattr(self, "_norm_cache", None)
+        if cache is None:
+            cache = self._norm_cache = {}
+        if key not in cache:
+            if dtype == "float32":
+                cache[key] = (self.lens.astype(np.float32)
+                              / np.float32(avg_len_f64))
+            else:
+                cache[key] = self.lens.astype(np.float64) / float(avg_len_f64)
+        return cache[key]
+
     def deleted_docs(self) -> np.ndarray:
         """Sorted doc ids tombstoned by delete_docs (empty array if none).
         Collected driver-side: tombstones are assumed small relative to the

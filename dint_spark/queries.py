@@ -1065,7 +1065,8 @@ _BM25_SEG_COLS = ["term_id", "seg_id", "n", "block_maxs", "block_max_scores",
 def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
                   DT=np.float32, merge_chunks: bool = False,
                   df_overrides: dict | None = None,
-                  idf_docs: int | None = None) -> list:
+                  idf_docs: int | None = None,
+                  bound_inflate: float = 1.0) -> list:
     """group rows: one per (distinct query term x segment chunk row). A
     term's chunk rows (seg_id asc) are disjoint increasing doc ranges; the
     term's df for the query weight is the SUM of its rows' n. Union-style
@@ -1076,16 +1077,29 @@ def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
     Sharded serving (sharding.run_queries_sharded) passes GLOBAL statistics:
     df_overrides maps term_id -> corpus-wide df and idf_docs is the global
     N, so every shard computes the same query weights as the unsharded
-    index would."""
+    index would.
+
+    ``bound_inflate`` > 1 certifies PRUNING under stale stored bounds: the
+    segment's max_weight / block_max_scores were computed at build time
+    with the then-current avg_len baked into norm_len, and incremental
+    appends (sharding.append_docs) can raise the global avg_len. Since
+    w(f, nl) = f/(f + k1(1-b) + k1*b*nl) grows by at most avg_new/avg_old
+    when nl shrinks by that factor, multiplying every stored bound by
+    that ratio (with a 1e-5 float-rounding margin) keeps WAND/BMW/maxscore
+    skipping safe; final scores are unaffected (computed from recomputed
+    norms, not bounds)."""
     cols = ["term_id", "seg_id"] if "seg_id" in group.columns else ["term_id"]
     group = group.sort_values(cols)
     N = int(idf_docs) if idf_docs is not None else num_docs
+    base_scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+    if bound_inflate != 1.0:
+        base_scale = DT(base_scale * DT(bound_inflate))
     cursors: list = []
     for term_id, rows in group.groupby("term_id", sort=True):
         df_total = (int(df_overrides[int(term_id)]) if df_overrides
                     else int(rows["n"].sum()))
         qw = _qtw(int(rows["qf"].iloc[0]), df_total, N, DT)
-        scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+        scale = base_scale
         term_cursors = []
         for row in rows.itertuples():
             c = Cursor(
@@ -1145,9 +1159,17 @@ def run_queries(
     idf_docs: int | None = None,
     qpart_mult: int = 2,
     doc_filter: DocMask | None = None,
+    avg_len_override: float | None = None,
 ) -> DataFrame:
     """Distributed batch retrieval. queries: DataFrame(query_id, terms
     array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
+
+    ``avg_len_override``: the CURRENT global average document length when
+    it differs from the one baked into this index at build time (an epoch
+    built before sharding.append_docs grew the corpus). Norms recompute
+    exactly from the raw lens (Index.norm_lens_for) and stored pruning
+    bounds inflate by avg_new/avg_old (see build_cursors) so results are
+    identical to a fresh build over the grown corpus.
 
     ``doc_filter``: optional DocMask (build_doc_filter) restricting results
     to eligible docs — filtered search (lang/domain/date/length predicates)
@@ -1178,9 +1200,21 @@ def run_queries(
 
     DT = np.float32 if dtype == "float32" else np.float64
     num_docs = index.num_docs
-    norm_bc = spark.sparkContext.broadcast(
-        index.norm_lens if dtype == "float32" else index.norm_lens64
-    )
+    bound_inflate = 1.0
+    if avg_len_override is not None:
+        norms = index.norm_lens_for(float(avg_len_override), dtype)
+        baked = (index.avg_len_f64 if dtype == "float64"
+                 else float(index.avg_len))
+        ratio = float(avg_len_override) / baked
+        if ratio != 1.0:
+            # ratio > 1: true weights can exceed stored bounds by up to
+            # that factor. ratio < 1: bounds stay valid in real arithmetic,
+            # but the norms were recomputed through different f32 roundings
+            # than the build saw — keep the 1e-5 margin either way.
+            bound_inflate = max(ratio, 1.0) * (1.0 + 1e-5)
+    else:
+        norms = index.norm_lens if dtype == "float32" else index.norm_lens64
+    norm_bc = spark.sparkContext.broadcast(norms)
     docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
     freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
@@ -1216,7 +1250,8 @@ def run_queries(
         cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
                                 num_docs, DT, merge_chunks=merge_chunks,
                                 df_overrides=dfo_bc.value if dfo_bc else None,
-                                idf_docs=idf_docs)
+                                idf_docs=idf_docs,
+                                bound_inflate=bound_inflate)
         topk = kernel(cursors, norm_bc.value, num_docs, k, DT,
                       live=tomb_bc.value if tomb_bc is not None else None)
         return pd.DataFrame(

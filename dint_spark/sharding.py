@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dint_spark.ids import add_dense_index
 from dint_spark.index import Index, IndexConfig, build_index, load_index
 from dint_spark.queries import run_queries
 from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
@@ -68,13 +69,15 @@ def build_sharded_index(
         dl = spark.read.parquet(dl_path)
         agg = dl.agg(F.count("*").alias("n"), F.sum("len").alias("s")).collect()[0]
         num_docs = int(agg["n"])
-        avg_len = agg["s"] / num_docs
+        sum_len = int(agg["s"] or 0)
+        avg_len = sum_len / num_docs
         per = -(-num_docs // num_shards)  # ceil
         bases = [min(s * per, num_docs) for s in range(num_shards)] + [num_docs]
         man = {
             "num_shards": num_shards,
             "num_docs": num_docs,
             "avg_len": avg_len,
+            "sum_len": sum_len,  # exact, so appends recompute avg exactly
             "bases": bases,
         }
         tmp = man_path + ".tmp"
@@ -125,6 +128,13 @@ class ShardedIndex:
             self.manifest = json.load(f)
         self.num_docs = int(self.manifest["num_docs"])
         self.avg_len = float(self.manifest["avg_len"])
+        # exact f64 global average: from the exact token total when the
+        # manifest records it (all new builds + every append), else the
+        # stored float (pre-append manifests, where it IS the build value)
+        if "sum_len" in self.manifest and self.num_docs:
+            self.avg_len_f64 = int(self.manifest["sum_len"]) / self.num_docs
+        else:
+            self.avg_len_f64 = float(self.manifest["avg_len"])
         self.bases = [int(b) for b in self.manifest["bases"]]
         self.shards: list[Index] = [
             load_index(spark, os.path.join(out_dir, f"shard={s}"))
@@ -133,7 +143,8 @@ class ShardedIndex:
         self._df_cache: dict[int, int] = {}
 
     def vocab(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "vocab.parquet"))
+        vf = self.manifest.get("vocab_file", "vocab.parquet")
+        return self.spark.read.parquet(os.path.join(self.dir, vf))
 
     def term_df(self, term_ids: list[int]) -> dict[int, int]:
         """GLOBAL df for the batch's terms (one pruned vocab scan)."""
@@ -150,6 +161,133 @@ class ShardedIndex:
         return {t: self._df_cache[t] for t in term_ids if t in self._df_cache}
 
 
+def append_docs(
+    spark: SparkSession,
+    sidx: ShardedIndex,
+    new_pages: DataFrame,
+    config: IndexConfig | None = None,
+) -> ShardedIndex:
+    """Incrementally ADD documents to a sharded index: the new docs become
+    one new epoch shard; nothing already built is rewritten except the
+    vocabulary sidecar. With delete_docs_sharded (remove) and
+    compact.compact_index (rewrite) this completes the index-maintenance
+    lifecycle — the Lucene segment model, re-expressed over the shard
+    fan-out. No reference counterpart: the reference index is immutable
+    once frozen (src/create_freq_index.cpp:103-106).
+
+    What an append does (each step idempotent; the manifest commit is the
+    atomic last step, so a crashed append resumes by re-running):
+
+      * new docs get global ids [num_docs, num_docs + n_new) — dense url
+        rank within the batch, appended after every existing epoch;
+      * the vocabulary EXTENDS, never re-ranks: existing terms keep their
+        term_id (every built shard stays valid) with df increased by the
+        batch's contribution; unseen terms append after the current max id
+        ranked by (batch df desc, term asc). The updated vocab lands in a
+        NEW versioned file (vocab_v{K}.parquet) and the manifest points at
+        it — old readers never see a half-written table;
+      * the new shard builds through the standard resumable pipeline with
+        the extended vocab and the POST-append global avg_len baked in;
+      * the manifest records the exact new token total (sum_len), so the
+        global average is exact after any number of appends.
+
+    Query-time exactness across epochs (run_queries_sharded): global
+    (N, df) flow through the existing df_overrides/idf_docs channel, and
+    epochs whose baked avg_len predates the append re-derive norms from
+    raw lens (Index.norm_lens_for) with pruning bounds inflated by
+    avg_new/avg_old (build_cursors) — results are bit-identical to a
+    fresh build over the union corpus (tests/test_append.py).
+
+    Scale shape: one tokenize pass over ONLY the new batch, one hash join
+    of the batch's term dfs against the vocab (vocab-sized, but a columnar
+    copy-through — no corpus data), one standard shard build. Appending
+    never touches existing epochs' postings.
+
+    Re-running after a SUCCESSFUL append with the same batch appends it
+    again (standard append semantics) — dedup/idempotency across calls is
+    the caller's contract, e.g. keying batches by crawl snapshot.
+    """
+    man = dict(sidx.manifest)
+    n_old = int(man["num_docs"])
+    k = int(man["num_shards"])
+    if "sum_len" in man:
+        sum_old = int(man["sum_len"])
+    else:  # pre-append manifest: one exact scan of the build's doclens
+        sum_old = int(
+            spark.read.parquet(os.path.join(sidx.dir, "doclens.parquet"))
+            .agg(F.sum("len").alias("s")).collect()[0]["s"] or 0)
+
+    docs_new = (
+        tokenize(assign_doc_ids(new_pages.select("url", "text")))
+        .select("doc_id", "tokens")
+        .persist()
+    )
+    dl = doclens(docs_new)
+    agg = dl.agg(F.count("*").alias("n"), F.sum("len").alias("s")).collect()[0]
+    n_new = int(agg["n"])
+    if n_new == 0:
+        docs_new.unpersist()
+        return sidx
+    s_new = int(agg["s"])
+    n_total, sum_total = n_old + n_new, sum_old + s_new
+    avg_f64 = sum_total / n_total
+
+    # epoch doclens sidecar with GLOBAL ids (audit/lineage; each shard also
+    # keeps its own local doclens for norms)
+    dl.select((F.col("doc_id") + n_old).alias("doc_id"), "len") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(sidx.dir, f"doclens_epoch{k}.parquet"))
+
+    # ---- extended vocabulary (stable ids, updated dfs) --------------------
+    old_vocab = sidx.vocab()
+    next_id = int(old_vocab.agg(F.max("term_id")).collect()[0][0]) + 1
+    delta = (
+        docs_new.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df_new"))
+    )
+    merged = old_vocab.join(delta, "term", "full_outer")
+    known = merged.where(F.col("term_id").isNotNull()).select(
+        "term",
+        (F.col("df") + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+        "term_id",
+    )
+    fresh = add_dense_index(
+        merged.where(F.col("term_id").isNull())
+        .select("term", F.col("df_new").alias("df")),
+        [F.col("df").desc(), F.col("term").asc()], "term_id",
+    ).select("term", "df", (F.col("term_id") + next_id).alias("term_id"))
+    vocab_file = f"vocab_v{k}.parquet"
+    known.unionByName(fresh).write.mode("overwrite").parquet(
+        os.path.join(sidx.dir, vocab_file))
+    vocab_new = spark.read.parquet(os.path.join(sidx.dir, vocab_file))
+
+    # ---- the epoch shard (standard resumable build) ------------------------
+    if config is None:
+        config = IndexConfig(**sidx.shards[0].manifest["config"])
+    build_index(
+        spark, None, os.path.join(sidx.dir, f"shard={k}"), config,
+        corpus_docs=docs_new, vocab_df=vocab_new,
+        avg_len_override=avg_f64,
+    )
+    docs_new.unpersist()
+
+    # ---- atomic manifest commit -------------------------------------------
+    man["num_shards"] = k + 1
+    man["num_docs"] = n_total
+    man["sum_len"] = sum_total
+    man["avg_len"] = avg_f64
+    man["bases"] = list(man["bases"]) + [n_total]
+    man["vocab_file"] = vocab_file
+    man.setdefault("appends", []).append(
+        {"shard": k, "num_docs": n_new, "sum_len": s_new})
+    man_path = os.path.join(sidx.dir, SHARD_MANIFEST)
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, man_path)
+    return ShardedIndex(spark, sidx.dir)
+
+
 def build_doc_filters_sharded(spark: SparkSession, sidx: ShardedIndex,
                               allowed: DataFrame, id_col: str = "doc_id"
                               ) -> list:
@@ -158,9 +296,11 @@ def build_doc_filters_sharded(spark: SparkSession, sidx: ShardedIndex,
     (delete_docs_sharded): each shard's bitmap is bounded by the shard
     size, and no global bitmap ever materializes (a 10^12-doc corpus is
     ~10^5 shards of 2 MiB bitmaps, each pinned only where its shard
-    serves). ONE Spark job packs every shard's chunks: shard = global id
-    DIV shard width (shards are equal-width by construction,
-    build_sharded_index's `per`), then the same distributed packbits as
+    serves). ONE Spark job packs every shard's chunks: shard ownership
+    comes from the manifest bases — a single integer DIV when the shards
+    are the build's equal-width layout, a JVM-side scan of the (tiny)
+    bases array when appends (append_docs) have added variable-width
+    epochs — then the same distributed packbits as
     queries.build_doc_filter keyed by (shard, chunk)."""
     import numpy as np
     import pandas as pd
@@ -168,12 +308,31 @@ def build_doc_filters_sharded(spark: SparkSession, sidx: ShardedIndex,
     from dint_spark.queries import _FILTER_CHUNK_BITS, DocMask
 
     nsh = len(sidx.shards)
-    per = -(-sidx.num_docs // nsh)  # ceil; bases[s] = s * per
+    bases = sidx.bases
+    per = -(-sidx.num_docs // nsh)  # ceil; bases[s] = s * per pre-append
+    uniform = all(bases[s] == min(s * per, sidx.num_docs)
+                  for s in range(nsh + 1))
+    ids = allowed.select(F.col(id_col).cast("long").alias("doc_id"))
+    if uniform:
+        ids = (ids.withColumn("shard", F.expr(f"doc_id DIV {per}"))
+               .withColumn("local", F.col("doc_id") - F.col("shard") * per))
+    else:
+        cuts = F.array(*[F.lit(int(b)) for b in bases[1:-1]])
+        lows = F.array(*[F.lit(int(b)) for b in bases[:-1]])
+        ids = (
+            ids.withColumn(
+                "shard",
+                F.aggregate(
+                    cuts, F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("doc_id") >= b, 1).otherwise(0)))
+            .withColumn(
+                "local",
+                F.col("doc_id")
+                - F.element_at(lows, F.col("shard").cast("int") + 1))
+        )
     rows = (
-        allowed.select(F.col(id_col).cast("long").alias("doc_id"))
-        .withColumn("shard", F.expr(f"doc_id DIV {per}"))
-        .withColumn("local", F.col("doc_id") - F.col("shard") * per)
-        .withColumn("chunk", F.shiftright("local", 19))
+        ids.withColumn("chunk", F.shiftright("local", 19))
         .groupBy("shard", "chunk")
     )
 
@@ -228,10 +387,18 @@ def run_queries_sharded(
     parts = []
     for s, idx in enumerate(sidx.shards):
         base = sidx.bases[s]
+        # epochs built before an append baked a smaller corpus's avg_len;
+        # hand them the CURRENT global average (norms re-derive from raw
+        # lens, pruning bounds inflate — run_queries docstring). Shards
+        # already baked at the global value get None: byte-identical to
+        # the pre-append behavior, norms straight off the Index cache.
+        avg_ovr = (sidx.avg_len_f64
+                   if idx.avg_len_f64 != sidx.avg_len_f64 else None)
         r = run_queries(
             spark, idx, queries, algo=algo, k=k, dtype=dtype,
             df_overrides=dfo, idf_docs=sidx.num_docs,
             doc_filter=doc_filters[s] if doc_filters is not None else None,
+            avg_len_override=avg_ovr,
         )
         parts.append(
             r.select(
