@@ -1267,15 +1267,28 @@ def run_queries(
 
 
 def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
-                       DT, algo: str, k: int, live=None) -> list:
+                       DT, algo: str, k: int, live=None,
+                       df_overrides: dict | None = None,
+                       idf_docs: int | None = None,
+                       bound_inflate: float = 1.0) -> list:
     """Run the pinned-segment kernel over (query_id, terms) rows; returns
     (query_id, rank, doc_id, score) tuples. This is the exact worker-side
     body of BroadcastQueryServer.serve — factored out so the bench/profiler
-    can time the kernel alone (no Spark) against the same seg map."""
+    can time the kernel alone (no Spark) against the same seg map.
+
+    ``df_overrides``/``idf_docs``/``bound_inflate``: the same global-
+    statistics channel as build_cursors — sharded/appended serving
+    (sharding.ShardedQueryServer) hands every epoch the corpus-wide
+    (N, df) and, for epochs whose baked avg_len predates an append, the
+    certified pruning-bound inflation (norms are re-pinned at server
+    construction)."""
     from collections import Counter
 
     kernel = KERNELS[algo]
     scale = DT(1.0 + 1e-5) if DT is np.float64 else DT(1.0)
+    if bound_inflate != 1.0:
+        scale = DT(scale * DT(bound_inflate))
+    N = int(idf_docs) if idf_docs is not None else num_docs
     merge_chunks = algo in ("ranked_and",)
     outs = []
     for qid, terms in qid_terms:
@@ -1284,8 +1297,9 @@ def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
             parts = segs.get(tid)
             if parts is None:
                 continue
-            df_total = sum(p[1] for p in parts)
-            qw = _qtw(qf, df_total, num_docs, DT)
+            df_total = (int(df_overrides[tid]) if df_overrides
+                        else sum(p[1] for p in parts))
+            qw = _qtw(qf, df_total, N, DT)
             term_cursors = []
             for _, n, bmax, bms, endp, foff, payload, mw in (
                     p[:8] for p in parts):  # pos-pinned servers carry 2 more
@@ -1336,7 +1350,15 @@ class BroadcastQueryServer:
     def __init__(self, spark: SparkSession, index, terms: list | None = None,
                  dtype: str = "float32",
                  max_broadcast_bytes: int = 1 << 29,
-                 with_positions: bool = False):
+                 with_positions: bool = False,
+                 df_overrides: dict | None = None,
+                 idf_docs: int | None = None,
+                 avg_len_override: float | None = None):
+        """``df_overrides``/``idf_docs``/``avg_len_override``: global
+        statistics for multi-epoch serving (sharding.ShardedQueryServer
+        passes them per shard) — same semantics as run_queries. The norm
+        array re-pins from raw lens under the override average, and the
+        pruning-bound inflation is fixed at construction."""
         if with_positions and not getattr(index, "has_positions", False):
             raise ValueError("with_positions requires an index built with "
                              "IndexConfig(positions=True)")
@@ -1395,9 +1417,23 @@ class BroadcastQueryServer:
         # posting count (the kernel's dominant cost driver)
         self.term_cost = {tid: sum(p[1] for p in parts)
                           for tid, parts in seg_map.items()}
+        self.idf_docs = int(idf_docs) if idf_docs is not None else None
+        self.dfo_bc = (spark.sparkContext.broadcast(
+            {int(t): int(d) for t, d in df_overrides.items()})
+            if df_overrides is not None else None)
+        self.bound_inflate = 1.0
+        if avg_len_override is not None:
+            norms = index.norm_lens_for(float(avg_len_override), dtype)
+            baked = (index.avg_len_f64 if dtype == "float64"
+                     else float(index.avg_len))
+            ratio = float(avg_len_override) / baked
+            if ratio != 1.0:
+                self.bound_inflate = max(ratio, 1.0) * (1.0 + 1e-5)
+        else:
+            norms = (index.norm_lens if dtype == "float32"
+                     else index.norm_lens64)
         self.seg_bc = spark.sparkContext.broadcast(seg_map)
-        self.norm_bc = spark.sparkContext.broadcast(
-            index.norm_lens if dtype == "float32" else index.norm_lens64)
+        self.norm_bc = spark.sparkContext.broadcast(norms)
         self.docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
         self.freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
         # tombstones snapshot at pin time: later delete_docs calls need a
@@ -1464,6 +1500,8 @@ class BroadcastQueryServer:
         docs_dict_bc, freqs_dict_bc = self.docs_dict_bc, self.freqs_dict_bc
         tomb_bc = self._live_for(doc_filter)
         DT, num_docs = self.DT, self.num_docs
+        dfo_bc, idf_docs = self.dfo_bc, self.idf_docs
+        bound_inflate = self.bound_inflate
 
         qdf = self._binned_query_df(queries, partitions)
         if qdf is None:
@@ -1478,7 +1516,9 @@ class BroadcastQueryServer:
                 outs = _serve_kernel_rows(
                     zip(pdf["query_id"], pdf["terms"]), segs, dd, fd,
                     norm, num_docs, DT, algo, k,
-                    live=tomb_bc.value if tomb_bc is not None else None)
+                    live=tomb_bc.value if tomb_bc is not None else None,
+                    df_overrides=dfo_bc.value if dfo_bc else None,
+                    idf_docs=idf_docs, bound_inflate=bound_inflate)
                 if outs:
                     yield pd.DataFrame(
                         outs, columns=["query_id", "rank", "doc_id", "score"])

@@ -405,6 +405,14 @@ def run_queries_sharded(
                 "query_id", (F.col("doc_id") + base).alias("doc_id"), "score"
             )
         )
+    return _merge_topk(parts, k)
+
+
+def _merge_topk(parts: list, k: int) -> DataFrame:
+    """Union the shards' (query_id, doc_id, score) candidates and take the
+    global exact top-k by (score desc, doc_id asc) — each shard already
+    returned its local exact top-k, so the union holds every possible
+    global winner and the merge reproduces TopK's tie-breaks."""
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)
@@ -415,6 +423,74 @@ def run_queries_sharded(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "doc_id", "score")
     )
+
+
+class ShardedQueryServer:
+    """Document-partitioned SERVING over a sharded (and possibly appended)
+    index: one BroadcastQueryServer per epoch shard, each pinning its doc
+    range's segments executor-side once, every batch fanning out to all of
+    them and merging to the global exact top-k — the production topology
+    of web search at 10^12 docs (one pinned shard per executor group).
+
+    Global statistics are fixed at construction: N = the manifest's
+    num_docs, per-term df = the sum of every shard's pinned posting counts
+    (each shard's ``term_cost`` is exactly its build-time df per term — no
+    vocabulary scan), and epochs whose baked avg_len predates an append
+    re-pin their norm array under the CURRENT global average with the
+    certified pruning-bound inflation (queries.BroadcastQueryServer
+    override channel). Results are bit-identical to run_queries_sharded
+    and to a fresh unsharded build (tests/test_append.py).
+
+    ``terms=None`` pins each shard's whole index; a term list pins only
+    those terms' segments (queries outside it see no postings). The
+    broadcast budget applies PER SHARD.
+    """
+
+    def __init__(self, spark: SparkSession, sidx: ShardedIndex,
+                 terms: list | None = None, dtype: str = "float32",
+                 max_broadcast_bytes: int = 1 << 29):
+        from dint_spark.queries import BroadcastQueryServer
+
+        self.spark = spark
+        self.sidx = sidx
+        self.servers = []
+        for idx in sidx.shards:
+            avg_ovr = (sidx.avg_len_f64
+                       if idx.avg_len_f64 != sidx.avg_len_f64 else None)
+            self.servers.append(BroadcastQueryServer(
+                spark, idx, terms=terms, dtype=dtype,
+                max_broadcast_bytes=max_broadcast_bytes,
+                idf_docs=sidx.num_docs, avg_len_override=avg_ovr))
+        dfo: dict[int, int] = {}
+        for srv in self.servers:
+            for t, n in srv.term_cost.items():
+                dfo[t] = dfo.get(t, 0) + int(n)
+        # ONE broadcast of the global df map, shared by every shard server
+        dfo_bc = spark.sparkContext.broadcast(dfo)
+        for srv in self.servers:
+            srv.dfo_bc = dfo_bc
+
+    def serve(self, queries: list, algo: str = "block_max_wand_vec",
+              k: int = 10, partitions: int | None = None,
+              doc_filters: list | None = None) -> DataFrame:
+        """One batch against every pinned shard; returns the global exact
+        (query_id, rank, doc_id, score). ``doc_filters``: per-shard
+        DocMasks from build_doc_filters_sharded."""
+        if doc_filters is not None and len(doc_filters) != len(self.servers):
+            raise ValueError(
+                f"doc_filters must have one DocMask per shard "
+                f"({len(self.servers)}), got {len(doc_filters)}")
+        parts = []
+        for s, srv in enumerate(self.servers):
+            r = srv.serve(
+                queries, algo=algo, k=k, partitions=partitions,
+                doc_filter=doc_filters[s] if doc_filters is not None
+                else None)
+            parts.append(r.select(
+                "query_id",
+                (F.col("doc_id") + self.sidx.bases[s]).alias("doc_id"),
+                "score"))
+        return _merge_topk(parts, k)
 
 
 def delete_docs_sharded(spark: SparkSession, sidx: ShardedIndex,

@@ -238,6 +238,41 @@ def test_filters_after_append(appended):
     assert (r1["doc_id"] % 3 == 0).all()
 
 
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_sharded_server_over_epochs(appended, dtype):
+    """ShardedQueryServer (pinned per-epoch serving): global df from the
+    summed pinned posting counts, N from the manifest, pre-append epoch
+    norms re-pinned under the post-append average — served results equal
+    the fresh full build bit-for-bit."""
+    from dint_spark.sharding import ShardedQueryServer
+
+    idx_full, sidx, _, tq = appended
+    spark = idx_full.spark
+    srv = ShardedQueryServer(spark, sidx, dtype=dtype)
+    for algo in ("block_max_wand_vec", "maxscore"):
+        r1 = _pdf(run_queries(spark, idx_full, _resolve(idx_full, tq),
+                              algo=algo, k=10, dtype=dtype))
+        r2 = _pdf(srv.serve(_resolve(sidx, tq), algo=algo, k=10))
+        assert r1.equals(r2)
+
+
+def test_sharded_server_filtered(appended):
+    from dint_spark.sharding import ShardedQueryServer
+
+    idx_full, sidx, _, tq = appended
+    spark = idx_full.spark
+    allowed = spark.range(0, N_DOCS, 2).select(F.col("id").alias("doc_id"))
+    m_full = build_doc_filter(spark, allowed, idx_full.num_docs)
+    m_shards = build_doc_filters_sharded(spark, sidx, allowed)
+    srv = ShardedQueryServer(spark, sidx)
+    r1 = _pdf(run_queries(spark, idx_full, _resolve(idx_full, tq),
+                          algo="block_max_wand_vec", k=10,
+                          doc_filter=m_full))
+    r2 = _pdf(srv.serve(_resolve(sidx, tq), k=10, doc_filters=m_shards))
+    assert r1.equals(r2)
+    assert (r1["doc_id"] % 2 == 0).all()
+
+
 def test_append_empty_is_noop(appended):
     _, sidx, _, _ = appended
     spark = sidx.spark
