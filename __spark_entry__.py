@@ -172,6 +172,36 @@ scored AS (
 
 _SCORED = _scored_cte()
 
+
+def _lm_scored(mu: float = 2000.0) -> str:
+    """Query-likelihood/Dirichlet scoring CTE (matched-docs-only form) —
+    mirrors queries.run_queries_lm operation-for-operation: cf_t/C in
+    exact integer-to-double division, ln(1 + tf/(mu*(cf/C))) per matched
+    term, plus |q|*ln(mu/(mu+len)) once per matched doc."""
+    return f"""
+, {_q_values()},
+coll AS (SELECT sum(len)::BIGINT AS c FROM dl),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+qlen AS (SELECT query_id, sum(qf)::BIGINT AS ql FROM qs GROUP BY 1),
+lm1 AS (
+  SELECT qs.query_id, tf.doc_id,
+         sum(qs.qf * ln(1 + tf.tf / ({mu} * (cf.cf / coll.c)))) AS s1
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN cf ON cf.term = v.term
+  CROSS JOIN coll
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         p.s1 + q.ql * ln({mu} / ({mu} + dl.len)) AS score
+  FROM lm1 p
+  JOIN qlen q ON q.query_id = p.query_id
+  JOIN dl ON dl.doc_id = p.doc_id
+)
+"""
+
 # the surviving corpus after the driver's deterministic tombstone set
 # (doc_id % 7 == 3), with doc ids re-ranked densely in old-id order —
 # exactly compact_index's contract (dint_spark/compact.py): term ids,
@@ -402,6 +432,23 @@ def _entry_bm25_sharded(spark, sf_dir):
     sidx = _get_sharded_index(spark, sf_dir)
     raw = run_queries_sharded(spark, sidx, QUERY_SPECS,
                               algo="block_max_wand", k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
+LM_MU = 2000.0
+
+
+def _entry_lmdir_ranked(spark, sf_dir):
+    """Query-likelihood top-10 with Dirichlet smoothing (mu=2000) — the
+    second classical ranking family next to BM25, scored exhaustively
+    into the dense accumulator (queries.run_queries_lm; no reference
+    counterpart — the reference scores BM25 only, include/ds2i/bm25.hpp).
+    Collection stats (cf_t, C) come from the index's own postings; the
+    oracle recomputes them from the documents table."""
+    from dint_spark.queries import run_queries_lm
+
+    idx = _get_index(spark, sf_dir)
+    raw = run_queries_lm(spark, idx, QUERY_SPECS, mu=LM_MU, k=100)
     return _rank_quantized(raw)
 
 
@@ -710,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_rerank": _entry_search_rerank,
         "bm25_appended": _entry_bm25_appended,
+        "lmdir_ranked": _entry_lmdir_ranked,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
@@ -1424,6 +1472,7 @@ FROM tf GROUP BY term ORDER BY term
         # same full-corpus SQL as search_text: the appended two-epoch index
         # must reproduce the one-shot build's ranking exactly
         "bm25_appended": _topk_or_sql(scored=_text_scored()),
+        "lmdir_ranked": _topk_or_sql(scored=_lm_scored()),
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,

@@ -1266,6 +1266,113 @@ def run_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, schema=TOPK_SCHEMA)
 
 
+def run_queries_lm(
+    spark: SparkSession,
+    index,
+    queries: list,
+    mu: float = 2000.0,
+    k: int = 10,
+    doc_filter: DocMask | None = None,
+    qpart_mult: int = 2,
+) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing — the
+    second classical ranking family next to BM25 (Zhai & Lafferty 2001;
+    Lucene's LMDirichletSimilarity). No reference counterpart: the
+    reference scores BM25 only (include/ds2i/bm25.hpp).
+
+    For docs matching >= 1 query term (rank-equivalent matched-only form):
+
+        S(d) = sum_t qf_t * ln(1 + tf_td / (mu * (cf_t / C)))
+             + |q| * ln(mu / (mu + len_d))
+
+    with cf_t the collection frequency of t, C the total token count, and
+    |q| = sum of qf over the query's in-index terms. All float64 with the
+    exact operation order of the SQL oracle, so quantized ranks agree.
+
+    Execution shape: the same pruned-scan applyInPandas plan as
+    run_queries, scored EXHAUSTIVELY into a dense per-shard accumulator
+    (the dense-accumulator path of ranked_or) — cf_t comes free from the
+    full decode the exhaustive scorer performs anyway, and the raw lens
+    array ships instead of BM25 norms (LM needs lengths, not norms).
+    WAND-style pruning needs per-term LM upper bounds the index doesn't
+    store; at this engine's measured decode rates the exhaustive path is
+    the honest default, and the pruned BM25 kernels remain the serving
+    path. Tombstones/DocMask compose at selection time with build-time
+    collection statistics (the liveDocs stale-stats contract, like BM25).
+    """
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    num_docs = index.num_docs
+    lens = index.lens
+    c_total = int(lens.sum())
+    lens_bc = spark.sparkContext.broadcast(lens)
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    mu_f = float(mu)
+
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+    joined = joined.repartition(
+        spark.sparkContext.defaultParallelism * qpart_mult, "query_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id",
+                                         "score"])
+        qid = int(pdf["query_id"].iloc[0])
+        dd, fd = docs_dict_bc.value, freqs_dict_bc.value
+        dlen = lens_bc.value
+        acc = np.zeros(num_docs, dtype=np.float64)
+        matched = np.zeros(num_docs, dtype=bool)
+        ql = 0
+        for term_id, rows in pdf.groupby("term_id", sort=True):
+            qf = int(rows["qf"].iloc[0])
+            ql += qf
+            parts = []
+            for row in rows.sort_values("seg_id").itertuples():
+                c = Cursor(row.n, row.block_maxs, row.endpoints,
+                           row.freq_offsets, row.payload, num_docs, dd, fd,
+                           block_max_scores=row.block_max_scores,
+                           term_id=int(term_id))
+                parts.append(c.decode_all())
+            docs = np.concatenate([p[0] for p in parts])
+            frs = np.concatenate([p[1] for p in parts])
+            cf = int(frs.sum())
+            x = frs.astype(np.float64) / (mu_f * (cf / c_total))
+            # a posting list holds each doc once -> fancy += is exact
+            acc[docs] += qf * np.log(1.0 + x)
+            matched[docs] = True
+        live = tomb_bc.value if tomb_bc is not None else None
+        if live is not None:
+            matched &= live.mask
+        cand = np.nonzero(matched)[0]
+        scores = acc[cand] + ql * np.log(mu_f / (mu_f + dlen[cand]
+                                                 .astype(np.float64)))
+        order = np.lexsort((cand, -scores))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": cand[order],
+            "score": scores[order],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one,
+                                                    schema=TOPK_SCHEMA)
+
+
 def _serve_kernel_rows(qid_terms, segs: dict, dd, fd, norm, num_docs: int,
                        DT, algo: str, k: int, live=None,
                        df_overrides: dict | None = None,
