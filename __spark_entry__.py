@@ -173,6 +173,94 @@ scored AS (
 _SCORED = _scored_cte()
 
 
+def _rm3_sql() -> str:
+    """The full RM3 loop in SQL, operation-matched to search.rm3_expand +
+    the weighted BM25 kernel: quantized feedback cut, uniform-prior
+    relevance model (tf/len summed per term / n_fb, quantized 1e-12),
+    (pq desc, term asc) top-N, interpolated weights, weighted rescoring."""
+    a = RM3_A
+    one_minus_a = 1.0 - RM3_A
+    return (
+        _PRELUDE + _SCORED
+        + f"""
+, cands AS (
+  SELECT query_id, doc_id FROM (
+    SELECT r.query_id, r.doc_id,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+           ) AS crank
+    FROM scored r
+  ) c WHERE crank <= {RM3_FB_DOCS}
+),
+ftoks AS (
+  SELECT c.query_id, c.doc_id, t.term
+  FROM cands c JOIN toks2 t ON t.doc_id = c.doc_id
+),
+ftf AS (SELECT query_id, doc_id, term, count(*)::BIGINT AS tf
+        FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT query_id, doc_id, count(*)::BIGINT AS len
+        FROM ftoks GROUP BY 1, 2),
+nfb AS (SELECT query_id, count(*)::BIGINT AS n_fb FROM cands GROUP BY 1),
+rm AS (
+  SELECT f.query_id, f.term,
+         floor(sum(f.tf / d.len) / max(n.n_fb) * 1e12)::BIGINT AS pq
+  FROM ftf f
+  JOIN fdl d ON d.query_id = f.query_id AND d.doc_id = f.doc_id
+  JOIN nfb n ON n.query_id = f.query_id
+  GROUP BY 1, 2
+),
+topn AS (
+  SELECT query_id, term, pq FROM (
+    SELECT query_id, term, pq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY pq DESC, term ASC) AS rn
+    FROM rm
+  ) t WHERE rn <= {RM3_FB_TERMS}
+),
+qlen AS (SELECT query_id, sum(qf)::BIGINT AS ql FROM qs GROUP BY 1),
+wexp AS (
+  SELECT t.query_id, v.term_id, t.pq
+  FROM topn t JOIN vocab v ON v.term = t.term
+),
+wq AS (
+  SELECT coalesce(o.query_id, e.query_id) AS query_id,
+         coalesce(o.term_id, e.term_id) AS term_id,
+         coalesce({a} * (o.qf / l.ql), 0)
+           + coalesce({one_minus_a} * (e.pq / 1e12), 0) AS w
+  FROM qs o
+  FULL OUTER JOIN wexp e
+    ON e.query_id = o.query_id AND e.term_id = o.term_id
+  JOIN qlen l ON l.query_id = coalesce(o.query_id, e.query_id)
+),
+wscored AS (
+  SELECT w.query_id, tf.doc_id,
+         sum(
+           w.w * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM wq w
+  JOIN vocab v ON v.term_id = w.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT r.query_id, r.doc_id,
+         floor(r.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+         )::INT AS rank
+  FROM wscored r
+) ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+    )
+
+
 def _lm_scored(mu: float = 2000.0) -> str:
     """Query-likelihood/Dirichlet scoring CTE (matched-docs-only form) —
     mirrors queries.run_queries_lm operation-for-operation: cf_t/C in
@@ -432,6 +520,30 @@ def _entry_bm25_sharded(spark, sf_dir):
     sidx = _get_sharded_index(spark, sf_dir)
     raw = run_queries_sharded(spark, sidx, QUERY_SPECS,
                               algo="block_max_wand", k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
+RM3_FB_DOCS = 10
+RM3_FB_TERMS = 10
+RM3_A = 0.5
+
+
+def _entry_search_rm3(spark, sf_dir):
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft; Anserini's RM3
+    default reranker): BM25 top-10 feedback docs -> uniform-prior
+    relevance model over their vocabulary (p quantized at 1e-12 so the
+    expansion-term selection replays in SQL) -> top-10 expansion terms ->
+    weighted BM25 re-query interpolating the original query at a=0.5
+    (search.rm3_search; run_queries weighted=True). No reference
+    counterpart — the reference has no feedback loop."""
+    from dint_spark.search import rm3_search
+
+    idx = _get_index(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    raw = rm3_search(spark, idx, QUERY_SPECS, docs,
+                     fb_docs=RM3_FB_DOCS, fb_terms=RM3_FB_TERMS,
+                     orig_weight=RM3_A, k=100, algo="block_max_wand",
+                     dtype="float64")
     return _rank_quantized(raw)
 
 
@@ -758,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rerank": _entry_search_rerank,
         "bm25_appended": _entry_bm25_appended,
         "lmdir_ranked": _entry_lmdir_ranked,
+        "search_rm3": _entry_search_rm3,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
@@ -1473,6 +1586,7 @@ FROM tf GROUP BY term ORDER BY term
         # must reproduce the one-shot build's ranking exactly
         "bm25_appended": _topk_or_sql(scored=_text_scored()),
         "lmdir_ranked": _topk_or_sql(scored=_lm_scored()),
+        "search_rm3": _rm3_sql(),
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,

@@ -1098,7 +1098,10 @@ def build_cursors(group: pd.DataFrame, docs_dict, freqs_dict, num_docs: int,
     for term_id, rows in group.groupby("term_id", sort=True):
         df_total = (int(df_overrides[int(term_id)]) if df_overrides
                     else int(rows["n"].sum()))
-        qw = _qtw(int(rows["qf"].iloc[0]), df_total, N, DT)
+        # qf is an int count for plain queries, a float for weighted
+        # (RM3-expanded) ones — DT() of an exact int float is bit-equal
+        # to DT() of the int, so the plain path is unchanged
+        qw = _qtw(float(rows["qf"].iloc[0]), df_total, N, DT)
         scale = base_scale
         term_cursors = []
         for row in rows.itertuples():
@@ -1160,9 +1163,16 @@ def run_queries(
     qpart_mult: int = 2,
     doc_filter: DocMask | None = None,
     avg_len_override: float | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Distributed batch retrieval. queries: DataFrame(query_id, terms
     array<long>) or list[list[int]]. Returns (query_id, rank, doc_id, score).
+
+    ``weighted=True``: queries is a list of [(term_id, weight), ...] lists
+    with FLOAT per-term weights replacing the integer qf in the BM25
+    query-term weight (qw = w * max(1e-6, idf) * (1+k1)) — the channel
+    RM3 query expansion (search.rm3_search) re-queries through. Duplicate
+    term ids within one query sum their weights.
 
     ``avg_len_override``: the CURRENT global average document length when
     it differs from the one baked into this index at build time (an epoch
@@ -1188,7 +1198,26 @@ def run_queries(
     task count via LPT bins instead of hash spreading.
     """
     local_terms = None
-    if not isinstance(queries, DataFrame):
+    qterms_weighted = None
+    if weighted:
+        if isinstance(queries, DataFrame):
+            raise ValueError("weighted=True takes [(term_id, weight)] lists")
+        local_terms = sorted({int(t) for ts in queries for t, _ in ts})
+        rows = [(i, int(t), float(w))
+                for i, ts in enumerate(queries) for t, w in ts]
+        qterms_weighted = (
+            spark.createDataFrame(
+                rows,
+                schema=T.StructType([
+                    T.StructField("query_id", T.LongType(), False),
+                    T.StructField("term_id", T.LongType(), False),
+                    T.StructField("qf", T.DoubleType(), False),
+                ]),
+            )
+            .groupBy("query_id", "term_id")
+            .agg(F.sum("qf").alias("qf"))
+        )
+    elif not isinstance(queries, DataFrame):
         local_terms = sorted({int(t) for ts in queries for t in ts})
         queries = spark.createDataFrame(
             [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
@@ -1220,11 +1249,14 @@ def run_queries(
     tomb_bc = _live_bc(spark, index, doc_filter)
     kernel = KERNELS[algo]
 
-    qterms = (
-        queries.select("query_id", F.explode("terms").alias("term_id"))
-        .groupBy("query_id", "term_id")
-        .agg(F.count("*").alias("qf"))
-    )
+    if qterms_weighted is not None:
+        qterms = qterms_weighted
+    else:
+        qterms = (
+            queries.select("query_id", F.explode("terms").alias("term_id"))
+            .groupBy("query_id", "term_id")
+            .agg(F.count("*").alias("qf"))
+        )
     # explicit projection: positional indexes carry a pos_payload column
     # that BM25 kernels never read — keep it out of the scan + shuffle
     joined = qterms.join(

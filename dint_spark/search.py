@@ -306,6 +306,139 @@ def search_text(
 
 
 # ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback: expand -> weighted re-query
+# ---------------------------------------------------------------------------
+
+def rm3_expand(
+    spark: SparkSession,
+    index,
+    queries: list,
+    docs_df: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    algo: str = "block_max_wand",
+    dtype: str = "float64",
+    doc_filter: DocMask | None = None,
+) -> list:
+    """RM3 pseudo-relevance-feedback expansion (Lavrenko & Croft relevance
+    models; Lucene/Anserini's RM3 reranker — no reference counterpart,
+    the reference has no feedback loop): per query, retrieve the BM25
+    top-``fb_docs``, estimate the relevance model over their vocabulary
+    with a uniform document prior,
+
+        p(w|R) = (1/n_fb) * sum_{d in FB} tf(w,d) / |d|,
+
+    take the top-``fb_terms`` expansion terms by (p desc, term asc) on a
+    1e-12-quantized p (the quantization makes the selection and the final
+    weights replayable in SQL), and return WEIGHTED query specs
+
+        w(t) = a * qf_t/|q|  +  (1-a) * p(t|R) * [t selected],
+
+    the interpolation of the original query distribution with the
+    relevance model (a = ``orig_weight``). Feed the result to
+    run_queries(..., weighted=True) — rm3_search does both steps.
+
+    Scale shape: phase 1 is the standard pruned-scan batch; the feedback
+    join BROADCASTS the candidate ids (|Q| x fb_docs rows) against
+    ``docs_df`` (doc_id, text), tokenization/explode/aggregation stay
+    JVM-side, and only |Q| x fb_terms expansion rows ever reach the
+    driver. Nothing corpus-sized shuffles.
+    """
+    from pyspark.sql import Window
+
+    a = float(orig_weight)
+    # over-fetch 2x raw, cut to fb_docs on the QUANTIZED score: the
+    # feedback set boundary is decided by the reproducible ranking (the
+    # rerank_by_embedding contract)
+    raw = run_queries(spark, index, queries, algo=algo, k=2 * fb_docs,
+                      dtype=dtype, doc_filter=doc_filter)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    cands = (
+        raw.withColumn("score_q",
+                       F.floor(F.col("score").cast("double") * 1e9)
+                       .cast("long"))
+        .withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+
+    toks = (
+        docs_df.join(F.broadcast(cands), "doc_id")
+        .select(
+            "query_id", "doc_id",
+            F.explode(F.array_remove(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), "")
+            ).alias("term"))
+    )
+    tf = toks.groupBy("query_id", "doc_id", "term").agg(
+        F.count("*").alias("tf"))
+    dl = toks.groupBy("query_id", "doc_id").agg(F.count("*").alias("len"))
+    nfb = cands.groupBy("query_id").agg(F.count("*").alias("n_fb"))
+    rm = (
+        tf.join(dl, ["query_id", "doc_id"])
+        .withColumn("contrib", F.col("tf") / F.col("len"))
+        .groupBy("query_id", "term")
+        .agg(F.sum("contrib").alias("s"))
+        .join(F.broadcast(nfb), "query_id")
+        .withColumn("pq", F.floor(F.col("s") / F.col("n_fb") * 1e12)
+                    .cast("long"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("pq"), F.asc("term"))
+    topn = (
+        rm.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= fb_terms)
+        .select("query_id", "term", "pq")
+    )
+    # expansion terms -> ids through the pushed-filter vocab scan
+    exp_rows = topn.collect()
+    tid = lookup_term_ids(index, [r["term"] for r in exp_rows])
+    exp: dict[int, list] = {}
+    for r in exp_rows:
+        t = tid.get(r["term"])
+        if t is not None:
+            exp.setdefault(int(r["query_id"]), []).append(
+                (t, int(r["pq"])))
+
+    specs: list[list[tuple[int, float]]] = []
+    for qid, terms in enumerate(queries):
+        from collections import Counter
+
+        qf = Counter(int(t) for t in terms)
+        ql = sum(qf.values())
+        sel = dict(exp.get(qid, []))
+        w = {t: a * (n / ql) for t, n in qf.items()}
+        for t, pq in sel.items():
+            w[t] = w.get(t, 0.0) + (1.0 - a) * (pq / 1e12)
+        specs.append(sorted(w.items()))
+    return specs
+
+
+def rm3_search(
+    spark: SparkSession,
+    index,
+    queries: list,
+    docs_df: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    k: int = 10,
+    algo: str = "block_max_wand",
+    dtype: str = "float64",
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Full RM3 loop: retrieve -> relevance-model expansion -> weighted
+    BM25 re-query (rm3_expand + run_queries(weighted=True))."""
+    specs = rm3_expand(spark, index, queries, docs_df, fb_docs=fb_docs,
+                       fb_terms=fb_terms, orig_weight=orig_weight,
+                       algo=algo, dtype=dtype, doc_filter=doc_filter)
+    return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
+                       doc_filter=doc_filter, weighted=True)
+
+
+# ---------------------------------------------------------------------------
 # two-phase retrieval: BM25 candidates -> embedding-cosine rerank
 # ---------------------------------------------------------------------------
 
