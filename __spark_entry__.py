@@ -173,6 +173,66 @@ scored AS (
 _SCORED = _scored_cte()
 
 
+def _synonyms_sql() -> str:
+    """Synonym-expanded weighted BM25, operation-matched to
+    search.search_synonyms: per-token weight 1.0 + SYN_WEIGHT per synonym
+    occurrence, summed per term (binary-fraction weights — exact in any
+    order), scored through the weighted-kernel formula."""
+    syn_vals = ", ".join(
+        f"('{t}', '{s}')" for t, alts in sorted(SYNONYM_MAP.items())
+        for s in alts)
+    q_vals = ", ".join(f"({i}, '{s}')"
+                       for i, s in enumerate(SYN_QUERY_SPECS))
+    return (
+        _PRELUDE
+        + f"""
+, synmap(term, syn) AS (VALUES {syn_vals}),
+qraw AS (SELECT * FROM (VALUES {q_vals}) AS t(query_id, qtext)),
+qtok AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '[^0-9a-z]+')) AS term
+  FROM qraw
+),
+qtok2 AS (SELECT query_id, term FROM qtok WHERE term <> ''),
+contrib AS (
+  SELECT query_id, term, 1.0::DOUBLE AS w FROM qtok2
+  UNION ALL
+  SELECT q.query_id, s.syn AS term, {SYN_WEIGHT}::DOUBLE AS w
+  FROM qtok2 q JOIN synmap s ON s.term = q.term
+),
+wq AS (
+  SELECT c.query_id, v.term_id, sum(c.w) AS w
+  FROM contrib c JOIN vocab v ON v.term = c.term
+  GROUP BY 1, 2
+),
+wscored AS (
+  SELECT w.query_id, tf.doc_id,
+         sum(
+           w.w * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM wq w
+  JOIN vocab v ON v.term_id = w.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT r.query_id, r.doc_id,
+         floor(r.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+         )::INT AS rank
+  FROM wscored r
+) ranked
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+    )
+
+
 def _rm3_sql() -> str:
     """The full RM3 loop in SQL, operation-matched to search.rm3_expand +
     the weighted BM25 kernel: quantized feedback cut, uniform-prior
@@ -520,6 +580,39 @@ def _entry_bm25_sharded(spark, sf_dir):
     sidx = _get_sharded_index(spark, sf_dir)
     raw = run_queries_sharded(spark, sidx, QUERY_SPECS,
                               algo="block_max_wand", k=100, dtype="float64")
+    return _rank_quantized(raw)
+
+
+# query-time synonym workload: expansions that hit (scan->stream,
+# sort->order/merge), a synonym equal to another query's token, repeated
+# tokens (weights sum: 2.0 + 2x0.5), and an all-OOV query (no rows)
+SYNONYM_MAP: dict[str, list[str]] = {
+    "scan": ["search", "stream"],
+    "big": ["small"],
+    "table": ["data"],
+    "sort": ["order", "merge"],
+}
+SYN_QUERY_SPECS: list[str] = [
+    "fast scan",
+    "big table",
+    "sort the data",
+    "scan scan",
+    "zzz missing words",
+]
+SYN_WEIGHT = 0.5  # binary fraction: weight sums exact in any add order
+
+
+def _entry_search_synonyms(spark, sf_dir):
+    """Query-time synonym expansion (Lucene SynonymQuery semantics): each
+    token weighs 1.0, each synonym ``SYN_WEIGHT``; the expanded query
+    ranks as a weighted BM25 disjunction through run_queries
+    weighted=True (search.search_synonyms; no reference counterpart)."""
+    from dint_spark.search import search_synonyms
+
+    idx = _get_index(spark, sf_dir)
+    raw = search_synonyms(spark, idx, SYN_QUERY_SPECS, SYNONYM_MAP,
+                          syn_weight=SYN_WEIGHT, algo="block_max_wand",
+                          k=100, dtype="float64")
     return _rank_quantized(raw)
 
 
@@ -871,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_appended": _entry_bm25_appended,
         "lmdir_ranked": _entry_lmdir_ranked,
         "search_rm3": _entry_search_rm3,
+        "search_synonyms": _entry_search_synonyms,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
         "phrase_ranked": _entry_phrase_ranked,
@@ -1587,6 +1681,7 @@ FROM tf GROUP BY term ORDER BY term
         "bm25_appended": _topk_or_sql(scored=_text_scored()),
         "lmdir_ranked": _topk_or_sql(scored=_lm_scored()),
         "search_rm3": _rm3_sql(),
+        "search_synonyms": _synonyms_sql(),
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
         "phrase_ranked": _PHRASE_RANKED_SQL,

@@ -305,6 +305,58 @@ def search_text(
                        doc_filter=doc_filter)
 
 
+def search_synonyms(
+    spark: SparkSession,
+    index,
+    queries: list[str],
+    synonyms: dict[str, list[str]],
+    syn_weight: float = 0.5,
+    algo: str = "block_max_wand",
+    k: int = 10,
+    dtype: str = "float64",
+    nfc: bool = False,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Query-time synonym expansion (Lucene's SynonymQuery/SynonymGraph
+    applied at query time — no reference counterpart): every occurrence
+    of a query token contributes weight 1.0 to its own term and
+    ``syn_weight`` to each synonym; per-term weights sum and the expanded
+    query ranks as a weighted BM25 disjunction (run_queries
+    weighted=True), so synonym hits score on the same scale as plain
+    queries, discounted by ``syn_weight``.
+
+    ``synonyms`` is a driver-side term -> [synonym terms] map (a
+    thesaurus is dimension-sized; both sides normalize through the pinned
+    single-token contract). OOV terms drop after expansion — a query
+    whose every expanded term is OOV returns no rows. Keep ``syn_weight``
+    a binary fraction (0.5, 0.25, ...) when SQL-oracle exactness matters:
+    weight sums are then exact in any accumulation order.
+    """
+    syn_norm: dict[str, list[str]] = {}
+    for w, alts in synonyms.items():
+        t = _single_token(w, nfc=nfc)
+        if t is None:
+            continue
+        outs = [_single_token(s, nfc=nfc) for s in alts]
+        syn_norm[t] = [s for s in outs if s]
+
+    toks = [tokenize_query(q, nfc=nfc) for q in queries]
+    weights: list[dict[str, float]] = []
+    for ts in toks:
+        w: dict[str, float] = {}
+        for t in ts:
+            w[t] = w.get(t, 0.0) + 1.0
+            for s in syn_norm.get(t, ()):
+                w[s] = w.get(s, 0.0) + float(syn_weight)
+        weights.append(w)
+
+    tid = lookup_term_ids(index, [t for w in weights for t in w])
+    specs = [sorted((tid[t], wt) for t, wt in w.items() if t in tid)
+             for w in weights]
+    return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
+                       doc_filter=doc_filter, weighted=True)
+
+
 # ---------------------------------------------------------------------------
 # RM3 pseudo-relevance feedback: expand -> weighted re-query
 # ---------------------------------------------------------------------------

@@ -146,6 +146,38 @@ def test_rm3_pure_original_weight_preserves_ranking(rm3_fixture):
     assert plain == pure
 
 
+def test_synonyms_match_brute_force(rm3_fixture):
+    """search_synonyms == hand-computed weighted BM25 (1.0 per token,
+    0.5 per synonym occurrence, OOV dropped after expansion)."""
+    from dint_spark.search import search_synonyms
+
+    idx, toks, vocab, _ = rm3_fixture
+    inv = {tid: w for w, tid in vocab.items()}
+    words = sorted(vocab)[:8]
+    synmap = {words[0]: [words[1], words[2]],
+              words[3]: [words[4]],
+              words[5]: ["zzznotavocabword"]}
+    queries = [f"{words[0]} {words[3]}",      # two expansions fire
+               f"{words[0]} {words[0]}",      # repeats: 2.0 + 2x0.5
+               f"{words[5]}",                 # OOV synonym drops
+               words[6],                      # no synonyms
+               "zzzmissing"]                  # all-OOV -> no rows
+    got = _engine_ids(search_synonyms(
+        idx.spark, idx, queries, synmap, syn_weight=0.5, k=20,
+        dtype="float64"))
+    for qid, q in enumerate(queries):
+        w: dict[int, float] = {}
+        for t in q.split():
+            if t in vocab:
+                w[vocab[t]] = w.get(vocab[t], 0.0) + 1.0
+            for s in synmap.get(t, ()):
+                if s in vocab:
+                    w[vocab[s]] = w.get(vocab[s], 0.0) + 0.5
+        want = (_topk_ids(_brute_bm25(toks, [], inv, weights=w), 10)
+                if w else [])
+        assert got.get(qid, []) == want, f"query {qid}"
+
+
 def test_rm3_expansion_adds_terms(rm3_fixture):
     idx, _, vocab, docs_df = rm3_fixture
     qs = _queries(vocab)
