@@ -361,45 +361,24 @@ def search_synonyms(
 # RM3 pseudo-relevance feedback: expand -> weighted re-query
 # ---------------------------------------------------------------------------
 
-def rm3_expand(
+def rm3_relevance_model(
     spark: SparkSession,
     index,
     queries: list,
     docs_df: DataFrame,
     fb_docs: int = 10,
     fb_terms: int = 10,
-    orig_weight: float = 0.5,
     algo: str = "block_max_wand",
     dtype: str = "float64",
     doc_filter: DocMask | None = None,
-) -> list:
-    """RM3 pseudo-relevance-feedback expansion (Lavrenko & Croft relevance
-    models; Lucene/Anserini's RM3 reranker — no reference counterpart,
-    the reference has no feedback loop): per query, retrieve the BM25
-    top-``fb_docs``, estimate the relevance model over their vocabulary
-    with a uniform document prior,
-
-        p(w|R) = (1/n_fb) * sum_{d in FB} tf(w,d) / |d|,
-
-    take the top-``fb_terms`` expansion terms by (p desc, term asc) on a
-    1e-12-quantized p (the quantization makes the selection and the final
-    weights replayable in SQL), and return WEIGHTED query specs
-
-        w(t) = a * qf_t/|q|  +  (1-a) * p(t|R) * [t selected],
-
-    the interpolation of the original query distribution with the
-    relevance model (a = ``orig_weight``). Feed the result to
-    run_queries(..., weighted=True) — rm3_search does both steps.
-
-    Scale shape: phase 1 is the standard pruned-scan batch; the feedback
-    join BROADCASTS the candidate ids (|Q| x fb_docs rows) against
-    ``docs_df`` (doc_id, text), tokenization/explode/aggregation stay
-    JVM-side, and only |Q| x fb_terms expansion rows ever reach the
-    driver. Nothing corpus-sized shuffles.
-    """
+) -> DataFrame:
+    """The distributed half of RM3: per query, the top-``fb_terms``
+    relevance-model terms as a LAZY DataFrame (query_id, term, pq) with
+    pq = floor(p(w|R) * 1e12). The candidate ids BROADCAST against
+    ``docs_df``; tokenize/explode/aggregate run JVM-side; the output is
+    |Q| x fb_terms rows (the only thing rm3_expand ever collects)."""
     from pyspark.sql import Window
 
-    a = float(orig_weight)
     # over-fetch 2x raw, cut to fb_docs on the QUANTIZED score: the
     # feedback set boundary is decided by the reproducible ranking (the
     # rerank_by_embedding contract)
@@ -439,11 +418,54 @@ def rm3_expand(
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("pq"), F.asc("term"))
-    topn = (
+    return (
         rm.withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") <= fb_terms)
         .select("query_id", "term", "pq")
     )
+
+
+def rm3_expand(
+    spark: SparkSession,
+    index,
+    queries: list,
+    docs_df: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    algo: str = "block_max_wand",
+    dtype: str = "float64",
+    doc_filter: DocMask | None = None,
+) -> list:
+    """RM3 pseudo-relevance-feedback expansion (Lavrenko & Croft relevance
+    models; Lucene/Anserini's RM3 reranker — no reference counterpart,
+    the reference has no feedback loop): per query, retrieve the BM25
+    top-``fb_docs``, estimate the relevance model over their vocabulary
+    with a uniform document prior,
+
+        p(w|R) = (1/n_fb) * sum_{d in FB} tf(w,d) / |d|,
+
+    take the top-``fb_terms`` expansion terms by (p desc, term asc) on a
+    1e-12-quantized p (the quantization makes the selection and the final
+    weights replayable in SQL), and return WEIGHTED query specs
+
+        w(t) = a * qf_t/|q|  +  (1-a) * p(t|R) * [t selected],
+
+    the interpolation of the original query distribution with the
+    relevance model (a = ``orig_weight``). Feed the result to
+    run_queries(..., weighted=True) — rm3_search does both steps.
+
+    Scale shape: phase 1 is the standard pruned-scan batch; the feedback
+    join BROADCASTS the candidate ids (|Q| x fb_docs rows) against
+    ``docs_df`` (doc_id, text), tokenization/explode/aggregation stay
+    JVM-side, and only |Q| x fb_terms expansion rows ever reach the
+    driver. Nothing corpus-sized shuffles.
+    """
+    a = float(orig_weight)
+    topn = rm3_relevance_model(spark, index, queries, docs_df,
+                               fb_docs=fb_docs, fb_terms=fb_terms,
+                               algo=algo, dtype=dtype,
+                               doc_filter=doc_filter)
     # expansion terms -> ids through the pushed-filter vocab scan
     exp_rows = topn.collect()
     tid = lookup_term_ids(index, [r["term"] for r in exp_rows])

@@ -301,6 +301,56 @@ def main() -> None:
         "a cartesian/BNLJ — decode + reconstruct stays O(postings).",
     ))
 
+    # 13. RM3 relevance model: the feedback join must BROADCAST the tiny
+    # candidate set against the corpus table (never shuffle the corpus),
+    # and the tf/len/model aggregations must be partial+final hash aggs.
+    from dint_spark.search import rm3_relevance_model
+
+    docs13 = spark.read.parquet(os.path.join(SF, "documents.parquet")) \
+        .select("doc_id", "text")
+    qs13 = [[0, 1], [2, 5, 7]]
+    p13 = plan_of(rm3_relevance_model(spark, idx, qs13, docs13,
+                                      fb_docs=5, fb_terms=5))
+    shapes13 = _join_shapes(p13)
+    ok13 = ("CartesianProduct" not in p13
+            and "BroadcastHashJoin" in p13
+            and p13.count("HashAggregate") >= 4)
+    sections.append((
+        "rm3_relevance_model: broadcast feedback join, partial+final "
+        "model aggregates",
+        shapes13,
+        ok13,
+        "the |Q| x fb_docs candidate ids broadcast-hash-join against the "
+        "corpus (doc_id, text) table — the corpus side streams, nothing "
+        "corpus-sized shuffles; tf / doc-len / relevance-model sums are "
+        "partial+final HashAggregates and only |Q| x fb_terms rows leave "
+        "the plan (the one collect in rm3_expand).",
+    ))
+
+    # 14. rerank_by_embedding: phase-2 must broadcast the candidate set
+    # against the embeddings table with the dot product JVM-side — no
+    # cartesian, no corpus-sized shuffle.
+    from dint_spark.search import rerank_by_embedding
+
+    emb14 = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    corpus14 = emb14.select(F.col("vec_id").alias("doc_id"), "embedding")
+    qv14 = emb14.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    p14 = plan_of(rerank_by_embedding(spark, idx, qs13, corpus14, qv14,
+                                      n_candidates=10, k=5))
+    ok14 = ("CartesianProduct" not in p14
+            and "BroadcastHashJoin" in p14)
+    sections.append((
+        "rerank_by_embedding: broadcast candidates against embeddings, "
+        "JVM-side dot product",
+        _join_shapes(p14),
+        ok14,
+        "BM25 candidates and query vectors broadcast-hash-join against "
+        "the big embeddings table (it streams; nothing corpus-sized "
+        "shuffles) and the quantized dot product is zip_with/aggregate — "
+        "whole-stage-codegen expressions, no Python in the hot path.",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")
