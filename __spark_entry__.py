@@ -961,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_not": _entry_boolean_and_not,
         "search_facets": _entry_search_facets,
         "search_rerank": _entry_search_rerank,
+        "search_hybrid_rrf": _entry_search_hybrid,
         "bm25_appended": _entry_bm25_appended,
         "lmdir_ranked": _entry_lmdir_ranked,
         "search_rm3": _entry_search_rm3,
@@ -1466,6 +1467,31 @@ def _entry_search_rerank(spark, sf_dir):
         algo="block_max_wand", dtype="float64")
 
 
+HYBRID_K_EACH = 30
+HYBRID_RRF_K = 60
+
+
+def _entry_search_hybrid(spark, sf_dir):
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion (the
+    standard hybrid-search combiner, rrf_k=60): BM25 top-30 (float64 BMW)
+    fused with the exact int-quantized cosine top-30,
+    rrf = 1/(60+lrank) + 1/(60+vrank) floor-quantized at 1e12, top-10 by
+    (rrf_q desc, doc_id asc). Fusion is rank arithmetic over
+    2 x |Q| x k_each rows — driver-trivial at any corpus size
+    (search.hybrid_rrf; the vector arm is pluggable with ann_lsh/ann_ivf
+    output at crawl scale)."""
+    from dint_spark.search import hybrid_rrf
+
+    idx = _get_index(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus_vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    qv = emb.where(F.col("vec_id") < len(QUERY_SPECS)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return hybrid_rrf(spark, idx, QUERY_SPECS, corpus_vecs, qv,
+                      k=TOPK, k_each=HYBRID_K_EACH, rrf_k=HYBRID_RRF_K,
+                      algo="block_max_wand", dtype="float64")
+
+
 def _entry_wand_max_weights(spark, sf_dir):
     """wand_data relational build: per-term max partial BM25 weight
     (float64, quantized) — ref include/ds2i/wand_data.hpp:34-48."""
@@ -1631,6 +1657,68 @@ ORDER BY query_id, rank
 """
 )
 
+_HYBRID_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+, lex AS (
+  SELECT query_id, doc_id, lrank FROM (
+    SELECT r.query_id, r.doc_id,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY floor(r.score * 1e9) DESC, r.doc_id ASC
+           ) AS lrank
+    FROM scored r
+  ) c WHERE lrank <= {HYBRID_K_EACH}
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+eq AS (
+  SELECT vec_id, d.d,
+         floor(embedding[d.d]::DOUBLE * {1 << 20})::BIGINT AS c
+  FROM embeddings, dims d
+),
+n2 AS (SELECT vec_id, sum(c * c)::BIGINT AS n2 FROM eq GROUP BY 1),
+dots AS (
+  SELECT x.vec_id AS query_id, y.vec_id AS doc_id,
+         sum(x.c * y.c)::BIGINT AS dot
+  FROM eq x JOIN eq y ON y.d = x.d
+  WHERE x.vec_id < {len(QUERY_SPECS)}
+  GROUP BY 1, 2
+),
+vec AS (
+  SELECT query_id, doc_id, vrank FROM (
+    SELECT d.query_id, d.doc_id,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY floor(d.dot / sqrt(nq.n2::DOUBLE * nv.n2::DOUBLE)
+                            * 1e6) DESC,
+                      d.doc_id ASC
+           ) AS vrank
+    FROM dots d
+    JOIN n2 nq ON nq.vec_id = d.query_id
+    JOIN n2 nv ON nv.vec_id = d.doc_id
+  ) v WHERE vrank <= {HYBRID_K_EACH}
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         floor((coalesce(1.0 / ({HYBRID_RRF_K} + l.lrank), 0.0)
+                + coalesce(1.0 / ({HYBRID_RRF_K} + v.vrank), 0.0))
+               * 1e12)::BIGINT AS rrf_q
+  FROM lex l FULL OUTER JOIN vec v
+    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_q FROM (
+  SELECT query_id, doc_id, rrf_q,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC
+         )::INT AS rank
+  FROM fused
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+)
+
 _WAND_MW_SQL = (
     _PRELUDE
     + """
@@ -1676,6 +1764,7 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_and_not": _BOOL_ANDNOT_SQL,
         "search_facets": _FACETS_SQL,
         "search_rerank": _RERANK_SQL,
+        "search_hybrid_rrf": _HYBRID_SQL,
         # same full-corpus SQL as search_text: the appended two-epoch index
         # must reproduce the one-shot build's ranking exactly
         "bm25_appended": _topk_or_sql(scored=_text_scored()),

@@ -513,6 +513,106 @@ def rm3_search(
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: lexical BM25 + vector cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def hybrid_rrf(
+    spark: SparkSession,
+    index,
+    queries,
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    algo: str = "block_max_wand",
+    dtype: str = "float64",
+    scale: int = 1 << 20,
+    doc_filter: DocMask | None = None,
+    vector_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """Hybrid search: the lexical BM25 top-``k_each`` and the vector-cosine
+    top-``k_each`` fuse by Reciprocal Rank Fusion (Cormack et al.; the
+    default hybrid combiner of production search stacks),
+
+        rrf(d) = 1/(rrf_k + lex_rank(d)) + 1/(rrf_k + vec_rank(d)),
+
+    missing-side contributions are 0, ties break by doc_id. Both input
+    rankings use the engine's quantized contracts (BM25 score at 1e-9,
+    cosine at 1e-6 over ``scale``-quantized integer vectors), so the
+    fused ranking is deterministic and replayable in SQL.
+
+    ``vector_ranks``: optionally a precomputed (query_id, doc_id, vrank)
+    DataFrame — plug in ann_lsh/ann_ivf output at crawl scale; the
+    default is the exact broadcast-queries x corpus cosine baseline
+    (ops.similarity's exactness configuration). Fusion itself is
+    rank-arithmetic over 2 x |Q| x k_each rows — driver-trivial at any
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    raw = run_queries(spark, index, queries, algo=algo, k=2 * k_each,
+                      dtype=dtype, doc_filter=doc_filter)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    lex = (
+        raw.withColumn("score_q",
+                       F.floor(F.col("score").cast("double") * 1e9)
+                       .cast("long"))
+        .withColumn("lrank", F.row_number().over(wl))
+        .where(F.col("lrank") <= k_each)
+        .select("query_id", "doc_id", "lrank")
+    )
+
+    if vector_ranks is None:
+        def _q(df: DataFrame, idc: str) -> DataFrame:
+            eq = F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * scale).cast("long"))
+            return df.select(
+                F.col(idc), eq.alias("eq"),
+                F.aggregate(eq, F.lit(0).cast("long"),
+                            lambda a, x: a + x * x).alias("n2"))
+
+        emb_q = _q(embeddings, "doc_id")
+        qv_q = _q(query_vecs, "query_id").select(
+            "query_id", F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"))
+        dot = F.aggregate(
+            F.zip_with("q_eq", "eq", lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        cos = F.col("dot") / F.sqrt(
+            F.col("q_n2").cast("double") * F.col("n2").cast("double"))
+        wv = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_q"), F.asc("doc_id"))
+        vector_ranks = (
+            F.broadcast(qv_q).crossJoin(emb_q)
+            .withColumn("dot", dot)
+            .withColumn("cos_q", F.floor(cos * 1e6).cast("long"))
+            .withColumn("vrank", F.row_number().over(wv))
+            .where(F.col("vrank") <= k_each)
+            .select("query_id", "doc_id", "vrank")
+        )
+
+    fused = lex.join(vector_ranks, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lrank")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
+                     F.lit(0.0))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_q", F.floor(rrf * 1e12).cast("long"))
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "rrf_q")
+    )
+
+
+# ---------------------------------------------------------------------------
 # two-phase retrieval: BM25 candidates -> embedding-cosine rerank
 # ---------------------------------------------------------------------------
 

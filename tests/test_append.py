@@ -273,6 +273,38 @@ def test_sharded_server_filtered(appended):
     assert (r1["doc_id"] % 2 == 0).all()
 
 
+def test_append_positional_phrases(spark, tmp_path):
+    """Appending to a POSITIONAL index: the epoch shard inherits the base
+    config (positions=True) and exact-phrase retrieval across epochs
+    equals the fresh full positional build (phrase matching needs no
+    global stats — the fan-out is a plain union)."""
+    from dint_spark.queries import run_phrase_queries
+    from dint_spark.sharding import run_phrase_queries_sharded
+
+    full, old, new = _split_pages(spark, 240, 150, seed=61, grow="new")
+    cfg = IndexConfig(num_buckets=2, input_tag="apppos", positions=True)
+    idx_full = build_index(spark, full, str(tmp_path / "full"), cfg)
+    sidx = build_sharded_index(spark, old, str(tmp_path / "app"),
+                               num_shards=1, config=cfg)
+    sidx = append_docs(spark, sidx, new)
+    assert sidx.shards[1].has_positions
+    # phrases as term-id pairs resolved per index by term string; include
+    # one containing the append-only term
+    vp = idx_full.vocab().orderBy("term_id").limit(40).toPandas()
+    words = vp["term"].tolist()
+    phrases = [[words[0], words[1]], [words[2], words[0]],
+               [NEW_TERM], [words[3], NEW_TERM]]
+    tf = _tid_map(idx_full, {w for p in phrases for w in p})
+    ta = _tid_map(sidx, {w for p in phrases for w in p})
+    pf = [[tf[w] for w in p] for p in phrases]
+    pa = [[ta[w] for w in p] for p in phrases]
+    keys = ("query_id", "doc_id")
+    r1 = _pdf(run_phrase_queries(spark, idx_full, pf), keys)
+    r2 = _pdf(run_phrase_queries_sharded(spark, sidx, pa), keys)
+    assert r1.equals(r2)
+    assert (r1.groupby("query_id").size().get(2, 0)) > 0  # NEW_TERM hits
+
+
 def test_append_empty_is_noop(appended):
     _, sidx, _, _ = appended
     spark = sidx.spark

@@ -250,3 +250,96 @@ def test_rerank_matches_numpy_brute(spark, sidx, docs_pdf):
     got_t = sorted((r["query_id"], r["rank"], r["doc_id"], r["cos_q"],
                     r["score_q"]) for r in got)
     assert got_t == sorted(want)
+
+
+def test_hybrid_rrf_matches_numpy_brute(spark, sidx, docs_pdf):
+    """hybrid_rrf == brute-force RRF over (quantized BM25 top-k_each,
+    quantized exact-cosine top-k_each): missing-side contribution 0,
+    rrf floor-quantized at 1e12, ties by doc_id asc."""
+    from dint_spark.search import hybrid_rrf
+
+    rng = np.random.default_rng(29)
+    dim = 16
+    vecs = rng.standard_normal((N_DOCS, dim)).astype(np.float32)
+    n_q = 5
+    emb = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(N_DOCS),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    qv = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(n_q),
+        "embedding": [vecs[i].tolist() for i in range(n_q)],
+    }))
+    specs = [[0], [1, 2], [3], [0, 4], [5, 7]]
+    k_each, k, rrf_k = 15, 6, 60
+    got = hybrid_rrf(spark, sidx, specs, emb, qv, k=k, k_each=k_each,
+                     rrf_k=rrf_k, dtype="float64").collect()
+
+    # lexical arm under the exact quantization contract
+    raw = run_queries(spark, sidx, specs, algo="block_max_wand",
+                      k=2 * k_each, dtype="float64").collect()
+    by_q: dict = {}
+    for r in raw:
+        by_q.setdefault(r["query_id"], []).append(
+            (int(np.floor(r["score"] * 1e9)), r["doc_id"]))
+    lrank: dict = {}
+    for qid in range(n_q):
+        cands = sorted(by_q.get(qid, []), key=lambda x: (-x[0], x[1]))
+        for rank, (_, d) in enumerate(cands[:k_each], 1):
+            lrank[(qid, d)] = rank
+
+    # vector arm: exact integer-quantized cosine over ALL docs
+    scale = 1 << 20
+    eq = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+    n2 = (eq * eq).sum(axis=1)
+    vrank: dict = {}
+    for qid in range(n_q):
+        dots = eq @ eq[qid]
+        cos = dots / np.sqrt(n2.astype(np.float64) * float(n2[qid]))
+        cq = np.floor(cos * 1e6).astype(np.int64)
+        order = sorted(range(N_DOCS), key=lambda d: (-cq[d], d))
+        for rank, d in enumerate(order[:k_each], 1):
+            vrank[(qid, d)] = rank
+
+    want = []
+    for qid in range(n_q):
+        docs = {d for (q, d) in (set(lrank) | set(vrank)) if q == qid}
+        fused = []
+        for d in docs:
+            s = 0.0
+            if (qid, d) in lrank:
+                s += 1.0 / (rrf_k + lrank[(qid, d)])
+            if (qid, d) in vrank:
+                s += 1.0 / (rrf_k + vrank[(qid, d)])
+            fused.append((int(np.floor(s * 1e12)), d))
+        fused.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (rq, d) in enumerate(fused[:k], 1):
+            want.append((qid, rank, d, rq))
+    got_t = sorted((r["query_id"], r["rank"], r["doc_id"], r["rrf_q"])
+                   for r in got)
+    assert got_t == sorted(want)
+
+
+def test_hybrid_rrf_pluggable_vector_ranks(spark, sidx, docs_pdf):
+    """The ``vector_ranks`` hook (ANN output at crawl scale) is honored:
+    feeding a precomputed ranking changes fusion exactly as RRF says."""
+    from dint_spark.search import hybrid_rrf
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((N_DOCS, 8)).astype(np.float32)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(N_DOCS),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    qv = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0], "embedding": [vecs[0].tolist()]}))
+    # a hand-made vector ranking that boosts docs 7 and 3
+    vr = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 0], "doc_id": [7, 3],
+                      "vrank": [1, 2]}))
+    got = hybrid_rrf(spark, sidx, [[0]], emb, qv, k=4, k_each=10,
+                     dtype="float64", vector_ranks=vr).collect()
+    by_doc = {r["doc_id"]: r for r in got}
+    # doc 7 gets 1/(60+1) from the vector arm; any lexical-only doc at
+    # lrank r gets 1/(60+r) <= 1/61 -> doc 7 must appear in the fused top-4
+    assert 7 in by_doc
