@@ -962,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_rerank": _entry_search_rerank,
         "search_hybrid_rrf": _entry_search_hybrid,
+        "significant_terms": _entry_significant_terms,
+        "search_more_like_this": _entry_more_like_this,
         "bm25_appended": _entry_bm25_appended,
         "lmdir_ranked": _entry_lmdir_ranked,
         "search_rm3": _entry_search_rm3,
@@ -1492,6 +1494,49 @@ def _entry_search_hybrid(spark, sf_dir):
                       algo="block_max_wand", dtype="float64")
 
 
+# significant-terms workload: AND match sets of varying selectivity
+SIG_SPECS: list[list[int]] = [[0], [1, 3], [2, 5], [30]]
+SIG_TOPK = 8
+
+
+def _entry_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation: per AND match set, the top-8
+    terms by JLH ((fg_rate - bg_rate) * fg_rate/bg_rate, floor-quantized
+    at 1e6), positive significance decided EXACTLY (fg*N > df*n_fg in
+    decimal(38)), query terms excluded, ties by term_id. Foreground dfs
+    count each matched doc's DISTINCT terms; one corpus-table pass,
+    match set never collects (mining.significant_terms)."""
+    from dint_spark.mining import significant_terms
+
+    idx = _get_index(spark, sf_dir)
+    return significant_terms(spark, idx, SIG_SPECS,
+                             _documents(spark, sf_dir), k=SIG_TOPK)
+
+
+# more-like-this workload: source docs spread across the id range
+MLT_DOC_IDS: list[int] = [0, 7, 42, 123, 201]
+MLT_MAX_TERMS = 8
+MLT_MIN_TF = 1
+MLT_MIN_DF = 1
+MLT_MAX_DF_FRAC = 0.9
+
+
+def _entry_more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThis: per source doc, top-8 terms by
+    tf * (ln(N/(df+1)) + 1) under the frequency gates, re-queried as a
+    weighted BM25 disjunction (weight = source tf, the weighted channel),
+    source doc excluded, top-10 by quantized score
+    (mining.more_like_this)."""
+    from dint_spark.mining import more_like_this
+
+    idx = _get_index(spark, sf_dir)
+    return more_like_this(
+        spark, idx, MLT_DOC_IDS, _documents(spark, sf_dir), k=TOPK,
+        max_terms=MLT_MAX_TERMS, min_tf=MLT_MIN_TF, min_df=MLT_MIN_DF,
+        max_df_frac=MLT_MAX_DF_FRAC, algo="block_max_wand",
+        dtype="float64")
+
+
 def _entry_wand_max_weights(spark, sf_dir):
     """wand_data relational build: per-term max partial BM25 weight
     (float64, quantized) — ref include/ds2i/wand_data.hpp:34-48."""
@@ -1719,6 +1764,113 @@ ORDER BY query_id, rank
 """
 )
 
+def _sig_values() -> str:
+    rows = []
+    for qid, terms in enumerate(SIG_SPECS):
+        rows += [f"({qid}, {t})" for t in sorted(set(terms))]
+    return "sq(query_id, term_id) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_SIG_SQL = (
+    _PRELUDE
+    + f", {_sig_values()}"
+    + f"""
+, matched AS (
+  SELECT sq.query_id, tf.doc_id
+  FROM sq
+  JOIN vocab v ON v.term_id = sq.term_id
+  JOIN tf ON tf.term = v.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT count(*) FROM sq q2
+                     WHERE q2.query_id = sq.query_id)
+),
+nfg AS (SELECT query_id, count(*)::BIGINT AS n_fg FROM matched GROUP BY 1),
+fg AS (
+  SELECT m.query_id, tf.term, count(*)::BIGINT AS fg
+  FROM matched m JOIN tf ON tf.doc_id = m.doc_id
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT f.query_id, v.term_id, f.term, f.fg, v.df,
+         floor(((f.fg::DOUBLE / nf.n_fg - v.df::DOUBLE / st.n_docs)
+                * ((f.fg::DOUBLE / nf.n_fg) / (v.df::DOUBLE / st.n_docs)))
+               * 1e6)::BIGINT AS jlh_q
+  FROM fg f
+  JOIN vocab v ON v.term = f.term
+  JOIN nfg nf ON nf.query_id = f.query_id
+  CROSS JOIN stats st
+  WHERE f.fg::HUGEINT * st.n_docs > v.df::HUGEINT * nf.n_fg
+    AND NOT EXISTS (SELECT 1 FROM sq
+                    WHERE sq.query_id = f.query_id
+                      AND sq.term_id = v.term_id)
+)
+SELECT query_id, rank, term_id, term, jlh_q, fg, df FROM (
+  SELECT query_id, term_id, term, jlh_q, fg, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY jlh_q DESC, term_id ASC
+         )::INT AS rank
+  FROM sig
+) r WHERE rank <= {SIG_TOPK}
+ORDER BY query_id, rank
+"""
+)
+
+
+def _mlt_values() -> str:
+    rows = [f"({qid}, {d})" for qid, d in enumerate(MLT_DOC_IDS)]
+    return "src(query_id, doc_id) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_MLT_SQL = (
+    _PRELUDE
+    + f", {_mlt_values()}"
+    + f"""
+, sel AS (
+  SELECT query_id, term, tf FROM (
+    SELECT s.query_id, t.term, t.tf,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY floor((t.tf * (ln((SELECT n_docs FROM stats)::DOUBLE
+                                         / (v.df + 1)) + 1.0)) * 1e9) DESC,
+                      t.term ASC
+           ) AS rn
+    FROM src s
+    JOIN tf t ON t.doc_id = s.doc_id
+    JOIN vocab v ON v.term = t.term
+    WHERE t.tf >= {MLT_MIN_TF} AND v.df >= {MLT_MIN_DF}
+      AND v.df <= floor({MLT_MAX_DF_FRAC} *
+                        (SELECT n_docs FROM stats))::BIGINT
+  ) q WHERE rn <= {MLT_MAX_TERMS}
+),
+wscored AS (
+  SELECT s.query_id, tf2.doc_id,
+         sum(
+           s.tf * greatest(1e-6, ln((st.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf2.tf / (tf2.tf + 1.2 * (0.5 + 0.5 * (dl.len / st.avg_len))))
+         ) AS score
+  FROM sel s
+  JOIN vocab v ON v.term = s.term
+  JOIN tf tf2 ON tf2.term = s.term
+  JOIN dl ON dl.doc_id = tf2.doc_id
+  CROSS JOIN stats st
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT w.query_id, w.doc_id, floor(w.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY w.query_id
+           ORDER BY floor(w.score * 1e9) DESC, w.doc_id ASC
+         )::INT AS rank
+  FROM wscored w
+  WHERE NOT EXISTS (SELECT 1 FROM src
+                    WHERE src.query_id = w.query_id
+                      AND src.doc_id = w.doc_id)
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+)
+
+
 _WAND_MW_SQL = (
     _PRELUDE
     + """
@@ -1765,6 +1917,8 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets": _FACETS_SQL,
         "search_rerank": _RERANK_SQL,
         "search_hybrid_rrf": _HYBRID_SQL,
+        "significant_terms": _SIG_SQL,
+        "search_more_like_this": _MLT_SQL,
         # same full-corpus SQL as search_text: the appended two-epoch index
         # must reproduce the one-shot build's ranking exactly
         "bm25_appended": _topk_or_sql(scored=_text_scored()),
