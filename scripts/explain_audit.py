@@ -351,6 +351,78 @@ def main() -> None:
         "whole-stage-codegen expressions, no Python in the hot path.",
     ))
 
+    # 15. significant_terms: the match set joins ONE corpus pass on
+    # doc_id with hash joins only; foreground dfs are a partial+final
+    # hash aggregate; vocab / n_fg / query-term-exclusion joins broadcast.
+    from dint_spark.mining import significant_terms
+
+    p15 = plan_of(significant_terms(spark, idx, [[0], [1, 3]], docs13,
+                                    k=5))
+    ok15 = ("CartesianProduct" not in p15
+            and "BroadcastNestedLoopJoin" not in p15
+            and "BroadcastHashJoin" in p15
+            and p15.count("HashAggregate") >= 4)
+    sections.append((
+        "significant_terms: hash-join corpus pass, partial+final fg "
+        "aggregate, broadcast dims",
+        _join_shapes(p15),
+        ok15,
+        "matched doc_ids hash-join the tokenized corpus (one pass, no "
+        "cartesian/BNLJ); per-query DISTINCT-term counts are "
+        "partial+final HashAggregates (map-side combine before the "
+        "shuffle); vocabulary, n_fg, and the query-term anti-join all "
+        "broadcast (dimension-sized) — at 10^12 docs only matched docs' "
+        "distinct-term rows shuffle, pre-aggregated.",
+    ))
+
+    # 16. mlt_terms: the source ids must BROADCAST against the corpus
+    # table (the rm3 shape) — the corpus streams, nothing corpus-sized
+    # shuffles; tf selection is a partial+final hash aggregate.
+    from dint_spark.mining import mlt_terms
+
+    p16 = plan_of(mlt_terms(spark, idx, [0, 7, 42], docs13,
+                            max_terms=5, min_tf=1, min_df=1,
+                            max_df_frac=0.9))
+    ok16 = ("CartesianProduct" not in p16
+            and "BroadcastHashJoin" in p16
+            and p16.count("HashAggregate") >= 2)
+    sections.append((
+        "mlt_terms: broadcast source-doc join, partial+final tf "
+        "aggregate",
+        _join_shapes(p16),
+        ok16,
+        "the |sources| ids broadcast-hash-join against the corpus "
+        "(doc_id, text) — the corpus side streams; per-source tf is a "
+        "partial+final HashAggregate and only |sources| x max_terms "
+        "rows leave the plan.",
+    ))
+
+    # 17. hybrid_rrf with a plugged vector_ranks (the crawl-scale ANN
+    # configuration): fusion must be a hash full-outer join over
+    # 2 x |Q| x k_each rank rows — no cartesian anywhere. (The default
+    # exact-cosine arm is the oracle/exactness baseline, same status as
+    # ann_cosine_topk.)
+    from dint_spark.search import hybrid_rrf
+
+    vr17 = spark.createDataFrame(
+        [(0, 3, 1), (0, 7, 2), (1, 2, 1)],
+        schema="query_id long, doc_id long, vrank int")
+    p17 = plan_of(hybrid_rrf(spark, idx, qs13, corpus14, qv14,
+                             k=5, k_each=10, vector_ranks=vr17))
+    ok17 = ("CartesianProduct" not in p17
+            and "BroadcastNestedLoopJoin" not in p17
+            and "FullOuter" in p17)
+    sections.append((
+        "hybrid_rrf (plugged ANN ranks): hash full-outer fusion, "
+        "cartesian-free",
+        _join_shapes(p17),
+        ok17,
+        "with vector_ranks supplied (ann_lsh/ann_ivf output — the "
+        "production configuration), the fusion is a hash FULL OUTER "
+        "join of two rank lists (2 x |Q| x k_each rows, "
+        "driver-trivial); no cartesian/BNLJ in the plan.",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")
