@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_rerank": _entry_search_rerank,
         "search_hybrid_rrf": _entry_search_hybrid,
+        "suggest_spelling": _entry_suggest_spelling,
         "significant_terms": _entry_significant_terms,
         "search_more_like_this": _entry_more_like_this,
         "bm25_appended": _entry_bm25_appended,
@@ -1494,6 +1495,26 @@ def _entry_search_hybrid(spark, sf_dir):
                       algo="block_max_wand", dtype="float64")
 
 
+# spelling-suggestion workload: a delete typo, an insert typo, an exact
+# vocabulary word, a plural, a two-candidate prefix, and a no-match
+SUGGEST_SPECS: list[str] = ["scann", "dat", "key", "rows", "ag", "zzzz"]
+SUGGEST_TOPK = 5
+
+
+def _entry_suggest_spelling(spark, sf_dir):
+    """"Did you mean" (Lucene DirectSpellChecker contract): per word, the
+    top-5 vocabulary terms at levenshtein distance <= 1 by (dist asc,
+    df desc, term asc) — exact word suggests itself first. Candidates
+    come from the SymSpell delete-1 table probe (pushed IN filter), the
+    oracle from DuckDB's levenshtein over the vocab CTE
+    (search.suggest_spelling)."""
+    from dint_spark.search import build_fuzzy_table, suggest_spelling
+
+    idx = _get_index(spark, sf_dir)
+    build_fuzzy_table(spark, idx)  # idempotent; exercises the scale path
+    return suggest_spelling(spark, idx, SUGGEST_SPECS, n=SUGGEST_TOPK)
+
+
 # significant-terms workload: AND match sets of varying selectivity
 SIG_SPECS: list[list[int]] = [[0], [1, 3], [2, 5], [30]]
 SIG_TOPK = 8
@@ -1764,6 +1785,30 @@ ORDER BY query_id, rank
 """
 )
 
+def _suggest_values() -> str:
+    rows = [f"({qid}, '{w}')" for qid, w in enumerate(SUGGEST_SPECS)]
+    return "words(query_id, word) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_SUGGEST_SQL = (
+    _PRELUDE
+    + f", {_suggest_values()}"
+    + f"""
+SELECT query_id, rank, term, term_id, dist, df FROM (
+  SELECT w.query_id, v.term, v.term_id,
+         levenshtein(w.word, v.term)::INT AS dist, v.df,
+         row_number() OVER (
+           PARTITION BY w.query_id
+           ORDER BY levenshtein(w.word, v.term) ASC, v.df DESC,
+                    v.term ASC
+         )::INT AS rank
+  FROM words w JOIN vocab v ON levenshtein(w.word, v.term) <= 1
+) r WHERE rank <= {SUGGEST_TOPK}
+ORDER BY query_id, rank
+"""
+)
+
+
 def _sig_values() -> str:
     rows = []
     for qid, terms in enumerate(SIG_SPECS):
@@ -1917,6 +1962,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets": _FACETS_SQL,
         "search_rerank": _RERANK_SQL,
         "search_hybrid_rrf": _HYBRID_SQL,
+        "suggest_spelling": _SUGGEST_SQL,
         "significant_terms": _SIG_SQL,
         "search_more_like_this": _MLT_SQL,
         # same full-corpus SQL as search_text: the appended two-epoch index

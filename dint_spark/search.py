@@ -181,14 +181,24 @@ def fuzzy_term_ids(index, words: list[str], max_terms: int = 64,
     ``max_terms`` by (df DESC, term ASC). Falls back to a distributed
     levenshtein scan of the vocabulary when no delete table exists —
     correct at any scale, just a full vocab pass per batch."""
-    import os
-    from functools import reduce
-    from operator import or_
-
     toks = [_single_token(w, nfc=nfc) for w in words]
     live = sorted({t for t in toks if t is not None})
     if not live:
         return [[] for _ in toks]
+    rows = _fuzzy_candidate_rows(index, live, fuzzy_path)
+    return _rank_and_cap(rows, toks, max_terms)
+
+
+def _fuzzy_candidate_rows(index, live: list[str],
+                          fuzzy_path: str | None = None) -> list:
+    """The candidate fetch shared by fuzzy_term_ids / suggest_spelling:
+    collected (term, term_id, df) rows SUPERSET of every live word's
+    distance-≤1 neighborhood — delete-1-table probe when built (per-key-
+    bucket bounded), distributed levenshtein vocab scan otherwise."""
+    import os
+    from functools import reduce
+    from operator import or_
+
     path = fuzzy_path or os.path.join(index.dir, "fuzzy_deletes.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         probe = sorted({k for w in live for k in [w, *_delete1(w)]})
@@ -214,12 +224,60 @@ def fuzzy_term_ids(index, words: list[str], max_terms: int = 64,
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, old)
-        return _rank_and_cap(rows, toks, max_terms)
+        return rows
     pred = reduce(or_, [
         F.levenshtein(F.col("term"), F.lit(w)) <= 1 for w in live])
-    rows = index.vocab().filter(pred).select("term", "term_id", "df") \
+    return index.vocab().filter(pred).select("term", "term_id", "df") \
         .collect()
-    return _rank_and_cap(rows, toks, max_terms)
+
+
+def suggest_spelling(
+    spark: SparkSession,
+    index,
+    words: list[str],
+    n: int = 5,
+    fuzzy_path: str | None = None,
+    nfc: bool = False,
+) -> DataFrame:
+    """"Did you mean": per input word (query_id = position), the top-``n``
+    vocabulary terms at levenshtein distance ≤ 1, ranked by (distance
+    asc, df desc, term asc) — so a word that IS a vocabulary term
+    suggests itself first, and corrections order by corpus popularity
+    (the Lucene DirectSpellChecker contract). Returns (query_id, rank,
+    term, term_id, dist, df); a word that normalizes to nothing yields
+    no rows, and a multi-token input raises (per-term suggestion, the
+    fuzzy/prefix contract).
+
+    Scale shape: one probe of the delete-1 table per batch (the
+    search_fuzzy plan — pushed IN filter, per-key-bucket-bounded
+    candidates, exact driver-side verify), falling back to a distributed
+    levenshtein vocab scan when no table is built."""
+    toks = [_single_token(w, nfc=nfc) for w in words]
+    live = sorted({t for t in toks if t is not None})
+    out_rows: list[tuple] = []
+    if live:
+        rows = _fuzzy_candidate_rows(index, live, fuzzy_path)
+        for qid, tok in enumerate(toks):
+            if tok is None:
+                continue
+            hits = sorted(
+                (0 if r["term"] == tok else 1, -int(r["df"]), r["term"],
+                 int(r["term_id"]))
+                for r in rows if _lev_le1(r["term"], tok))
+            for rank, (dist, negdf, term, tid) in enumerate(hits[:n], 1):
+                out_rows.append((qid, rank, term, tid, dist, -negdf))
+    from pyspark.sql import types as T
+    return spark.createDataFrame(
+        out_rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("term_id", T.LongType(), False),
+            T.StructField("dist", T.IntegerType(), False),
+            T.StructField("df", T.LongType(), False),
+        ]),
+    )
 
 
 def _rank_and_cap(rows, toks: list, max_terms: int) -> list[list[int]]:

@@ -186,3 +186,51 @@ def test_search_prefix_and_fuzzy_equal_manual(spark, sidx):
     assert len(af) and af.equals(
         wantf.sort_values(["query_id", "rank"]).reset_index(drop=True))
     assert 1 not in set(af.query_id)  # no-match word yields nothing
+
+
+def test_suggest_spelling_matches_brute(spark, sidx):
+    """suggest_spelling == brute force over the vocab: candidates at
+    levenshtein<=1, ranked (dist asc, df desc, term asc), exact word
+    rank-1 at dist 0, top-n cut, None-token words yield no rows; and
+    the delete-table path == the fallback vocab scan."""
+    from dint_spark.search import build_fuzzy_table, suggest_spelling
+
+    def _lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    vocab = sidx.vocab().toPandas()
+    words = [vocab.term.iloc[0],            # exact -> itself at dist 0
+             vocab.term.iloc[3][:-1],       # deletion typo
+             vocab.term.iloc[7] + "x",      # insertion typo
+             "zzzzq",                       # no match
+             ""]                            # normalizes to nothing
+    n = 4
+    build_fuzzy_table(spark, sidx)
+    with pytest.raises(ValueError, match="single term"):
+        suggest_spelling(spark, sidx, ["two words"])
+    got = suggest_spelling(spark, sidx, words, n=n).collect()
+    got_t = sorted((r["query_id"], r["rank"], r["term"], r["term_id"],
+                    r["dist"], r["df"]) for r in got)
+
+    want = []
+    for qid, w in enumerate(words):
+        if not w:
+            continue
+        hits = sorted((_lev(w, r.term), -int(r.df), r.term, int(r.term_id))
+                      for r in vocab.itertuples() if _lev(w, r.term) <= 1)
+        for rank, (d, negdf, t, tid) in enumerate(hits[:n], 1):
+            want.append((qid, rank, t, tid, d, -negdf))
+    assert got_t == sorted(want)
+    assert got_t[0][4] == 0 and got_t[0][2] == words[0]  # self at dist 0
+
+    fallback = suggest_spelling(spark, sidx, words, n=n,
+                                fuzzy_path="/tmp/does_not_exist_x").collect()
+    assert sorted(map(tuple, fallback)) == sorted(map(tuple, got))
