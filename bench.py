@@ -341,6 +341,27 @@ def main() -> None:
     psrv.close()
     shutil.rmtree(pdir, ignore_errors=True)
 
+    # ---- round-3 search ops over the driver tables (entry code path) ------
+    # the exact callables the correctness gate runs, timed warm (the
+    # shared entry index builds/loads untimed — its cost is the
+    # index_build headline above; fuzzy/facet sidecars build on the
+    # warmup pass): 1 warmup + best-of-2, like the query timings.
+    try:
+        import __spark_entry__ as _entry
+
+        _entry._get_index(spark, sf_dir)  # build-or-load, untimed
+        _eq = _entry.queries()
+        for name in ("significant_terms", "search_more_like_this",
+                     "suggest_spelling", "search_hybrid_rrf",
+                     "search_rm3"):
+            fn = _eq[name]
+            fn(spark, sf_dir).count()  # warmup (plans + sidecars)
+            timings[name] = min(
+                _timed(lambda: fn(spark, sf_dir).count())
+                for _ in range(2))
+    except Exception as exc:  # never fail the bench over an extra row
+        print(f"[bench] search-ops block skipped: {exc!r}", file=sys.stderr)
+
     # ---- training-data ops over the driver tables -------------------------
     try:
         from dint_spark.ops import bench_entries
