@@ -193,3 +193,139 @@ def run_facet_queries(
     )
     return (out.join(F.broadcast(dim), "facet_ord")
             .select("query_id", "facet", "n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# doc values: per-doc i64 field + sort-by-field retrieval
+# ---------------------------------------------------------------------------
+
+_DV_MISSING = np.iinfo(np.int64).min
+
+
+def build_doc_values(spark: SparkSession, docs: DataFrame, num_docs: int,
+                     val_col: str, id_col: str = "doc_id") -> np.ndarray:
+    """Materialize a numeric doc field as a per-doc i64 array (the Lucene
+    NumericDocValues model) — the sort/aggregation sidecar for
+    run_sorted_queries. Built with the same distributed chunk pack as
+    DocFacets/DocMask (each executor packs its 2^19-doc slice; the driver
+    assembles num_docs x 8 bytes and never sees per-doc rows — 8 B/doc,
+    shard-local under docid sharding, the norm_lens bounding argument).
+    Docs absent from ``docs`` (or NULL) carry a reserved missing sentinel
+    and are EXCLUDED from sorted results (ES missing-last semantics,
+    minus the tail)."""
+    chunk_rows = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(val_col).cast("long").alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("chunk", F.shiftright("doc_id", 19))
+        .groupBy("chunk")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(pdf["chunk"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        off = ids - (chunk << 19)
+        arr = np.full(_FACET_CHUNK, _DV_MISSING, dtype=np.int64)
+        arr[off] = pdf["v"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "chunk": [chunk],
+            "max_id": [int(ids.max())],
+            "vals": [arr.tobytes()],
+        })
+
+    rows = chunk_rows.applyInPandas(
+        pack, "chunk long, max_id long, vals binary").collect()
+    vals = np.full(num_docs, _DV_MISSING, dtype=np.int64)
+    for r in rows:
+        c = int(r["chunk"])
+        if int(r["max_id"]) >= num_docs:
+            raise ValueError(
+                f"doc-value doc_id {int(r['max_id'])} >= num_docs "
+                f"{num_docs}")
+        lo = c << 19
+        hi = min(lo + _FACET_CHUNK, num_docs)
+        vals[lo:hi] = np.frombuffer(r["vals"], dtype=np.int64)[: hi - lo]
+    return vals
+
+
+SORTED_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("val", T.LongType(), False),
+])
+
+
+def run_sorted_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    k: int = 10, mode: str = "and", descending: bool = True,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Sort-by-field retrieval (the ES ``sort: [{field: desc}]`` mode):
+    boolean match + top-``k`` by (doc value desc|asc, doc_id asc) in ONE
+    kernel pass — the value array ships once per worker like norm_lens,
+    the FULL match set is ranked in-kernel (np.argpartition over matched
+    ids' values), and only |queries| x k rows leave the workers. Docs
+    with a missing value never rank. Composes with tombstones/DocMask
+    through the boolean kernel. Returns (query_id, rank, doc_id, val)."""
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    fn = boolean_and if mode == "and" else boolean_or
+    sign = -1 if descending else 1
+
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=["query_id", "rank", "doc_id", "val"])
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs,
+                                merge_chunks=(mode == "and"))
+        docs = np.asarray(
+            fn(cursors, num_docs,
+               live=tomb_bc.value if tomb_bc is not None else None),
+            dtype=np.int64)
+        v = vals_bc.value[docs] if len(docs) else docs
+        live = v != _DV_MISSING
+        docs, v = docs[live], v[live]
+        if len(docs) > 4 * k and k > 0:
+            # O(n) preselect on the value alone, then exact-order only
+            # the survivors: keep EVERY doc at or above the k-th value so
+            # doc_id tie-breaks at the boundary stay exact
+            key = sign * v
+            thr = key[np.argpartition(key, k - 1)[k - 1]]
+            keep = np.flatnonzero(key <= thr)
+            docs, v = docs[keep], v[keep]
+        order = np.lexsort((docs, sign * v))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": docs[order],
+            "val": v[order],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one, SORTED_SCHEMA)

@@ -343,3 +343,61 @@ def test_hybrid_rrf_pluggable_vector_ranks(spark, sidx, docs_pdf):
     # doc 7 gets 1/(60+1) from the vector arm; any lexical-only doc at
     # lrank r gets 1/(60+r) <= 1/61 -> doc 7 must appear in the fused top-4
     assert 7 in by_doc
+
+
+def test_build_doc_values_and_sorted_queries(spark, sidx, docs_pdf):
+    """build_doc_values == local recompute (NULL -> missing sentinel);
+    run_sorted_queries == brute force over the token matrix: boolean
+    match, sort (val desc|asc, doc_id asc), top-k, missing-value docs
+    excluded, DocMask composed — including the argpartition preselect
+    path (match set >> k)."""
+    import pyspark.sql.functions as F
+
+    from dint_spark.facets import (_DV_MISSING, build_doc_values,
+                                   run_sorted_queries)
+
+    docs = spark.createDataFrame(docs_pdf).withColumn(
+        "nchars",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None))  # some missing
+        .otherwise(F.length("text")))
+    vals = build_doc_values(spark, docs, sidx.num_docs, "nchars")
+    want_vals = np.array([
+        _DV_MISSING if d % 11 == 3 else len(docs_pdf["text"][d])
+        for d in range(N_DOCS)], dtype=np.int64)
+    assert np.array_equal(vals, want_vals)
+
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::3] = True
+    dm = DocMask.from_mask(mask)
+    specs = [[0], [1, 2], [0, 3, 5], [4]]
+    k = 6
+    for desc in (True, False):
+        for filt in (None, dm):
+            got = {
+                (r["query_id"], r["rank"]): (r["doc_id"], r["val"])
+                for r in run_sorted_queries(
+                    spark, sidx, specs, vals, k=k, descending=desc,
+                    doc_filter=filt).collect()
+            }
+            want = {}
+            for qid, terms in enumerate(specs):
+                rows = [(int(want_vals[d]), d) for d, ts in enumerate(tm)
+                        if set(terms) <= ts
+                        and want_vals[d] != _DV_MISSING
+                        and (filt is None or mask[d])]
+                rows.sort(key=lambda x: (-x[0] if desc else x[0], x[1]))
+                for rank, (v, d) in enumerate(rows[:k], 1):
+                    want[(qid, rank)] = (d, v)
+            assert got == want, (desc, filt is None)
+
+
+def test_doc_values_rejects_overflow_ids(spark, sidx, docs_pdf):
+    from dint_spark.facets import build_doc_values
+
+    import pyspark.sql.functions as F
+    bad = spark.createDataFrame(docs_pdf).withColumn(
+        "doc_id", F.col("doc_id") + sidx.num_docs)
+    with pytest.raises(ValueError, match="num_docs"):
+        build_doc_values(spark, bad, sidx.num_docs, "doc_id")
