@@ -960,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": _entry_boolean_or,
         "boolean_and_not": _entry_boolean_and_not,
         "search_facets": _entry_search_facets,
+        "search_facets_range": _entry_search_facets_range,
+        "search_sort_by_field": _entry_search_sort_by_field,
         "search_rerank": _entry_search_rerank,
         "search_hybrid_rrf": _entry_search_hybrid,
         "suggest_spelling": _entry_suggest_spelling,
@@ -1447,6 +1449,42 @@ def _entry_search_facets(spark, sf_dir):
     return run_facet_queries(spark, idx, FACET_SPECS, fac, mode="and")
 
 
+SORT_FIELD_K = 10
+# n_chars range-facet bucket edges (testdata n_chars spans ~48..558, so
+# the below-edges[0] and >=edges[-1] drop paths are both exercised)
+RANGE_EDGES = [100, 250, 400, 520]
+
+
+def _entry_search_sort_by_field(spark, sf_dir):
+    """Sort-by-field retrieval (ES ``sort: [{n_chars: desc}]``): boolean
+    AND match + top-10 by (doc value desc, doc_id asc) in ONE kernel pass
+    over the i64 doc-values sidecar — the FULL match set ranks in-worker,
+    only |queries| x k rows leave (dint_spark/facets.py
+    run_sorted_queries; missing-value docs never rank)."""
+    from dint_spark.facets import build_doc_values, run_sorted_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_sorted_queries(
+        spark, idx, FACET_SPECS, vals, k=SORT_FIELD_K, mode="and",
+        descending=True)
+
+
+def _entry_search_facets_range(spark, sf_dir):
+    """Numeric range facets (ES ``range`` aggregation) on n_chars: per
+    query, matched-doc counts per [lo, hi) bucket over the FULL match
+    set — one searchsorted+bincount appended to the boolean kernel, no
+    (query, doc) row ever shuffles (facets.run_range_facet_queries)."""
+    from dint_spark.facets import build_doc_values, run_range_facet_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_range_facet_queries(
+        spark, idx, FACET_SPECS, vals, RANGE_EDGES, mode="and")
+
+
 RERANK_N_CANDIDATES = 50
 
 
@@ -1670,6 +1708,60 @@ FROM matched m
 JOIN documents d ON d.doc_id = m.doc_id
 WHERE d.lang IS NOT NULL
 GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+_FACET_MATCHED = (
+    _PRELUDE
+    + f", {_facet_values()}"
+    + """
+, matched AS (
+  SELECT fq.query_id, tf.doc_id
+  FROM fq
+  JOIN vocab v ON v.term_id = fq.term_id
+  JOIN tf ON tf.term = v.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT count(*) FROM fq q2
+                     WHERE q2.query_id = fq.query_id)
+)
+"""
+)
+
+_SORT_FIELD_SQL = (
+    _FACET_MATCHED
+    + f"""
+SELECT query_id, rank, doc_id, val FROM (
+  SELECT m.query_id, m.doc_id, d.n_chars::BIGINT AS val,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY d.n_chars DESC, m.doc_id ASC
+         )::INT AS rank
+  FROM matched m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.n_chars IS NOT NULL
+) WHERE rank <= {SORT_FIELD_K}
+ORDER BY 1, 2
+"""
+)
+
+
+def _range_bucket_values() -> str:
+    rows = [f"({i}, {lo}, {hi})"
+            for i, (lo, hi) in enumerate(zip(RANGE_EDGES, RANGE_EDGES[1:]))]
+    return "rb(bucket, lo, hi) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_FACETS_RANGE_SQL = (
+    _FACET_MATCHED
+    + f", {_range_bucket_values()}"
+    + """
+SELECT m.query_id, rb.bucket::INT AS bucket, rb.lo::BIGINT AS lo,
+       rb.hi::BIGINT AS hi, count(*)::BIGINT AS n_docs
+FROM matched m
+JOIN documents d ON d.doc_id = m.doc_id
+JOIN rb ON d.n_chars >= rb.lo AND d.n_chars < rb.hi
+GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2
 """
 )
@@ -1960,6 +2052,8 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_or": _BOOL_OR_SQL,
         "boolean_and_not": _BOOL_ANDNOT_SQL,
         "search_facets": _FACETS_SQL,
+        "search_facets_range": _FACETS_RANGE_SQL,
+        "search_sort_by_field": _SORT_FIELD_SQL,
         "search_rerank": _RERANK_SQL,
         "search_hybrid_rrf": _HYBRID_SQL,
         "suggest_spelling": _SUGGEST_SQL,

@@ -248,6 +248,93 @@ def build_doc_values(spark: SparkSession, docs: DataFrame, num_docs: int,
     return vals
 
 
+RANGE_FACET_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("lo", T.LongType(), False),
+    T.StructField("hi", T.LongType(), False),
+    T.StructField("n_docs", T.LongType(), False),
+])
+
+
+def run_range_facet_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    edges: list[int], mode: str = "and",
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Numeric range facets (the ES ``range``/histogram aggregation):
+    per query, the count of matching docs whose doc value falls in each
+    half-open bucket ``[edges[i], edges[i+1])`` — computed over the FULL
+    match set in the same kernel pass as the boolean leapfrog. Bucketing
+    is one ``np.searchsorted`` + ``np.bincount`` over the matched ids'
+    values; the match list never leaves the worker, and the output is
+    |queries| x |buckets| rows. Docs with a missing value, or a value
+    outside ``[edges[0], edges[-1])``, are matched but fall in no bucket
+    (ES range-agg semantics). Empty buckets are omitted.
+
+    Scale shape: the i64 value array is the 8 B/doc doc-values sidecar
+    from build_doc_values (shard-local under docid sharding, the
+    norm_lens bounding argument); edges are a handful of literals."""
+    edges_arr = np.asarray(edges, dtype=np.int64)
+    if len(edges_arr) < 2 or np.any(np.diff(edges_arr) <= 0):
+        raise ValueError("edges must be >=2 strictly increasing values")
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    nbuckets = len(edges_arr) - 1
+    fn = boolean_and if mode == "and" else boolean_or
+
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=["query_id", "bucket", "lo", "hi", "n_docs"])
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value, freqs_dict_bc.value,
+                                num_docs, merge_chunks=(mode == "and"))
+        docs = fn(cursors, num_docs,
+                  live=tomb_bc.value if tomb_bc is not None else None)
+        v = vals_bc.value[np.asarray(docs, dtype=np.int64)]
+        # searchsorted 'right' maps edges[i] <= v < edges[i+1] -> i+1;
+        # 0 (below, incl. the missing sentinel = i64 min) and
+        # nbuckets+1 (>= edges[-1]) are dropped
+        b = np.searchsorted(edges_arr, v, side="right")
+        counts = np.bincount(b, minlength=nbuckets + 2)[1:nbuckets + 1]
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({
+            "query_id": qid,
+            "bucket": nz.astype(np.int32),
+            "lo": edges_arr[nz],
+            "hi": edges_arr[nz + 1],
+            "n_docs": counts[nz].astype(np.int64),
+        })
+
+    return joined.groupBy("query_id").applyInPandas(
+        run_one, RANGE_FACET_SCHEMA)
+
+
 SORTED_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("rank", T.IntegerType(), False),

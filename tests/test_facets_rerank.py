@@ -393,6 +393,53 @@ def test_build_doc_values_and_sorted_queries(spark, sidx, docs_pdf):
             assert got == want, (desc, filt is None)
 
 
+def test_run_range_facet_queries(spark, sidx, docs_pdf):
+    """Range facets == brute force: boolean match, bucket by
+    [edges[i], edges[i+1]), drop missing / out-of-range values, count;
+    empty buckets omitted; DocMask composed; bad edges rejected."""
+    import pyspark.sql.functions as F
+
+    from dint_spark.facets import (_DV_MISSING, build_doc_values,
+                                   run_range_facet_queries)
+
+    docs = spark.createDataFrame(docs_pdf).withColumn(
+        "nchars",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None))
+        .otherwise(F.length("text")))
+    vals = build_doc_values(spark, docs, sidx.num_docs, "nchars")
+    lo, hi = int(vals[vals != _DV_MISSING].min()), int(vals.max())
+    # interior edges so below/above drops are exercised
+    edges = [lo + 2, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi - 1]
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    specs = [[0], [1, 2], [0, 3, 5], [4]]
+    for filt in (None, dm):
+        got = {
+            (r["query_id"], r["bucket"]): (r["lo"], r["hi"], r["n_docs"])
+            for r in run_range_facet_queries(
+                spark, sidx, specs, vals, edges,
+                doc_filter=filt).collect()
+        }
+        want = {}
+        for qid, terms in enumerate(specs):
+            matched = [d for d, ts in enumerate(tm)
+                       if set(terms) <= ts
+                       and (filt is None or mask[d])]
+            for b in range(len(edges) - 1):
+                n = sum(1 for d in matched
+                        if vals[d] != _DV_MISSING
+                        and edges[b] <= vals[d] < edges[b + 1])
+                if n:
+                    want[(qid, b)] = (edges[b], edges[b + 1], n)
+        assert got == want, filt is None
+
+    with pytest.raises(ValueError, match="increasing"):
+        run_range_facet_queries(spark, sidx, specs, vals, [5, 5, 9])
+
+
 def test_doc_values_rejects_overflow_ids(spark, sidx, docs_pdf):
     from dint_spark.facets import build_doc_values
 
