@@ -962,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_facets_range": _entry_search_facets_range,
         "search_sort_by_field": _entry_search_sort_by_field,
+        "search_collapse": _entry_search_collapse,
+        "search_page2": _entry_search_page2,
+        "search_bool_dsl": _entry_search_bool_dsl,
+        "search_multi_match": _entry_search_multi_match,
         "search_rerank": _entry_search_rerank,
         "search_hybrid_rrf": _entry_search_hybrid,
         "suggest_spelling": _entry_suggest_spelling,
@@ -1485,6 +1489,130 @@ def _entry_search_facets_range(spark, sf_dir):
         spark, idx, FACET_SPECS, vals, RANGE_EDGES, mode="and")
 
 
+COLLAPSE_K = 8
+
+
+def _entry_search_collapse(spark, sf_dir):
+    """Field collapsing (ES ``collapse``) on `source`: BM25 top-8 GROUPS
+    per query, each source domain contributing only its best doc — the
+    one-hit-per-site result page. One exact scoring pass over the full
+    match set + two numpy lexsorts in-kernel; only |queries| x k rows
+    leave the workers (facets.run_collapsed_queries)."""
+    from dint_spark.facets import build_doc_facets, run_collapsed_queries
+
+    idx = _get_index(spark, sf_dir)
+    fac = build_doc_facets(
+        spark, _documents(spark, sf_dir), idx.num_docs, "source")
+    return run_collapsed_queries(
+        spark, idx, QUERY_SPECS, fac, k=COLLAPSE_K, dtype="float64")
+
+
+# a cursor past every real (score_q, doc_id): page 2 of an exhausted
+# query is empty, not a repeat of page 1
+_PAGE_END = (-(10 ** 18), 0)
+
+
+def _entry_search_page2(spark, sf_dir):
+    """Cursor pagination (ES ``search_after``): page 1 = BM25 top-10, then
+    page 2 resumes strictly after each query's last (score_q, doc_id) —
+    returned rows are the global ranks 11..20, computed with a k-entry
+    selection rather than an offset heap (paging.run_queries_after). The
+    per-query cursors are the only driver-side state (|queries| rows)."""
+    from dint_spark.paging import run_queries_after
+
+    idx = _get_index(spark, sf_dir)
+    p1 = run_queries_after(spark, idx, QUERY_SPECS, None, k=TOPK,
+                           dtype="float64")
+    last = {int(r["query_id"]): (int(r["score_q"]), int(r["doc_id"]))
+            for r in p1.where(F.col("rank") == TOPK).collect()}
+    cur = [last.get(q, _PAGE_END) for q in range(len(QUERY_SPECS))]
+    return run_queries_after(spark, idx, QUERY_SPECS, cur, k=TOPK,
+                             dtype="float64")
+
+
+# compound bool workload: (must, should, must_not, min_should) — covers
+# pure-should with a threshold, must+should rescoring, exclusions that
+# bite, a contradiction (empty), a term in two clauses, duplicate musts
+BOOL_DSL_SPECS: list[tuple] = [
+    ([], [0, 1, 2], [], 2),
+    ([0], [3, 5], [], None),
+    ([1, 3], [], [2], None),
+    ([2], [], [2], None),
+    ([4], [4, 7], [], 1),
+    ([], [9, 11, 13], [], None),
+    ([0, 0, 5], [], [], None),
+]
+
+
+MM_TITLE_N = 8
+MM_QUERIES = ["join hash", "scan filter batch", "slow merge",
+              "customer order", "vector window qqzznotaword"]
+MM_BOOSTS = {"title": 2.0, "body": 1.0}   # binary-exact boosts
+MM_TB = 0.25                              # binary-exact tie_breaker
+
+_FIELD_IDX_CACHE: dict[str, dict] = {}
+
+
+def _get_field_indexes(spark, sf_dir):
+    """title/body per-field indexes over the driver documents (title =
+    first MM_TITLE_N tokens under the pinned tokenizer, body = rest) —
+    built once per sf_dir and cached like _get_index."""
+    key = os.path.abspath(sf_dir)
+    if key in _FIELD_IDX_CACHE:
+        return _FIELD_IDX_CACHE[key]
+    docs = _documents(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), "[^0-9a-z]+"),
+                    lambda x: x != F.lit(""))
+    fields = {
+        "title": F.concat_ws(" ", F.slice(toks, 1, MM_TITLE_N)),
+        "body": F.concat_ws(" ", F.slice(toks, MM_TITLE_N + 1, 1 << 30)),
+    }
+    out = {}
+    for fname, expr in fields.items():
+        tag = (f"{os.path.basename(key.rstrip('/'))}"
+               f"-{fname}-v{dint_spark.__version__}")
+        fdir = os.path.join("/tmp/dint_spark_entry", tag)
+        fdocs = docs.select("doc_id", expr.alias("text"),
+                            F.lit("xx").alias("lang"))
+        cfg = IndexConfig(num_buckets=4, input_tag=tag)
+        if os.path.exists(os.path.join(fdir, "manifest.json")):
+            try:
+                out[fname] = load_index(spark, fdir)
+                continue
+            except Exception:
+                shutil.rmtree(fdir, ignore_errors=True)
+        out[fname] = build_index(
+            spark, pages_from_documents(fdocs), fdir, cfg)
+    _FIELD_IDX_CACHE[key] = out
+    return out
+
+
+def _entry_search_multi_match(spark, sf_dir):
+    """multi_match best_fields over per-field title/body indexes (title =
+    first 8 tokens, boost 2.0; tie_breaker 0.25): per-field BM25 with
+    each field's own df/len/avg statistics, combined max + tb * rest —
+    the ES default multi-field query (dint_spark/multifield.py)."""
+    from dint_spark.multifield import run_multi_match
+
+    fidx = _get_field_indexes(spark, sf_dir)
+    return run_multi_match(spark, fidx, MM_QUERIES, boosts=MM_BOOSTS,
+                           mode="best_fields", tie_breaker=MM_TB,
+                           k=TOPK, dtype="float64")
+
+
+def _entry_search_bool_dsl(spark, sf_dir):
+    """Compound bool query DSL (ES ``bool``): must / should / must_not /
+    minimum_should_match in ONE scored kernel pass — eligibility by
+    vectorized clause counts over the match union, BM25 over the
+    must+should multiset, must_not decoded but never scored
+    (dint_spark/bool_query.py)."""
+    from dint_spark.bool_query import run_bool_queries
+
+    idx = _get_index(spark, sf_dir)
+    return run_bool_queries(spark, idx, BOOL_DSL_SPECS, k=TOPK,
+                            dtype="float64")
+
+
 RERANK_N_CANDIDATES = 50
 
 
@@ -1765,6 +1893,208 @@ GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2
 """
 )
+
+_COLLAPSE_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+, sq AS (
+  SELECT s.query_id, s.doc_id,
+         floor(s.score * 1e9)::BIGINT AS score_q, d.source AS facet
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+reps AS (
+  SELECT query_id, doc_id, score_q, facet,
+         row_number() OVER (
+           PARTITION BY query_id, facet
+           ORDER BY score_q DESC, doc_id ASC
+         ) AS gr
+  FROM sq
+)
+SELECT query_id, rank, facet, doc_id, score_q FROM (
+  SELECT query_id, facet, doc_id, score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_q DESC, doc_id ASC
+         )::INT AS rank
+  FROM reps WHERE gr = 1
+) WHERE rank <= {COLLAPSE_K}
+ORDER BY 1, 2
+"""
+)
+
+_PAGE2_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+SELECT query_id, (rn - {TOPK})::INT AS rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY floor(score * 1e9) DESC, doc_id ASC
+         ) AS rn
+  FROM scored
+) WHERE rn > {TOPK} AND rn <= {2 * TOPK}
+ORDER BY 1, 2
+"""
+)
+
+def _multi_match_sql() -> str:
+    """Oracle for multi_match best_fields: per-field tf/len/df/avg CTEs
+    (title = first MM_TITLE_N tokens, body = rest), per-field BM25,
+    boosted max + tie_breaker * rest, quantized rank."""
+    import re
+    from collections import Counter
+
+    rows = []
+    for qid, q in enumerate(MM_QUERIES):
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, q.lower()) if t]
+        rows += [f"({qid}, '{t}', {c})"
+                 for t, c in sorted(Counter(toks).items())]
+    bt, bb = MM_BOOSTS["title"], MM_BOOSTS["body"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS l
+  FROM documents
+),
+ftoks AS (
+  SELECT b.doc_id,
+         CASE WHEN g.i <= {MM_TITLE_N} THEN 'title' ELSE 'body' END AS fld,
+         b.l[g.i] AS term
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series(1, len(b.l))) AS i) g
+),
+tfq AS (
+  SELECT fld, doc_id, term, count(*)::BIGINT AS tf
+  FROM ftoks GROUP BY 1, 2, 3
+),
+flds(fld) AS (VALUES ('title'), ('body')),
+dlf AS (
+  SELECT b.doc_id, fl.fld, count(t.term)::BIGINT AS len
+  FROM base b CROSS JOIN flds fl
+  LEFT JOIN ftoks t ON t.doc_id = b.doc_id AND t.fld = fl.fld
+  GROUP BY 1, 2
+),
+statsf AS (
+  SELECT fld, (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         avg(len) AS avg_len
+  FROM dlf GROUP BY 1
+),
+vocabf AS (SELECT fld, term, count(*)::BIGINT AS df FROM tfq GROUP BY 1, 2),
+mq(query_id, term, qf) AS (VALUES {", ".join(rows)}),
+fscored AS (
+  SELECT mq.query_id, t.doc_id, t.fld,
+         sum(
+           mq.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (t.tf / (t.tf + 1.2 * (0.5 + 0.5 * (d.len / s.avg_len))))
+         ) AS score
+  FROM mq
+  JOIN tfq t ON t.term = mq.term
+  JOIN vocabf v ON v.fld = t.fld AND v.term = t.term
+  JOIN dlf d ON d.doc_id = t.doc_id AND d.fld = t.fld
+  JOIN statsf s ON s.fld = t.fld
+  GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT query_id, doc_id,
+         coalesce(max(CASE WHEN fld = 'title' THEN {bt}::DOUBLE * score END),
+                  0) AS st,
+         coalesce(max(CASE WHEN fld = 'body' THEN {bb}::DOUBLE * score END),
+                  0) AS sb
+  FROM fscored GROUP BY 1, 2
+),
+tot AS (
+  SELECT query_id, doc_id,
+         greatest(st, sb)
+           + {MM_TB}::DOUBLE * ((st + sb) - greatest(st, sb)) AS score
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY floor(score * 1e9) DESC, doc_id ASC
+         )::INT AS rank
+  FROM tot
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+"""
+
+
+def _bool_dsl_sql() -> str:
+    """Oracle for the compound bool DSL: score over the must+should
+    multiset, eligibility via per-clause membership counts, quantized
+    rank. Clause tables are VALUES lists; min_should is resolved to the
+    ES default here so SQL sees only concrete thresholds."""
+    from collections import Counter
+
+    pos, must, should, neg, mins = [], [], [], [], []
+    for qid, (m, s, n, ms) in enumerate(BOOL_DSL_SPECS):
+        qf = Counter(m) + Counter(s)
+        pos += [f"({qid}, {t}, {c})" for t, c in sorted(qf.items())]
+        must += [f"({qid}, {t})" for t in sorted(set(m))]
+        should += [f"({qid}, {t})" for t in sorted(set(s))]
+        neg += [f"({qid}, {t})" for t in sorted(set(n))]
+        if ms is None:
+            ms = 0 if m else min(1, len(s))
+        mins.append(f"({qid}, {ms}, {len(set(m))})")
+
+    def vals(name, cols, rows):
+        body = ", ".join(rows) if rows else "(-1, -1)"
+        return f"{name}({cols}) AS (VALUES {body})"
+
+    return (
+        _PRELUDE
+        + f"""
+, {vals("bq_pos", "query_id, term_id, qf", pos)},
+{vals("bq_must", "query_id, term_id", must)},
+{vals("bq_should", "query_id, term_id", should)},
+{vals("bq_neg", "query_id, term_id", neg)},
+bq_min(query_id, min_should, n_must) AS (VALUES {", ".join(mins)}),
+bscored AS (
+  SELECT p.query_id, tf.doc_id,
+         sum(
+           p.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM bq_pos p
+  JOIN vocab v ON v.term_id = p.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+elig AS (
+  SELECT b.query_id, b.doc_id
+  FROM bscored b JOIN bq_min m ON m.query_id = b.query_id
+  WHERE (SELECT count(*) FROM bq_must q
+         JOIN vocab v2 ON v2.term_id = q.term_id
+         JOIN tf t2 ON t2.term = v2.term AND t2.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id) = m.n_must
+    AND (SELECT count(*) FROM bq_should q
+         JOIN vocab v3 ON v3.term_id = q.term_id
+         JOIN tf t3 ON t3.term = v3.term AND t3.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id) >= m.min_should
+    AND NOT EXISTS (SELECT 1 FROM bq_neg q
+         JOIN vocab v4 ON v4.term_id = q.term_id
+         JOIN tf t4 ON t4.term = v4.term AND t4.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id)
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT b.query_id, b.doc_id,
+         floor(b.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY b.query_id
+           ORDER BY floor(b.score * 1e9) DESC, b.doc_id ASC
+         )::INT AS rank
+  FROM bscored b
+  JOIN elig e ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+"""
+    )
+
 
 _RERANK_SQL = (
     _PRELUDE
@@ -2054,6 +2384,10 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets": _FACETS_SQL,
         "search_facets_range": _FACETS_RANGE_SQL,
         "search_sort_by_field": _SORT_FIELD_SQL,
+        "search_collapse": _COLLAPSE_SQL,
+        "search_page2": _PAGE2_SQL,
+        "search_bool_dsl": _bool_dsl_sql(),
+        "search_multi_match": _multi_match_sql(),
         "search_rerank": _RERANK_SQL,
         "search_hybrid_rrf": _HYBRID_SQL,
         "suggest_spelling": _SUGGEST_SQL,

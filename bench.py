@@ -353,7 +353,9 @@ def main() -> None:
         _eq = _entry.queries()
         for name in ("significant_terms", "search_more_like_this",
                      "suggest_spelling", "search_hybrid_rrf",
-                     "search_rm3"):
+                     "search_rm3", "search_collapse", "search_page2",
+                     "search_sort_by_field", "search_facets_range",
+                     "search_bool_dsl", "search_multi_match"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(

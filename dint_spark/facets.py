@@ -248,6 +248,109 @@ def build_doc_values(spark: SparkSession, docs: DataFrame, num_docs: int,
     return vals
 
 
+COLLAPSE_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("facet_ord", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score_q", T.LongType(), False),
+])
+
+
+def run_collapsed_queries(
+    spark: SparkSession, index, queries, facets: DocFacets,
+    k: int = 10, dtype: str = "float64", quant: float = 1e9,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Field collapsing (the ES ``collapse`` clause): BM25 OR retrieval
+    returning the top-``k`` GROUPS per query — each facet value (e.g.
+    domain) contributes at most its single best-scoring doc, groups rank
+    by that representative's (score desc, doc_id asc). The result-page
+    one-hit-per-site rule. Docs with a missing facet value form one
+    shared null group (ES missing-key semantics; facet comes back NULL).
+
+    Kernel shape: one exact scoring pass over the FULL match set
+    (queries.matched_scores — the compacted ranked_or accumulation, no
+    dense num_docs array), then per-group argmax + group ranking as two
+    numpy lexsorts, all inside the same applyInPandas group that decoded
+    the postings. Only |queries| x k rows leave the workers; the ordinal
+    sidecar ships once per worker (2-4 B/doc, shard-local under docid
+    sharding). Selection runs in floor(score*quant) integer space so
+    ranking is reproducible across hosts and matches the quantized SQL
+    oracle exactly."""
+    from dint_spark.queries import matched_scores
+
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    num_docs = index.num_docs
+    if len(facets.ords) != num_docs:
+        raise ValueError(
+            f"facets cover {len(facets.ords)} docs, index has {num_docs}")
+    DT = np.float32 if dtype == "float32" else np.float64
+    norms = index.norm_lens if dtype == "float32" else index.norm_lens64
+    norm_bc = spark.sparkContext.broadcast(norms)
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    ords_bc = spark.sparkContext.broadcast(facets.ords)
+
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "facet_ord", "doc_id", "score_q"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs, DT)
+        docs, scores = matched_scores(
+            cursors, norm_bc.value, num_docs, DT,
+            live=tomb_bc.value if tomb_bc is not None else None)
+        if not len(docs):
+            return pd.DataFrame(columns=cols)
+        sq = np.floor(scores.astype(np.float64) * quant).astype(np.int64)
+        ords = ords_bc.value[docs].astype(np.int64)
+        # best doc per group: first hit in (score desc, doc asc) order
+        order = np.lexsort((docs, -sq))
+        _, first = np.unique(ords[order], return_index=True)
+        reps = order[np.sort(first)]
+        # group ranking by the representative's (score desc, doc asc)
+        gorder = reps[np.lexsort((docs[reps], -sq[reps]))][:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(gorder) + 1, dtype=np.int32),
+            "facet_ord": ords[gorder],
+            "doc_id": docs[gorder],
+            "score_q": sq[gorder],
+        })
+
+    out = joined.groupBy("query_id").applyInPandas(run_one, COLLAPSE_SCHEMA)
+    dim = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(facets.values)],
+        schema=T.StructType([
+            T.StructField("facet_ord", T.LongType(), False),
+            T.StructField("facet", T.StringType(), False),
+        ]),
+    )
+    # left join: the missing-value group (ordinal == num_values) has no
+    # dimension row and surfaces as facet NULL, the ES null group
+    return (out.join(F.broadcast(dim), "facet_ord", "left")
+            .select("query_id", "rank", "facet", "doc_id", "score_q"))
+
+
 RANGE_FACET_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("bucket", T.IntegerType(), False),

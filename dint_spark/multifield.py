@@ -1,0 +1,168 @@
+"""Multi-field retrieval: the ES ``multi_match`` query over per-field
+indexes (title / body / ...), with per-field boosts.
+
+Model: each field is its own inverted index over the same doc-id space
+(its own postings, document lengths, and collection statistics — the
+Lucene per-field index model). A query scores independently per field
+(BM25 with that field's stats), and the per-doc field scores combine:
+
+  - ``most_fields``:  score(d) = sum_f  boost_f * bm25_f(d)
+  - ``best_fields``:  score(d) = best + tie_breaker * (sum - best)
+    where best = max_f boost_f * bm25_f(d)   (the ES default mode)
+
+A doc is a hit if it matches in ANY field (multi_match OR semantics);
+out-of-vocabulary tokens drop per field (a term can be a title hit and
+a body miss). Selection runs in floor(score*quant) integer space (the
+oracle-gate quantization used across the ranked surface).
+
+Kernel shape: ONE Spark job — every field's pruned segment rows union
+into the same per-query applyInPandas group tagged by field; inside the
+group each field's lists decode once (worker LRU) and score through the
+exact compacted accumulation shared with ranked_or/collapse/pagination
+(queries.matched_scores), then the per-field score vectors combine with
+two searchsorted scatters. Only |queries| x k rows leave the workers.
+Per-field dictionaries/norms broadcast once per field like norm_lens;
+everything is shard-local under docid sharding (all field indexes shard
+on the same doc ids).
+
+No reference counterpart: fanhualta/dint is single-field
+(include/ds2i/queries.hpp); multi-field is engine-completeness scope
+(the builder brief's web-search surface).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dint_spark.queries import (
+    DocMask,
+    _live_bc,
+    _pruned_segments,
+    _BM25_SEG_COLS,
+    build_cursors,
+    matched_scores,
+)
+from dint_spark.search import parse_queries
+
+MULTI_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score_q", T.LongType(), False),
+])
+
+
+def run_multi_match(
+    spark: SparkSession, indexes: dict[str, object], queries: list[str],
+    boosts: dict[str, float] | None = None, mode: str = "best_fields",
+    tie_breaker: float = 0.0, k: int = 10, dtype: str = "float64",
+    quant: float = 1e9, doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Top-``k`` per free-text query across the field indexes.
+    Returns (query_id, rank, doc_id, score_q)."""
+    if mode not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match mode {mode!r}")
+    fields = sorted(indexes)
+    boosts = {f: float((boosts or {}).get(f, 1.0)) for f in fields}
+    num_docs = {index.num_docs for index in indexes.values()}
+    if len(num_docs) != 1:
+        raise ValueError(
+            f"field indexes disagree on num_docs: {sorted(num_docs)} — "
+            "all fields must cover the same doc-id space")
+    num_docs = num_docs.pop()
+    DT = np.float32 if dtype == "float32" else np.float64
+    tb = DT(tie_breaker)
+
+    # per-field broadcasts + per-field qterms from per-field vocab lookup
+    field_bc = {}
+    parts = []
+    for fi, f in enumerate(fields):
+        idx = indexes[f]
+        specs, _oov = parse_queries(idx, queries)
+        rows = [(qid, int(t), int(c))
+                for qid, ts in enumerate(specs)
+                for t, c in sorted(Counter(ts).items())]
+        field_bc[fi] = (
+            spark.sparkContext.broadcast(idx.docs_dict),
+            spark.sparkContext.broadcast(idx.freqs_dict),
+            spark.sparkContext.broadcast(
+                idx.norm_lens if dtype == "float32" else idx.norm_lens64),
+            boosts[f],
+        )
+        if not rows:
+            continue
+        qterms = spark.createDataFrame(
+            rows,
+            schema=T.StructType([
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("term_id", T.LongType(), False),
+                T.StructField("qf", T.LongType(), False),
+            ]),
+        )
+        local_terms = sorted({t for _, t, _ in rows})
+        seg = _pruned_segments(idx, qterms, local_terms).select(
+            *_BM25_SEG_COLS)
+        parts.append(qterms.join(seg, "term_id")
+                     .withColumn("field_i", F.lit(fi)))
+    tomb_bc = _live_bc(spark, indexes[fields[0]], doc_filter)
+    field_data = {fi: v for fi, v in field_bc.items()}
+
+    if not parts:  # every token OOV in every field
+        return spark.createDataFrame([], MULTI_SCHEMA)
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.unionByName(p)
+
+    best_mode = mode == "best_fields"
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "doc_id", "score_q"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        live = tomb_bc.value if tomb_bc is not None else None
+        per_field = []
+        for fi, sub in pdf.groupby("field_i"):
+            dd_bc, fd_bc, norm_bc, boost = field_data[int(fi)]
+            cursors = build_cursors(sub, dd_bc.value, fd_bc.value,
+                                    num_docs, DT)
+            docs, scores = matched_scores(cursors, norm_bc.value,
+                                          num_docs, DT, live=live)
+            if len(docs):
+                per_field.append((docs, DT(boost) * scores))
+        if not per_field:
+            return pd.DataFrame(columns=cols)
+        union = per_field[0][0]
+        for d, _ in per_field[1:]:
+            union = np.union1d(union, d)
+        total = np.zeros(len(union), dtype=DT)
+        best = np.zeros(len(union), dtype=DT)
+        for d, s in per_field:
+            pos = np.searchsorted(union, d)
+            total[pos] += s
+            np.maximum.at(best, pos, s)
+        if best_mode:
+            score = best + tb * (total - best)
+        else:
+            score = total
+        sq = np.floor(score.astype(np.float64) * quant).astype(np.int64)
+        docs = union.astype(np.int64)
+        if len(docs) > 4 * k and k > 0:
+            thr = -np.partition(-sq, k - 1)[k - 1]
+            sel = np.flatnonzero(sq >= thr)
+            docs, sq = docs[sel], sq[sel]
+        order = np.lexsort((docs, -sq))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": docs[order],
+            "score_q": sq[order],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one, MULTI_SCHEMA)

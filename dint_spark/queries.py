@@ -583,11 +583,23 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
     if num_docs <= _DENSE_SCORE_MAX_DOCS:
         return _dense_topk(((c.q_weight, d, f) for c, d, f in lists),
                            norm_lens, num_docs, k, DT, live=live)
+    union, scores = _compacted_scores(lists, norm_lens, DT, live)
+    order = np.lexsort((union, -scores))[:k]
+    return [(int(union[i]), float(scores[i])) for i in order]
+
+
+def _compacted_scores(lists, norm_lens, DT, live=None):
+    """Exact OR-mode BM25 scores over the compacted match union.
+
+    ``lists`` is (cursor, docs, freqs) in term_id order. Scatters each
+    list's float contribution by searchsorted position into the sorted
+    union of matched docids — accumulation sequence identical to
+    ranked_or's per-doc adds, so scores are bit-equal. No dense
+    num_docs array: memory is O(|match set|), partition-safe at
+    10^12-doc scale."""
     if live is not None:
-        # compaction path scatters by searchsorted position into the
-        # candidate union, so tombstoned postings must drop from BOTH the
-        # union and each list (live docs' adds are per-doc independent —
-        # their scores stay bit-identical)
+        # tombstoned postings must drop from BOTH the union and each list
+        # (live docs' adds are per-doc independent — scores bit-identical)
         lists = [(c, d[live.mask[d]], f[live.mask[d]]) for c, d, f in lists]
     union = np.unique(np.concatenate([d for _, d, _ in lists]))
     scores = np.zeros(len(union), dtype=DT)
@@ -597,8 +609,24 @@ def ranked_or_vec(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,
         f = freqs.astype(DT)
         dtw = f / (f + DT(1.2) * (DT(1.0) - DT(0.5) + DT(0.5) * nl))
         scores[pos] += c.q_weight * dtw
-    order = np.lexsort((union, -scores))[:k]
-    return [(int(union[i]), float(scores[i])) for i in order]
+    return union, scores
+
+
+def matched_scores(cursors, norm_lens, num_docs: int, DT=np.float32,
+                   live=None) -> tuple[np.ndarray, np.ndarray]:
+    """(docids asc, exact BM25 scores) for the FULL OR match set — the
+    collection pass behind operators that rank the whole match list by
+    something other than a plain top-k heap (field collapsing, cursor
+    pagination). Scores are bit-identical to ranked_or / ranked_or_vec
+    for the same dtype (same compacted accumulation)."""
+    if not cursors:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=DT))
+    lists = []
+    for c in cursors:  # arrive sorted by term_id (build_cursors)
+        docs, freqs = c.decode_all()
+        lists.append((c, docs, freqs))
+    union, scores = _compacted_scores(lists, norm_lens, DT, live)
+    return union.astype(np.int64, copy=False), scores
 
 
 def ranked_and(cursors, norm_lens, num_docs: int, k: int, DT=np.float32,

@@ -440,6 +440,146 @@ def test_run_range_facet_queries(spark, sidx, docs_pdf):
         run_range_facet_queries(spark, sidx, specs, vals, [5, 5, 9])
 
 
+def _brute_bm25_scores(docs_pdf, vocab, terms):
+    """Float64 BM25 (engine constants: b=0.5, idf floor 1e-6, (1+k1)) per
+    matched doc, accumulated in term_id-asc order like the kernels."""
+    import math
+    from collections import Counter
+
+    inv = {tid: t for t, tid in vocab.items()}
+    toks = [[w for w in text.lower().split() if w]
+            for text in docs_pdf["text"]]
+    n = len(toks)
+    lens = np.array([len(t) for t in toks], dtype=np.float64)
+    avg = lens.sum() / n
+    tfs = [Counter(t) for t in toks]
+    df = Counter()
+    for c in tfs:
+        df.update(set(c))
+    q = Counter(terms)
+    scores = {}
+    for d, c in enumerate(tfs):
+        s, hit = 0.0, False
+        for tid, qf in sorted(q.items()):
+            w = inv[tid]
+            tf = c.get(w, 0)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5))
+            qw = float(qf) * max(1e-6, idf) * (1.0 + 1.2)
+            s += qw * (tf / (tf + 1.2 * (0.5 + 0.5 * (lens[d] / avg))))
+        if hit:
+            scores[d] = s
+    return scores
+
+
+COLLAPSE_SPECS = [[0], [1, 2], [0, 3, 5], [4], [2, 2, 7]]
+
+
+def test_run_collapsed_queries(spark, sidx, docs_pdf):
+    """Field collapsing == brute force: best doc per lang group by
+    (score_q desc, doc asc), groups ranked by their representative,
+    NULL-lang docs collapse into ONE null group, DocMask composed."""
+    import math
+
+    from dint_spark.facets import build_doc_facets, run_collapsed_queries
+
+    docs = spark.createDataFrame(docs_pdf)
+    fac = build_doc_facets(spark, docs, sidx.num_docs, "lang")
+    vocab = _vocab_map(spark, sidx)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    k = 3
+    for filt in (None, dm):
+        got = {
+            (r["query_id"], r["rank"]): (r["facet"], r["doc_id"],
+                                         r["score_q"])
+            for r in run_collapsed_queries(
+                spark, sidx, COLLAPSE_SPECS, fac, k=k,
+                doc_filter=filt).collect()
+        }
+        want = {}
+        for qid, terms in enumerate(COLLAPSE_SPECS):
+            scores = _brute_bm25_scores(docs_pdf, vocab, terms)
+            best = {}  # lang -> (sq, doc)
+            for d, s in scores.items():
+                if filt is not None and not mask[d]:
+                    continue
+                g = docs_pdf["lang"][d]
+                key = (-math.floor(s * 1e9), d)
+                if g not in best or key < best[g]:
+                    best[g] = key
+            reps = sorted(best.items(), key=lambda kv: kv[1])[:k]
+            for rank, (g, (nsq, d)) in enumerate(reps, 1):
+                want[(qid, rank)] = (g, d, -nsq)
+        assert got == want, filt is None
+
+
+def test_run_queries_after_tiles_the_ranking(spark, sidx, docs_pdf):
+    """search_after pages tile the global quantized ranking exactly:
+    page 1 (no cursor) == brute ranks 1..k, page 2 resumed from page 1's
+    last (score_q, doc_id) == ranks k+1..2k, and a cursor past the end
+    returns nothing. Head-term specs push the match set far past 4k so
+    the argpartition preselect path runs."""
+    import math
+
+    from dint_spark.paging import run_queries_after
+
+    vocab = _vocab_map(spark, sidx)
+    specs = [[0], [1, 2], [0, 3, 5], [39]]
+    k = 5
+    brute = []
+    for terms in specs:
+        scores = _brute_bm25_scores(docs_pdf, vocab, terms)
+        brute.append(sorted(
+            ((math.floor(s * 1e9), d) for d, s in scores.items()),
+            key=lambda t: (-t[0], t[1])))
+
+    def rows(res):
+        return {(r["query_id"], r["rank"]): (r["doc_id"], r["score_q"])
+                for r in res.collect()}
+
+    p1 = rows(run_queries_after(spark, sidx, specs, None, k=k))
+    want1 = {(q, i + 1): (d, sq)
+             for q, full in enumerate(brute)
+             for i, (sq, d) in enumerate(full[:k])}
+    assert p1 == want1
+
+    cur = [(p1[(q, k)][1], p1[(q, k)][0]) if (q, k) in p1 else None
+           for q in range(len(specs))]
+    p2 = rows(run_queries_after(spark, sidx, specs, cur, k=k))
+    want2 = {(q, i + 1): (d, sq)
+             for q, full in enumerate(brute)
+             for i, (sq, d) in enumerate(full[k:2 * k])}
+    assert p2 == want2
+
+    # a cursor below every score: empty page
+    tail = [(-(10 ** 15), 0)] * len(specs)
+    assert rows(run_queries_after(spark, sidx, specs, tail, k=k)) == {}
+
+
+def test_run_queries_after_score_tie_cursor(spark, sidx):
+    """At an exact score_q tie the cursor advances by doc_id: seeding the
+    cursor at (sq, d) returns the later tied docs, never d again."""
+    from dint_spark.paging import run_queries_after
+
+    # single-term query: every doc with the same tf/len pair ties exactly
+    full = run_queries_after(spark, sidx, [[0]], None, k=300).collect()
+    by_rank = sorted(full, key=lambda r: r["rank"])
+    tie = None
+    for a, b in zip(by_rank, by_rank[1:]):
+        if a["score_q"] == b["score_q"]:
+            tie = (a, b)
+            break
+    assert tie is not None, "fixture has no quantized tie; widen k"
+    a, b = tie
+    nxt = run_queries_after(
+        spark, sidx, [[0]], [(a["score_q"], a["doc_id"])], k=1).collect()
+    assert len(nxt) == 1 and nxt[0]["doc_id"] == b["doc_id"]
+
+
 def test_doc_values_rejects_overflow_ids(spark, sidx, docs_pdf):
     from dint_spark.facets import build_doc_values
 
