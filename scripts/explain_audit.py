@@ -423,6 +423,50 @@ def main() -> None:
         "driver-trivial); no cartesian/BNLJ in the plan.",
     ))
 
+    # 18. multi_match: each field index contributes its OWN pruned
+    # segments scan (term_id PushedFilters per field — the per-field
+    # vocabularies differ), unioned into one kernel job; no cartesian.
+    import __spark_entry__ as entry
+
+    fidx = entry._get_field_indexes(spark, SF)
+    from dint_spark.multifield import run_multi_match
+
+    p18 = plan_of(run_multi_match(spark, fidx, ["join hash", "scan row"],
+                                  boosts={"title": 2.0, "body": 1.0},
+                                  mode="best_fields", tie_breaker=0.25))
+    pushed = p18.count("PushedFilters: [In(term_id")
+    ok18 = (pushed >= 2 and "CartesianProduct" not in p18
+            and "BroadcastNestedLoopJoin" not in p18)
+    sections.append((
+        "multi_match: per-field pruned segment scans, one kernel job",
+        _join_shapes(p18),
+        ok18,
+        f"{pushed} field segment scans push term_id IN-lists "
+        "(row-group pruning per field); the field branches union into "
+        "a single per-query applyInPandas group — no extra shuffle per "
+        "field, no cartesian.",
+    ))
+
+    # 19. field collapsing: the ordinal->value dimension join on the
+    # k-row output must be a broadcast hash LEFT join (missing group ->
+    # NULL facet); segments scan stays pruned.
+    from dint_spark.facets import build_doc_facets, run_collapsed_queries
+
+    fac19 = build_doc_facets(spark, docs, idx.num_docs, "source")
+    p19 = plan_of(run_collapsed_queries(spark, idx, [[0, 3], [1]], fac19,
+                                        k=5))
+    ok19 = ("BroadcastHashJoin" in p19 and "LeftOuter" in p19
+            and "CartesianProduct" not in p19
+            and "PushedFilters: [In(term_id" in p19)
+    sections.append((
+        "field collapsing: broadcast dim join on the k-row output",
+        _join_shapes(p19),
+        ok19,
+        "the facet dimension (ordinal -> value, facet-cardinality rows) "
+        "broadcast-left-joins the |queries| x k collapsed output; the "
+        "segment scan keeps its term_id pushdown.",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")
