@@ -961,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_not": _entry_boolean_and_not,
         "search_facets": _entry_search_facets,
         "search_facets_range": _entry_search_facets_range,
+        "search_stats": _entry_search_stats,
         "search_sort_by_field": _entry_search_sort_by_field,
         "search_collapse": _entry_search_collapse,
         "search_page2": _entry_search_page2,
@@ -1489,6 +1490,19 @@ def _entry_search_facets_range(spark, sf_dir):
         spark, idx, FACET_SPECS, vals, RANGE_EDGES, mode="and")
 
 
+def _entry_search_stats(spark, sf_dir):
+    """ES ``stats`` aggregation over the FULL match set: per query, the
+    matched-doc count and count/sum/min/max of n_chars over valued
+    matches — one vectorized pass in the boolean kernel, ONE row per
+    query out (facets.run_stats_queries)."""
+    from dint_spark.facets import build_doc_values, run_stats_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_stats_queries(spark, idx, FACET_SPECS, vals, mode="and")
+
+
 COLLAPSE_K = 8
 
 
@@ -1939,6 +1953,23 @@ ORDER BY 1, 2
 """
 )
 
+_STATS_SQL = (
+    _FACET_MATCHED
+    + """
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       count(d.n_chars)::BIGINT AS n_valued,
+       coalesce(sum(d.n_chars), 0)::BIGINT AS vsum,
+       min(d.n_chars)::BIGINT AS vmin,
+       max(d.n_chars)::BIGINT AS vmax
+FROM matched m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1
+ORDER BY 1
+"""
+)
+
+
 def _multi_match_sql() -> str:
     """Oracle for multi_match best_fields: per-field tf/len/df/avg CTEs
     (title = first MM_TITLE_N tokens, body = rest), per-field BM25,
@@ -2383,6 +2414,7 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_and_not": _BOOL_ANDNOT_SQL,
         "search_facets": _FACETS_SQL,
         "search_facets_range": _FACETS_RANGE_SQL,
+        "search_stats": _STATS_SQL,
         "search_sort_by_field": _SORT_FIELD_SQL,
         "search_collapse": _COLLAPSE_SQL,
         "search_page2": _PAGE2_SQL,

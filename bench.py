@@ -355,7 +355,8 @@ def main() -> None:
                      "suggest_spelling", "search_hybrid_rrf",
                      "search_rm3", "search_collapse", "search_page2",
                      "search_sort_by_field", "search_facets_range",
-                     "search_bool_dsl", "search_multi_match"):
+                     "search_bool_dsl", "search_multi_match",
+                     "search_stats"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(

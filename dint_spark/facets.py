@@ -438,6 +438,84 @@ def run_range_facet_queries(
         run_one, RANGE_FACET_SCHEMA)
 
 
+STATS_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("n_docs", T.LongType(), False),
+    T.StructField("n_valued", T.LongType(), False),
+    T.StructField("vsum", T.LongType(), False),
+    T.StructField("vmin", T.LongType(), True),
+    T.StructField("vmax", T.LongType(), True),
+])
+
+
+def run_stats_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    mode: str = "and", doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """The ES ``stats`` aggregation over the FULL match set: per query,
+    the matched-doc count plus count/sum/min/max of the doc value over
+    matched docs that carry one (missing-value docs count in ``n_docs``
+    but join no statistic — ES missing semantics; avg = vsum/n_valued
+    is left to the caller so every output stays exact-integer). One
+    vectorized pass appended to the boolean kernel; output is ONE row
+    per query — nothing per-doc ever leaves a worker. vmin/vmax are
+    NULL when no matched doc has a value."""
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    fn = boolean_and if mode == "and" else boolean_or
+
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "n_docs", "n_valued", "vsum", "vmin", "vmax"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs,
+                                merge_chunks=(mode == "and"))
+        docs = np.asarray(
+            fn(cursors, num_docs,
+               live=tomb_bc.value if tomb_bc is not None else None),
+            dtype=np.int64)
+        if not len(docs):
+            return pd.DataFrame(columns=cols)
+        v = vals_bc.value[docs]
+        v = v[v != _DV_MISSING]
+        return pd.DataFrame({
+            "query_id": [qid],
+            "n_docs": [len(docs)],
+            "n_valued": [len(v)],
+            "vsum": [int(v.sum()) if len(v) else 0],
+            "vmin": [int(v.min()) if len(v) else None],
+            "vmax": [int(v.max()) if len(v) else None],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one, STATS_SCHEMA)
+
+
 SORTED_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("rank", T.IntegerType(), False),

@@ -580,6 +580,48 @@ def test_run_queries_after_score_tie_cursor(spark, sidx):
     assert len(nxt) == 1 and nxt[0]["doc_id"] == b["doc_id"]
 
 
+def test_run_stats_queries(spark, sidx, docs_pdf):
+    """Match-set stats == brute force: n_docs counts every match,
+    n_valued/vsum/vmin/vmax only valued docs; missing-only match sets
+    give NULL min/max; DocMask composes; no-match queries emit no row."""
+    import pyspark.sql.functions as F
+
+    from dint_spark.facets import (_DV_MISSING, build_doc_values,
+                                   run_stats_queries)
+
+    docs = spark.createDataFrame(docs_pdf).withColumn(
+        "nchars",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None))
+        .otherwise(F.length("text")))
+    vals = build_doc_values(spark, docs, sidx.num_docs, "nchars")
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    specs = [[0], [1, 2], [0, 3, 5], [4], [0, 1, 2, 3, 4, 5, 6]]
+    for filt in (None, dm):
+        got = {
+            r["query_id"]: (r["n_docs"], r["n_valued"], r["vsum"],
+                            r["vmin"], r["vmax"])
+            for r in run_stats_queries(
+                spark, sidx, specs, vals, doc_filter=filt).collect()
+        }
+        want = {}
+        for qid, terms in enumerate(specs):
+            matched = [d for d, ts in enumerate(tm)
+                       if set(terms) <= ts
+                       and (filt is None or mask[d])]
+            if not matched:
+                continue
+            vv = [int(vals[d]) for d in matched
+                  if vals[d] != _DV_MISSING]
+            want[qid] = (len(matched), len(vv), sum(vv),
+                         min(vv) if vv else None,
+                         max(vv) if vv else None)
+        assert got == want, filt is None
+
+
 def test_doc_values_rejects_overflow_ids(spark, sidx, docs_pdf):
     from dint_spark.facets import build_doc_values
 
