@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_facets_range": _entry_search_facets_range,
         "search_stats": _entry_search_stats,
+        "search_explain": _entry_search_explain,
         "search_sort_by_field": _entry_search_sort_by_field,
         "search_collapse": _entry_search_collapse,
         "search_page2": _entry_search_page2,
@@ -1503,6 +1504,18 @@ def _entry_search_stats(spark, sf_dir):
     return run_stats_queries(spark, idx, FACET_SPECS, vals, mode="and")
 
 
+def _entry_search_explain(spark, sf_dir):
+    """Score explanation (ES _explain / Lucene Explanation): per
+    quantized-BM25 top-10 doc, one row per matched query term with its
+    exact (tf, df) and quantized score contribution — the per-term
+    breakdown users debug rankings with (dint_spark/explain.py)."""
+    from dint_spark.explain import run_queries_explain
+
+    idx = _get_index(spark, sf_dir)
+    return run_queries_explain(spark, idx, QUERY_SPECS, k=TOPK,
+                               dtype="float64")
+
+
 COLLAPSE_K = 8
 
 
@@ -1950,6 +1963,36 @@ SELECT query_id, (rn - {TOPK})::INT AS rank, doc_id, score_q FROM (
   FROM scored
 ) WHERE rn > {TOPK} AND rn <= {2 * TOPK}
 ORDER BY 1, 2
+"""
+)
+
+_EXPLAIN_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+, topk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY floor(score * 1e9) DESC, doc_id ASC
+           )::INT AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK}
+)
+SELECT t.query_id, t.rank, t.doc_id, qs.term_id, tf.tf, v.df,
+       floor(
+         qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+         * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         * 1e9
+       )::BIGINT AS contrib_q
+FROM topk t
+JOIN qs ON qs.query_id = t.query_id
+JOIN vocab v ON v.term_id = qs.term_id
+JOIN tf ON tf.term = v.term AND tf.doc_id = t.doc_id
+JOIN dl ON dl.doc_id = t.doc_id
+CROSS JOIN stats s
+ORDER BY 1, 2, 4
 """
 )
 
@@ -2415,6 +2458,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets": _FACETS_SQL,
         "search_facets_range": _FACETS_RANGE_SQL,
         "search_stats": _STATS_SQL,
+        "search_explain": _EXPLAIN_SQL,
         "search_sort_by_field": _SORT_FIELD_SQL,
         "search_collapse": _COLLAPSE_SQL,
         "search_page2": _PAGE2_SQL,
