@@ -963,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets_range": _entry_search_facets_range,
         "search_stats": _entry_search_stats,
         "search_explain": _entry_search_explain,
+        "search_analyzed": _entry_search_analyzed,
         "search_sort_by_field": _entry_search_sort_by_field,
         "search_collapse": _entry_search_collapse,
         "search_page2": _entry_search_page2,
@@ -1516,6 +1517,64 @@ def _entry_search_explain(spark, sf_dir):
                                dtype="float64")
 
 
+AN_QUERIES = ["the joins and rows", "tables of values",
+              "scans with merges", "the windows and groups",
+              "customers orders"]
+
+_AN_IDX_CACHE: dict[str, object] = {}
+
+
+def _get_analyzed_index(spark, sf_dir):
+    """Index over the analyzer-chain transform of the driver documents
+    (stopword drop + S-stem), built once per sf_dir and cached."""
+    from dint_spark.analyzer import analyze_documents
+
+    key = os.path.abspath(sf_dir)
+    if key in _AN_IDX_CACHE:
+        return _AN_IDX_CACHE[key]
+    tag = (f"{os.path.basename(key.rstrip('/'))}"
+           f"-analyzed-v{dint_spark.__version__}")
+    adir = os.path.join("/tmp/dint_spark_entry", tag)
+    adocs = analyze_documents(_documents(spark, sf_dir))
+    cfg = IndexConfig(num_buckets=4, input_tag=tag)
+    idx = None
+    if os.path.exists(os.path.join(adir, "manifest.json")):
+        try:
+            idx = load_index(spark, adir)
+        except Exception:
+            shutil.rmtree(adir, ignore_errors=True)
+    if idx is None:
+        idx = build_index(spark, pages_from_documents(adocs), adir, cfg)
+    _AN_IDX_CACHE[key] = idx
+    return idx
+
+
+def _entry_search_analyzed(spark, sf_dir):
+    """Analyzed retrieval (the ES analyzer-chain model): the corpus is
+    indexed through lowercase -> stopword-drop -> S-stem (JVM CASE
+    chain, no UDF — dint_spark/analyzer.py), queries run through the
+    exact Python replica of the same chain, so plural query forms match
+    singular corpus forms ('joins' -> 'join') and stopwords never
+    score."""
+    from dint_spark.analyzer import analyze
+    from dint_spark.search import parse_queries
+
+    idx = _get_analyzed_index(spark, sf_dir)
+    specs, _ = parse_queries(idx, [" ".join(analyze(q))
+                                   for q in AN_QUERIES])
+    raw = run_queries(spark, idx, specs, algo="block_max_wand", k=100,
+                      dtype="float64")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    return (
+        raw.withColumn("score_q", F.floor(F.col("score") * 1e9).cast("long"))
+        .withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= TOPK)
+        .select("query_id", F.col("qrank").cast("int").alias("rank"),
+                "doc_id", "score_q")
+    )
+
+
 COLLAPSE_K = 8
 
 
@@ -1965,6 +2024,84 @@ SELECT query_id, (rn - {TOPK})::INT AS rank, doc_id, score_q FROM (
 ORDER BY 1, 2
 """
 )
+
+def _analyzed_sql() -> str:
+    """Oracle for analyzed retrieval: the analyzer chain as a SQL CASE
+    (stopword NOT IN + the three terminal-exception stem rules), then
+    the standard BM25 CTEs over analyzed terms; query tokens are
+    Python-analyzed into the VALUES list (same `analyze` the entry
+    uses)."""
+    from collections import Counter
+
+    from dint_spark.analyzer import STOPWORDS, analyze
+
+    rows = []
+    for qid, q in enumerate(AN_QUERIES):
+        rows += [f"({qid}, '{t}', {c})"
+                 for t, c in sorted(Counter(analyze(q)).items())]
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH rawtoks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS t
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, t FROM rawtoks WHERE t <> '' AND t NOT IN ({stops})
+),
+atoks AS (
+  SELECT doc_id,
+         CASE WHEN t LIKE '%ies' THEN
+                CASE WHEN t LIKE '%eies' OR t LIKE '%aies' THEN t
+                     ELSE substr(t, 1, len(t) - 3) || 'y' END
+              WHEN t LIKE '%es' THEN
+                CASE WHEN t LIKE '%aes' OR t LIKE '%ees'
+                          OR t LIKE '%oes' THEN t
+                     ELSE substr(t, 1, len(t) - 1) END
+              WHEN t LIKE '%s' THEN
+                CASE WHEN t LIKE '%us' OR t LIKE '%ss' THEN t
+                     ELSE substr(t, 1, len(t) - 1) END
+              ELSE t END AS term
+  FROM kept
+),
+toks2 AS (SELECT doc_id, term FROM atoks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len
+  FROM documents d LEFT JOIN toks2 t ON d.doc_id = t.doc_id
+  GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         avg(len) AS avg_len
+  FROM dl
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+aq(query_id, term, qf) AS (VALUES {", ".join(rows)}),
+ascored AS (
+  SELECT aq.query_id, tf.doc_id,
+         sum(
+           aq.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM aq
+  JOIN tf ON tf.term = aq.term
+  JOIN vocab v ON v.term = aq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY floor(score * 1e9) DESC, doc_id ASC
+         )::INT AS rank
+  FROM ascored
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+"""
+
 
 _EXPLAIN_SQL = (
     _PRELUDE
@@ -2459,6 +2596,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets_range": _FACETS_RANGE_SQL,
         "search_stats": _STATS_SQL,
         "search_explain": _EXPLAIN_SQL,
+        "search_analyzed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,
         "search_collapse": _COLLAPSE_SQL,
         "search_page2": _PAGE2_SQL,

@@ -356,7 +356,7 @@ def main() -> None:
                      "search_rm3", "search_collapse", "search_page2",
                      "search_sort_by_field", "search_facets_range",
                      "search_bool_dsl", "search_multi_match",
-                     "search_stats"):
+                     "search_stats", "search_explain", "search_analyzed"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(

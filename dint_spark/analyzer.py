@@ -1,0 +1,110 @@
+"""Index-time text analysis: lowercase tokenize -> stopword removal ->
+S-stemming — the ES/Lucene analyzer-chain model, applied as a corpus
+transform so the standard build indexes analyzed terms.
+
+The stemmer is the Harman S-stemmer ("How Effective Is Suffixing?",
+JASIS 1991): three ordered rules that conflate regular English plurals
+  1. -ies -> -y   unless the word ends -eies / -aies
+  2. -es  -> -e   (drop the s) unless it ends -aes / -ees / -oes
+  3. -s   -> ""   unless it ends -us / -ss
+It was chosen over Porter deliberately: the rules are small enough to
+replicate EXACTLY in three independent places — the JVM expression chain
+here (whole-stage codegen, no UDF), the Python query-side replica
+(`analyze`), and a SQL CASE in the DuckDB oracle — so analyzed search
+stays under the exact-equality gate. A Porter port would force a Python
+UDF into the corpus pass and an unverifiable oracle.
+
+Scale shape: the whole chain is `split -> filter -> transform -> filter`
+over the token array — JVM-side array expressions inside the same
+whole-stage-codegen pass that already lowercases the corpus; it adds no
+shuffle, no UDF, and composes with the build's existing single corpus
+scan. Query-side analysis is per-batch string work on the driver.
+
+No reference counterpart: fanhualta/dint consumes pre-tokenized
+integer collections (include/ds2i/binary_collection.hpp); analysis is
+engine-completeness scope (the builder brief's web-search surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dint_spark.tokenizer import TOKEN_SPLIT_RE
+
+# the classic short English function-word list (Lucene's EnglishAnalyzer
+# default stop set, minus contractions our tokenizer cannot produce)
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+
+def s_stem(word: str) -> str:
+    """The Harman S-stemmer, Python side (must mirror _stem_col and the
+    oracle CASE exactly). Suffix families are checked longest-first and
+    an exception TERMINATES (the word passes through unchanged rather
+    than falling to a shorter-suffix rule — 'aies' stays 'aies', it does
+    not become 'aie' via the -es rule)."""
+    if word.endswith("ies"):
+        return word if word.endswith(("eies", "aies")) else word[:-3] + "y"
+    if word.endswith("es"):
+        return word if word.endswith(("aes", "ees", "oes")) else word[:-1]
+    if word.endswith("s"):
+        return word if word.endswith(("us", "ss")) else word[:-1]
+    return word
+
+
+def analyze(text: str) -> list[str]:
+    """Full chain on one string (the query-side path): pinned tokenizer,
+    stopword drop, S-stem, drop empty stems ('s' stems to '')."""
+    import re
+
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    out = []
+    for t in toks:
+        if t in STOPWORDS:
+            continue
+        t = s_stem(t)
+        if t:
+            out.append(t)
+    return out
+
+
+def _stem_col(x: Column) -> Column:
+    """The same three ordered rules as JVM expressions (CASE chain)."""
+    one = F.lit(1)
+    return (
+        F.when(x.endswith("ies"),
+               F.when(x.endswith("eies") | x.endswith("aies"), x)
+               .otherwise(F.concat(x.substr(one, F.length(x) - 3),
+                                   F.lit("y"))))
+        .when(x.endswith("es"),
+              F.when(x.endswith("aes") | x.endswith("ees")
+                     | x.endswith("oes"), x)
+              .otherwise(x.substr(one, F.length(x) - 1)))
+        .when(x.endswith("s"),
+              F.when(x.endswith("us") | x.endswith("ss"), x)
+              .otherwise(x.substr(one, F.length(x) - 1)))
+        .otherwise(x)
+    )
+
+
+def analyzed_text(text_col) -> Column:
+    """Analyzed token stream re-joined to a text column the standard
+    build can consume (stemmed tokens are [0-9a-z]+ only, so the
+    re-tokenization at build time is exact)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE),
+                    lambda x: (x != F.lit("")) & ~x.isin(*STOPWORDS))
+    toks = F.filter(F.transform(toks, _stem_col),
+                    lambda x: x != F.lit(""))
+    return F.concat_ws(" ", toks)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text"
+                      ) -> DataFrame:
+    """The corpus transform: replace ``text_col`` with its analyzed
+    form; every other column passes through."""
+    return docs.withColumn(text_col, analyzed_text(text_col))
