@@ -966,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_analyzed": _entry_search_analyzed,
         "search_sort_by_field": _entry_search_sort_by_field,
         "search_collapse": _entry_search_collapse,
+        "search_inner_hits": _entry_search_inner_hits,
         "search_page2": _entry_search_page2,
         "search_bool_dsl": _entry_search_bool_dsl,
         "search_multi_match": _entry_search_multi_match,
@@ -1593,6 +1594,26 @@ def _entry_search_collapse(spark, sf_dir):
         spark, idx, QUERY_SPECS, fac, k=COLLAPSE_K, dtype="float64")
 
 
+IH_K_GROUPS = 5
+IH_PER_GROUP = 3
+
+
+def _entry_search_inner_hits(spark, sf_dir):
+    """Collapse with inner hits (ES collapse + inner_hits) on `source`:
+    top-5 domains per query (ranked by each domain's best doc), each
+    carrying its own top-3 docs — the "3 hits per site" page. One exact
+    scoring pass + vectorized within-group cumcount in-kernel
+    (facets.run_grouped_topk)."""
+    from dint_spark.facets import build_doc_facets, run_grouped_topk
+
+    idx = _get_index(spark, sf_dir)
+    fac = build_doc_facets(
+        spark, _documents(spark, sf_dir), idx.num_docs, "source")
+    return run_grouped_topk(spark, idx, QUERY_SPECS, fac,
+                            k_groups=IH_K_GROUPS,
+                            per_group=IH_PER_GROUP, dtype="float64")
+
+
 # a cursor past every real (score_q, doc_id): page 2 of an exhausted
 # query is empty, not a repeat of page 1
 _PAGE_END = (-(10 ** 18), 0)
@@ -2006,6 +2027,40 @@ SELECT query_id, rank, facet, doc_id, score_q FROM (
   FROM reps WHERE gr = 1
 ) WHERE rank <= {COLLAPSE_K}
 ORDER BY 1, 2
+"""
+)
+
+_INNER_HITS_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+, sq AS (
+  SELECT s.query_id, s.doc_id,
+         floor(s.score * 1e9)::BIGINT AS score_q, d.source AS facet
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+gm AS (
+  SELECT query_id, doc_id, score_q, facet,
+         row_number() OVER (
+           PARTITION BY query_id, facet
+           ORDER BY score_q DESC, doc_id ASC
+         ) AS gr
+  FROM sq
+),
+gl AS (
+  SELECT query_id, facet,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_q DESC, doc_id ASC
+         )::INT AS grank
+  FROM gm WHERE gr = 1
+)
+SELECT m.query_id, gl.grank AS rank, m.gr::INT AS group_rank, m.facet,
+       m.doc_id, m.score_q
+FROM gm m
+JOIN gl ON gl.query_id = m.query_id AND gl.facet = m.facet
+WHERE gl.grank <= {IH_K_GROUPS} AND m.gr <= {IH_PER_GROUP}
+ORDER BY 1, 2, 3
 """
 )
 
@@ -2599,6 +2654,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_analyzed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,
         "search_collapse": _COLLAPSE_SQL,
+        "search_inner_hits": _INNER_HITS_SQL,
         "search_page2": _PAGE2_SQL,
         "search_bool_dsl": _bool_dsl_sql(),
         "search_multi_match": _multi_match_sql(),

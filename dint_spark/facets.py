@@ -351,6 +351,109 @@ def run_collapsed_queries(
             .select("query_id", "rank", "facet", "doc_id", "score_q"))
 
 
+GROUPED_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("group_rank", T.IntegerType(), False),
+    T.StructField("facet_ord", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score_q", T.LongType(), False),
+])
+
+
+def run_grouped_topk(
+    spark: SparkSession, index, queries, facets: DocFacets,
+    k_groups: int = 10, per_group: int = 3, dtype: str = "float64",
+    quant: float = 1e9, doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Field collapsing with inner hits (ES ``collapse`` +
+    ``inner_hits``): the top-``k_groups`` facet groups per query (ranked
+    by each group's best doc, the collapse rule), each carrying its own
+    top-``per_group`` docs by (score desc, doc_id asc) — the
+    "3 hits per site" result page. ``rank`` is the group's rank,
+    ``group_rank`` the doc's position inside its group. Missing-value
+    docs form the shared null group.
+
+    Same kernel shape as run_collapsed_queries: one exact scoring pass
+    over the full match set, then the grouping is a stable argsort by
+    group over the score order + a vectorized within-group cumcount —
+    no per-group Python. Output <= |queries| x k_groups x per_group
+    rows."""
+    from dint_spark.queries import kernel_query_join, matched_scores
+
+    num_docs = index.num_docs
+    if len(facets.ords) != num_docs:
+        raise ValueError(
+            f"facets cover {len(facets.ords)} docs, index has {num_docs}")
+    if per_group < 1 or k_groups < 1:
+        raise ValueError("k_groups and per_group must be >= 1")
+    DT = np.float32 if dtype == "float32" else np.float64
+    norms = index.norm_lens if dtype == "float32" else index.norm_lens64
+    norm_bc = spark.sparkContext.broadcast(norms)
+    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
+    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    ords_bc = spark.sparkContext.broadcast(facets.ords)
+    joined = kernel_query_join(spark, index, queries)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "group_rank", "facet_ord", "doc_id",
+                "score_q"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs, DT)
+        docs, scores = matched_scores(
+            cursors, norm_bc.value, num_docs, DT,
+            live=tomb_bc.value if tomb_bc is not None else None)
+        if not len(docs):
+            return pd.DataFrame(columns=cols)
+        sq = np.floor(scores.astype(np.float64) * quant).astype(np.int64)
+        ords = ords_bc.value[docs].astype(np.int64)
+        # global score order, then stable re-sort by group: groups come
+        # out contiguous with members in score order
+        order = np.lexsort((docs, -sq))
+        grp_sorted = np.argsort(ords[order], kind="stable")
+        rows = order[grp_sorted]
+        g = ords[rows]
+        starts = np.r_[0, np.flatnonzero(np.diff(g)) + 1]
+        sizes = np.diff(np.r_[starts, len(g)])
+        cum = np.arange(len(g)) - np.repeat(starts, sizes)
+        keep = cum < per_group
+        rows, g, cum = rows[keep], g[keep], cum[keep]
+        # group rank = rank of each group's best member in the global
+        # score order; leads are the cum==0 rows
+        leads = rows[cum == 0]
+        lead_order = np.lexsort((docs[leads], -sq[leads]))
+        sel_groups = ords[leads[lead_order]][:k_groups]
+        grank_of = {int(o): r + 1 for r, o in enumerate(sel_groups)}
+        in_top = np.array([int(x) in grank_of for x in g])
+        rows, g, cum = rows[in_top], g[in_top], cum[in_top]
+        granks = np.array([grank_of[int(x)] for x in g], dtype=np.int32)
+        out_order = np.lexsort((cum, granks))
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": granks[out_order],
+            "group_rank": (cum[out_order] + 1).astype(np.int32),
+            "facet_ord": g[out_order],
+            "doc_id": docs[rows[out_order]],
+            "score_q": sq[rows[out_order]],
+        })
+
+    out = joined.groupBy("query_id").applyInPandas(run_one, GROUPED_SCHEMA)
+    dim = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(facets.values)],
+        schema=T.StructType([
+            T.StructField("facet_ord", T.LongType(), False),
+            T.StructField("facet", T.StringType(), False),
+        ]),
+    )
+    return (out.join(F.broadcast(dim), "facet_ord", "left")
+            .select("query_id", "rank", "group_rank", "facet", "doc_id",
+                    "score_q"))
+
+
 RANGE_FACET_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("bucket", T.IntegerType(), False),

@@ -612,6 +612,29 @@ def _compacted_scores(lists, norm_lens, DT, live=None):
     return union, scores
 
 
+def kernel_query_join(spark: SparkSession, index, queries):
+    """The shared front half of every term-spec kernel op: term-id specs
+    -> (query_id, term_id, qf) rows joined to the pruned BM25 segment
+    rows, ready for groupBy(query_id).applyInPandas. Duplicate terms in
+    a spec fold into qf."""
+    local_terms = sorted({int(t) for ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.LongType()), False),
+        ]),
+    )
+    qterms = (
+        qdf.select("query_id", F.explode("terms").alias("term_id"))
+        .groupBy("query_id", "term_id")
+        .agg(F.count("*").alias("qf"))
+    )
+    return qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+
 def matched_scores(cursors, norm_lens, num_docs: int, DT=np.float32,
                    live=None) -> tuple[np.ndarray, np.ndarray]:
     """(docids asc, exact BM25 scores) for the FULL OR match set — the

@@ -517,6 +517,50 @@ def test_run_collapsed_queries(spark, sidx, docs_pdf):
         assert got == want, filt is None
 
 
+def test_run_grouped_topk(spark, sidx, docs_pdf):
+    """Collapse + inner hits == brute force: groups ranked by best
+    member, each group carries its top per_group docs in score order,
+    NULL-lang docs share one group, DocMask composed, per_group=1
+    degenerates to the collapse representative set."""
+    import math
+
+    from dint_spark.facets import build_doc_facets, run_grouped_topk
+
+    docs = spark.createDataFrame(docs_pdf)
+    fac = build_doc_facets(spark, docs, sidx.num_docs, "lang")
+    vocab = _vocab_map(spark, sidx)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    kg, pg = 3, 2
+    for filt in (None, dm):
+        for per_group in (pg, 1):
+            got = {
+                (r["query_id"], r["rank"], r["group_rank"]):
+                    (r["facet"], r["doc_id"], r["score_q"])
+                for r in run_grouped_topk(
+                    spark, sidx, COLLAPSE_SPECS, fac, k_groups=kg,
+                    per_group=per_group, doc_filter=filt).collect()
+            }
+            want = {}
+            for qid, terms in enumerate(COLLAPSE_SPECS):
+                scores = _brute_bm25_scores(docs_pdf, vocab, terms)
+                groups = {}
+                for d, s in scores.items():
+                    if filt is not None and not mask[d]:
+                        continue
+                    groups.setdefault(docs_pdf["lang"][d], []).append(
+                        (-math.floor(s * 1e9), d))
+                for rows in groups.values():
+                    rows.sort()
+                ranked = sorted(groups.items(),
+                                key=lambda kv: kv[1][0])[:kg]
+                for grank, (lang, rows) in enumerate(ranked, 1):
+                    for gr, (nsq, d) in enumerate(rows[:per_group], 1):
+                        want[(qid, grank, gr)] = (lang, d, -nsq)
+            assert got == want, (filt is None, per_group)
+
+
 def test_run_queries_after_tiles_the_ranking(spark, sidx, docs_pdf):
     """search_after pages tile the global quantized ranking exactly:
     page 1 (no cursor) == brute ranks 1..k, page 2 resumed from page 1's
