@@ -985,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_text": _entry_search_text,
         "search_prefix": _entry_search_prefix,
         "search_fuzzy": _entry_search_fuzzy,
+        "search_regexp": _entry_search_regexp,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
@@ -1223,6 +1224,41 @@ expand AS (
          row_number() OVER (PARTITION BY q.query_id
                             ORDER BY v.df DESC, v.term ASC) AS rn
   FROM qraw q JOIN vocab v ON v.term LIKE q.qtext || '%'
+),
+qs AS (SELECT query_id, term_id, 1::BIGINT AS qf FROM expand
+       WHERE rn <= {MAX_EXPAND}),
+""" + _SCORED_FROM_QS
+
+
+REGEX_QUERY_SPECS = ["jo.n|hash", "sc.n", "[bc]atch", "merge.?",
+                     "filt.r", "zz+q"]
+
+
+def _entry_search_regexp(spark, sf_dir):
+    """Regexp search (search.search_regexp — the ES regexp query): each
+    anchored pattern expands to the top-MAX_EXPAND matching vocabulary
+    terms by (df DESC, term ASC), then ranks by BM25 over the
+    disjunction like the wildcard path. A pattern matching nothing
+    (zz+q) returns no rows. The oracle expands with DuckDB's
+    regexp_full_match under the same cap."""
+    from dint_spark.search import search_regexp
+
+    idx = _get_index(spark, sf_dir)
+    raw = search_regexp(spark, idx, REGEX_QUERY_SPECS, k=100,
+                        dtype="float64", max_terms=MAX_EXPAND)
+    return _rank_quantized(raw)
+
+
+def _regex_scored() -> str:
+    vals = ", ".join(f"({i}, '{p}')"
+                     for i, p in enumerate(REGEX_QUERY_SPECS))
+    return f"""
+, qraw AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qtext)),
+expand AS (
+  SELECT q.query_id, v.term_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY v.df DESC, v.term ASC) AS rn
+  FROM qraw q JOIN vocab v ON regexp_full_match(v.term, q.qtext)
 ),
 qs AS (SELECT query_id, term_id, 1::BIGINT AS qf FROM expand
        WHERE rn <= {MAX_EXPAND}),
@@ -2675,6 +2711,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_text": _topk_or_sql(scored=_text_scored()),
         "search_prefix": _topk_or_sql(scored=_prefix_scored()),
         "search_fuzzy": _topk_or_sql(scored=_fuzzy_scored()),
+        "search_regexp": _topk_or_sql(scored=_regex_scored()),
         "proximity_within": _PROX_SQL,
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered
         "bm25_with_deletes": _topk_or_sql(

@@ -102,6 +102,45 @@ def expand_prefix(index, prefix: str, max_terms: int = 64,
     return sorted(int(r["term_id"]) for r in rows)
 
 
+def expand_regex(index, pattern: str, max_terms: int = 64) -> list[int]:
+    """ES ``regexp`` query expansion: the vocabulary terms whose ENTIRE
+    text matches ``pattern`` (ES anchors regexps implicitly), capped to
+    the top ``max_terms`` by (df DESC, term ASC) — the same Lucene
+    rewrite bound as expand_prefix.
+
+    Scale shape: a general regex cannot push to the parquet scan the way
+    StartsWith does, so this is a distributed full-vocabulary filter —
+    vocabulary-sized work (the fuzzy fallback's cost class), never
+    corpus-sized, and the cap still runs as a distributed TakeOrdered.
+    Extracting an anchored literal prefix from the pattern to restore
+    scan pushdown is the known optimization seam for 10^8-term vocabs."""
+    rows = (index.vocab()
+            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .select("term_id").collect())
+    return sorted(int(r["term_id"]) for r in rows)
+
+
+def search_regexp(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    algo: str = "block_max_wand_vec",
+    k: int = 10,
+    dtype: str = "float32",
+    max_terms: int = 64,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Regexp search: each query is one anchored pattern; matches rank
+    by BM25 over the expanded disjunction exactly like search_prefix
+    (per-term idf, qf=1). Returns (query_id, rank, doc_id, score)."""
+    specs = [expand_regex(index, p, max_terms=max_terms)
+             for p in patterns]
+    return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
+                       doc_filter=doc_filter)
+
+
 def _delete1(word: str) -> list[str]:
     return [word[:i] + word[i + 1:] for i in range(len(word))]
 

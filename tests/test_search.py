@@ -234,3 +234,33 @@ def test_suggest_spelling_matches_brute(spark, sidx):
     fallback = suggest_spelling(spark, sidx, words, n=n,
                                 fuzzy_path="/tmp/does_not_exist_x").collect()
     assert sorted(map(tuple, fallback)) == sorted(map(tuple, got))
+
+
+def test_expand_regex_matches_bruteforce(spark, sidx):
+    """expand_regex == pandas full-match filter under the (df desc,
+    term asc) cap; anchoring is implicit (ES regexp semantics); a
+    no-match pattern expands empty; search_regexp == run_queries over
+    the expansion."""
+    import re
+
+    from dint_spark.queries import run_queries
+    from dint_spark.search import expand_regex, search_regexp
+
+    vocab = sidx.vocab().toPandas()
+    for pat, cap in [("w0000.", 64), ("w0001[0-4]", 64),
+                     ("w00002|w00003", 64), ("w0000.", 3), ("zzz+", 64)]:
+        rx = re.compile(f"^(?:{pat})$")
+        want = (vocab[vocab.term.map(lambda t: bool(rx.match(t)))]
+                .sort_values(["df", "term"], ascending=[False, True])
+                .head(cap).term_id.astype(int).tolist())
+        assert expand_regex(sidx, pat, max_terms=cap) == sorted(want), pat
+    # substring patterns must NOT match unanchored
+    assert expand_regex(sidx, "0000") == []
+
+    pats = ["w0000.", "w00011|w00012"]
+    specs = [expand_regex(sidx, p) for p in pats]
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in search_regexp(spark, sidx, pats, k=5).collect()}
+    want = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in run_queries(spark, sidx, specs, k=5).collect()}
+    assert got == want
