@@ -356,7 +356,8 @@ def main() -> None:
                      "search_rm3", "search_collapse", "search_page2",
                      "search_sort_by_field", "search_facets_range",
                      "search_bool_dsl", "search_multi_match",
-                     "search_stats", "search_explain", "search_analyzed"):
+                     "search_stats", "search_explain", "search_analyzed",
+                     "search_inner_hits", "search_regexp"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(
