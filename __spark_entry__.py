@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_facets_range": _entry_search_facets_range,
         "search_stats": _entry_search_stats,
+        "search_percentiles": _entry_search_percentiles,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
         "search_sort_by_field": _entry_search_sort_by_field,
@@ -1612,6 +1613,22 @@ def _entry_search_analyzed(spark, sf_dir):
     )
 
 
+PCT_PS = (25, 50, 75, 95)
+
+
+def _entry_search_percentiles(spark, sf_dir):
+    """ES percentiles aggregation, EXACT nearest-rank (value at 1-based
+    sorted rank ceil(p/100*n) of the valued match set) — one in-kernel
+    sort, one integer row per query (facets.run_percentile_queries)."""
+    from dint_spark.facets import build_doc_values, run_percentile_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_percentile_queries(spark, idx, FACET_SPECS, vals,
+                                  ps=PCT_PS, mode="and")
+
+
 COLLAPSE_K = 8
 
 
@@ -2241,6 +2258,29 @@ ORDER BY 1
 )
 
 
+_PCT_SQL = (
+    _FACET_MATCHED
+    + f"""
+, ranked_vals AS (
+  SELECT m.query_id, d.n_chars AS val,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars) AS rn,
+         count(*) OVER (PARTITION BY m.query_id) AS n
+  FROM matched m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, max(n)::BIGINT AS n_valued,
+       {", ".join(
+           f"min(CASE WHEN rn = ceil({p} * n / 100.0) THEN val END)"
+           f"::BIGINT AS p{p}" for p in PCT_PS)}
+FROM ranked_vals
+GROUP BY 1
+ORDER BY 1
+"""
+)
+
+
 def _multi_match_sql() -> str:
     """Oracle for multi_match best_fields: per-field tf/len/df/avg CTEs
     (title = first MM_TITLE_N tokens, body = rest), per-field BM25,
@@ -2686,6 +2726,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets": _FACETS_SQL,
         "search_facets_range": _FACETS_RANGE_SQL,
         "search_stats": _STATS_SQL,
+        "search_percentiles": _PCT_SQL,
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,

@@ -357,7 +357,8 @@ def main() -> None:
                      "search_sort_by_field", "search_facets_range",
                      "search_bool_dsl", "search_multi_match",
                      "search_stats", "search_explain", "search_analyzed",
-                     "search_inner_hits", "search_regexp"):
+                     "search_inner_hits", "search_regexp",
+                     "search_percentiles"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(

@@ -47,6 +47,7 @@ from dint_spark.queries import (
     _pruned_segments,
     _BM25_SEG_COLS,
     build_cursors,
+    shared_index_bc,
 )
 
 BOOL_SCHEMA = T.StructType([
@@ -111,9 +112,12 @@ def run_bool_queries(
     num_docs = index.num_docs
     DT = np.float32 if dtype == "float32" else np.float64
     norms = index.norm_lens if dtype == "float32" else index.norm_lens64
-    norm_bc = spark.sparkContext.broadcast(norms)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                              lambda: norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     clause_bc = spark.sparkContext.broadcast(clause_map)
 

@@ -36,6 +36,7 @@ from dint_spark.queries import (
     boolean_and,
     boolean_or,
     build_cursors,
+    shared_index_bc,
 )
 
 _FACET_CHUNK = 1 << 19  # docs per aggregated chunk row (64 KiB-1 MiB each)
@@ -148,8 +149,10 @@ def run_facet_queries(
     if len(facets.ords) != num_docs:
         raise ValueError(
             f"facets cover {len(facets.ords)} docs, index has {num_docs}")
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     ords_bc = spark.sparkContext.broadcast(facets.ords)
     nvals = facets.num_values
@@ -294,9 +297,12 @@ def run_collapsed_queries(
             f"facets cover {len(facets.ords)} docs, index has {num_docs}")
     DT = np.float32 if dtype == "float32" else np.float64
     norms = index.norm_lens if dtype == "float32" else index.norm_lens64
-    norm_bc = spark.sparkContext.broadcast(norms)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                              lambda: norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     ords_bc = spark.sparkContext.broadcast(facets.ords)
 
@@ -389,9 +395,12 @@ def run_grouped_topk(
         raise ValueError("k_groups and per_group must be >= 1")
     DT = np.float32 if dtype == "float32" else np.float64
     norms = index.norm_lens if dtype == "float32" else index.norm_lens64
-    norm_bc = spark.sparkContext.broadcast(norms)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                              lambda: norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     ords_bc = spark.sparkContext.broadcast(facets.ords)
     joined = kernel_query_join(spark, index, queries)
@@ -496,8 +505,10 @@ def run_range_facet_queries(
     if len(values) != num_docs:
         raise ValueError(
             f"values cover {len(values)} docs, index has {num_docs}")
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     vals_bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(values, dtype=np.int64))
@@ -575,8 +586,10 @@ def run_stats_queries(
     if len(values) != num_docs:
         raise ValueError(
             f"values cover {len(values)} docs, index has {num_docs}")
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     vals_bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(values, dtype=np.int64))
@@ -619,6 +632,68 @@ def run_stats_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, STATS_SCHEMA)
 
 
+def run_percentile_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    ps: tuple = (25, 50, 75, 95), mode: str = "and",
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """The ES ``percentiles`` aggregation, EXACT (nearest-rank, not the
+    t-digest approximation ES defaults to — exactness is what makes the
+    SQL oracle able to gate it): per query, the value at sorted position
+    ceil(p/100 * n) over the matched docs that carry a value. One sort
+    of the valued match set in-kernel; ONE integer row per query out;
+    queries with no valued match emit no row. Returns
+    (query_id, n_valued, p<p1>, p<p2>, ...)."""
+    ps = tuple(int(p) for p in ps)
+    if not ps or any(p < 1 or p > 100 for p in ps):
+        raise ValueError("percentiles must be in 1..100")
+    pcols = [f"p{p}" for p in ps]
+    schema = T.StructType(
+        [T.StructField("query_id", T.LongType(), False),
+         T.StructField("n_valued", T.LongType(), False)]
+        + [T.StructField(c, T.LongType(), False) for c in pcols])
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    fn = boolean_and if mode == "and" else boolean_or
+    from dint_spark.queries import kernel_query_join
+
+    joined = kernel_query_join(spark, index, queries)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "n_valued"] + pcols
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs,
+                                merge_chunks=(mode == "and"))
+        docs = np.asarray(
+            fn(cursors, num_docs,
+               live=tomb_bc.value if tomb_bc is not None else None),
+            dtype=np.int64)
+        v = vals_bc.value[docs] if len(docs) else docs
+        v = np.sort(v[v != _DV_MISSING])
+        if not len(v):
+            return pd.DataFrame(columns=cols)
+        n = len(v)
+        row = {"query_id": [qid], "n_valued": [n]}
+        for p, c in zip(ps, pcols):
+            # nearest-rank: the value at 1-based rank ceil(p/100 * n)
+            row[c] = [int(v[-(-p * n // 100) - 1])]
+        return pd.DataFrame(row)
+
+    return joined.groupBy("query_id").applyInPandas(run_one, schema)
+
+
 SORTED_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("rank", T.IntegerType(), False),
@@ -651,8 +726,10 @@ def run_sorted_queries(
     if len(values) != num_docs:
         raise ValueError(
             f"values cover {len(values)} docs, index has {num_docs}")
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     vals_bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(values, dtype=np.int64))

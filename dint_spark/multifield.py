@@ -47,6 +47,7 @@ from dint_spark.queries import (
     _BM25_SEG_COLS,
     build_cursors,
     matched_scores,
+    shared_index_bc,
 )
 from dint_spark.search import parse_queries
 
@@ -89,10 +90,14 @@ def run_multi_match(
                 for qid, ts in enumerate(specs)
                 for t, c in sorted(Counter(ts).items())]
         field_bc[fi] = (
-            spark.sparkContext.broadcast(idx.docs_dict),
-            spark.sparkContext.broadcast(idx.freqs_dict),
-            spark.sparkContext.broadcast(
-                idx.norm_lens if dtype == "float32" else idx.norm_lens64),
+            shared_index_bc(spark, idx, "docs_dict",
+                            lambda idx=idx: idx.docs_dict),
+            shared_index_bc(spark, idx, "freqs_dict",
+                            lambda idx=idx: idx.freqs_dict),
+            shared_index_bc(spark, idx, f"norms-{dtype}",
+                            lambda idx=idx: (idx.norm_lens
+                                             if dtype == "float32"
+                                             else idx.norm_lens64)),
             boosts[f],
         )
         if not rows:

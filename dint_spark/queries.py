@@ -612,6 +612,28 @@ def _compacted_scores(lists, norm_lens, DT, live=None):
     return union, scores
 
 
+def shared_index_bc(spark, index, name: str, build):
+    """Per-index broadcast cache for the payloads every kernel op ships
+    (docs/freqs dictionaries, norm arrays): run_queries used to
+    re-broadcast them on every call (round-2 residual), which a gate or
+    bench run pays ~80x. Keyed by Spark applicationId so a restarted
+    session re-broadcasts instead of reusing a dead handle; the cache
+    lives on the Index handle, whose lifetime already matches the
+    payloads'."""
+    cache = getattr(index, "_bc_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            index._bc_cache = cache
+        except AttributeError:  # exotic index-like objects: no caching
+            return spark.sparkContext.broadcast(build())
+    key = (spark.sparkContext.applicationId, name)
+    bc = cache.get(key)
+    if bc is None:
+        bc = cache[key] = spark.sparkContext.broadcast(build())
+    return bc
+
+
 def kernel_query_join(spark: SparkSession, index, queries):
     """The shared front half of every term-spec kernel op: term-id specs
     -> (query_id, term_id, qf) rows joined to the pruned BM25 segment
@@ -1294,9 +1316,15 @@ def run_queries(
             bound_inflate = max(ratio, 1.0) * (1.0 + 1e-5)
     else:
         norms = index.norm_lens if dtype == "float32" else index.norm_lens64
-    norm_bc = spark.sparkContext.broadcast(norms)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    if avg_len_override is None:
+        norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                                  lambda: norms)
+    else:  # override norms are call-specific: never cache on the index
+        norm_bc = spark.sparkContext.broadcast(norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     kernel = KERNELS[algo]
 
@@ -1395,8 +1423,10 @@ def run_queries_lm(
     lens = index.lens
     c_total = int(lens.sum())
     lens_bc = spark.sparkContext.broadcast(lens)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
     mu_f = float(mu)
 
@@ -1622,6 +1652,8 @@ class BroadcastQueryServer:
         else:
             norms = (index.norm_lens if dtype == "float32"
                      else index.norm_lens64)
+        # the server owns its broadcasts (close() unpersists them), so it
+        # deliberately does NOT use the shared_index_bc cache
         self.seg_bc = spark.sparkContext.broadcast(seg_map)
         self.norm_bc = spark.sparkContext.broadcast(norms)
         self.docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
@@ -2133,8 +2165,10 @@ def run_boolean_queries(
             ]),
         )
     num_docs = index.num_docs
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
 
     if mode == "and_not":
@@ -2336,8 +2370,10 @@ def run_proximity_queries(spark: SparkSession, index, pairs: list,
     joined = qterms.join(segs, "term_id").repartition(
         spark.sparkContext.defaultParallelism * 2, "query_id")
 
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
 
@@ -2410,8 +2446,10 @@ def run_kwic_queries(spark: SparkSession, index, docs: DataFrame,
     joined = qdf.join(segs, "term_id").repartition(
         spark.sparkContext.defaultParallelism * 2, "query_id")
 
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
     tomb_bc = _tombstones_bc(spark, index)
 
@@ -2478,8 +2516,10 @@ def run_phrase_queries(spark: SparkSession, index, phrases: list,
     joined = qterms.join(segs, "term_id").repartition(
         spark.sparkContext.defaultParallelism * 2, "query_id")
 
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
 
@@ -2593,8 +2633,10 @@ def run_phrase_queries_ranked(
     num_docs = index.num_docs
     norm_bc = spark.sparkContext.broadcast(
         index.norm_lens if dtype == "float32" else index.norm_lens64)
-    docs_dict_bc = spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
     tomb_bc = _live_bc(spark, index, doc_filter)
 
@@ -2686,8 +2728,10 @@ def bucket_decode_metrics(index, parallelism: int | None = None
 
     from dint_spark.dint.codec import BLOCK_SIZE, decode_list_bulk
 
-    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dd = docs_dict_bc.value
@@ -2832,8 +2876,10 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
     from dint_spark.dint.codec import (
         BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
-    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dd = docs_dict_bc.value
@@ -2892,8 +2938,10 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     from dint_spark.dint.codec import (
         BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
-    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dd = docs_dict_bc.value
@@ -2972,8 +3020,10 @@ def decoded_positions(index, parallelism: int | None = None) -> DataFrame:
     from dint_spark.dint.codec import (decode_list_bulk, decode_value_stream,
                                        gaps_to_positions)
 
-    docs_dict_bc = index.spark.sparkContext.broadcast(index.docs_dict)
-    freqs_dict_bc = index.spark.sparkContext.broadcast(index.freqs_dict)
+    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
     pos_dict_bc = index.spark.sparkContext.broadcast(index.pos_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -666,6 +666,52 @@ def test_run_stats_queries(spark, sidx, docs_pdf):
         assert got == want, filt is None
 
 
+def test_run_percentile_queries(spark, sidx, docs_pdf):
+    """Exact nearest-rank percentiles == brute force (sorted valued
+    match set, 1-based rank ceil(p/100*n)); missing values excluded;
+    DocMask composes; bad p rejected."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from dint_spark.facets import (_DV_MISSING, build_doc_values,
+                                   run_percentile_queries)
+
+    docs = spark.createDataFrame(docs_pdf).withColumn(
+        "nchars",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None))
+        .otherwise(F.length("text")))
+    vals = build_doc_values(spark, docs, sidx.num_docs, "nchars")
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    specs = [[0], [1, 2], [0, 3, 5], [4]]
+    ps = (25, 50, 75, 95, 100)
+    for filt in (None, dm):
+        got = {
+            r["query_id"]: (r["n_valued"],) + tuple(
+                r[f"p{p}"] for p in ps)
+            for r in run_percentile_queries(
+                spark, sidx, specs, vals, ps=ps,
+                doc_filter=filt).collect()
+        }
+        want = {}
+        for qid, terms in enumerate(specs):
+            vv = sorted(int(vals[d]) for d, ts in enumerate(tm)
+                        if set(terms) <= ts
+                        and vals[d] != _DV_MISSING
+                        and (filt is None or mask[d]))
+            if vv:
+                want[qid] = (len(vv),) + tuple(
+                    vv[math.ceil(p * len(vv) / 100) - 1] for p in ps)
+        assert got == want, filt is None
+
+    with pytest.raises(ValueError, match="1..100"):
+        run_percentile_queries(spark, sidx, specs, vals, ps=(0,))
+
+
 def test_doc_values_rejects_overflow_ids(spark, sidx, docs_pdf):
     from dint_spark.facets import build_doc_values
 
