@@ -2728,9 +2728,9 @@ def bucket_decode_metrics(index, parallelism: int | None = None
 
     from dint_spark.dint.codec import BLOCK_SIZE, decode_list_bulk
 
-    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+    docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
-    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+    freqs_dict_bc = shared_index_bc(index.spark, index, "freqs_dict",
                                     lambda: index.freqs_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2876,9 +2876,9 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
     from dint_spark.dint.codec import (
         BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
-    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+    docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
-    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+    freqs_dict_bc = shared_index_bc(index.spark, index, "freqs_dict",
                                     lambda: index.freqs_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2938,9 +2938,9 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
     from dint_spark.dint.codec import (
         BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
-    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+    docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
-    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+    freqs_dict_bc = shared_index_bc(index.spark, index, "freqs_dict",
                                     lambda: index.freqs_dict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3020,9 +3020,9 @@ def decoded_positions(index, parallelism: int | None = None) -> DataFrame:
     from dint_spark.dint.codec import (decode_list_bulk, decode_value_stream,
                                        gaps_to_positions)
 
-    docs_dict_bc = index.shared_index_bc(spark, index, "docs_dict",
+    docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
-    freqs_dict_bc = index.shared_index_bc(spark, index, "freqs_dict",
+    freqs_dict_bc = shared_index_bc(index.spark, index, "freqs_dict",
                                     lambda: index.freqs_dict)
     pos_dict_bc = index.spark.sparkContext.broadcast(index.pos_dict)
 
