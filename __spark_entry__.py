@@ -987,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prefix": _entry_search_prefix,
         "search_fuzzy": _entry_search_fuzzy,
         "search_regexp": _entry_search_regexp,
+        "suggest_complete": _entry_suggest_complete,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
@@ -1264,6 +1265,40 @@ expand AS (
 qs AS (SELECT query_id, term_id, 1::BIGINT AS qf FROM expand
        WHERE rn <= {MAX_EXPAND}),
 """ + _SCORED_FROM_QS
+
+
+COMPLETE_PREFIXES = ["jo", "sc", "s", "me", "zz"]
+
+
+def _entry_suggest_complete(spark, sf_dir):
+    """Completion suggester (ES completion): top-10 vocabulary
+    completions per typed prefix by (df desc, term asc) — pushed
+    StartsWith vocab scans, TakeOrdered caps, |prefixes| x 10 rows
+    (search.suggest_complete)."""
+    from dint_spark.search import suggest_complete
+
+    idx = _get_index(spark, sf_dir)
+    return suggest_complete(spark, idx, COMPLETE_PREFIXES, n=TOPK)
+
+
+def _complete_sql() -> str:
+    vals = ", ".join(f"({i}, '{p}')"
+                     for i, p in enumerate(COMPLETE_PREFIXES))
+    return (
+        _PRELUDE
+        + f"""
+, pq(query_id, p) AS (VALUES {vals})
+SELECT query_id, rank, term, df FROM (
+  SELECT pq.query_id, v.term, v.df,
+         row_number() OVER (
+           PARTITION BY pq.query_id
+           ORDER BY v.df DESC, v.term ASC
+         )::INT AS rank
+  FROM pq JOIN vocab v ON v.term LIKE pq.p || '%'
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+"""
+    )
 
 
 def _entry_search_fuzzy(spark, sf_dir):
@@ -2753,6 +2788,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_prefix": _topk_or_sql(scored=_prefix_scored()),
         "search_fuzzy": _topk_or_sql(scored=_fuzzy_scored()),
         "search_regexp": _topk_or_sql(scored=_regex_scored()),
+        "suggest_complete": _complete_sql(),
         "proximity_within": _PROX_SQL,
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered
         "bm25_with_deletes": _topk_or_sql(

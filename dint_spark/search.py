@@ -24,6 +24,7 @@ import unicodedata
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dint_spark.queries import (DocMask, run_phrase_queries_ranked,
                                 run_queries)
@@ -139,6 +140,36 @@ def search_regexp(
              for p in patterns]
     return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
                        doc_filter=doc_filter)
+
+
+def suggest_complete(spark: SparkSession, index, prefixes: list[str],
+                     n: int = 10, nfc: bool = False) -> DataFrame:
+    """The ES completion suggester: for each typed prefix, the top-``n``
+    vocabulary completions by (df DESC, term ASC) — popularity-ordered
+    autocomplete. Each prefix runs one pushed StartsWith vocab scan with
+    a distributed TakeOrdered cap (the expand_prefix scale contract:
+    nothing vocabulary-sized reaches the driver); the |prefixes| x n
+    result rows assemble driver-side. An empty or non-tokenizable
+    prefix suggests nothing. Returns (query_id, rank, term, df)."""
+    out = []
+    for qid, p in enumerate(prefixes):
+        tok = _single_token(p.rstrip("*"), nfc=nfc)
+        if tok is None:
+            continue
+        rows = (index.vocab()
+                .filter(F.col("term").startswith(tok))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(n)
+                .select("term", "df").collect())
+        out += [(qid, r_i + 1, r["term"], int(r["df"]))
+                for r_i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        out, schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("df", T.LongType(), False),
+        ]))
 
 
 def _delete1(word: str) -> list[str]:

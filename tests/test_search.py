@@ -264,3 +264,25 @@ def test_expand_regex_matches_bruteforce(spark, sidx):
     want = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
             for r in run_queries(spark, sidx, specs, k=5).collect()}
     assert got == want
+
+
+def test_suggest_complete_matches_bruteforce(spark, sidx):
+    """suggest_complete == pandas (df desc, term asc) head-n per prefix;
+    empty/unknown prefixes suggest nothing; ranks are 1..n."""
+    from dint_spark.search import suggest_complete
+
+    vocab = sidx.vocab().toPandas()
+    prefixes = ["w0000", "w0001", "zzz", ""]
+    got = {}
+    for r in suggest_complete(spark, sidx, prefixes, n=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["term"], r["df"]))
+    for qid, p in enumerate(prefixes):
+        if not p:
+            assert qid not in got
+            continue
+        want = [(i + 1, r.term, int(r.df)) for i, r in enumerate(
+            vocab[vocab.term.str.startswith(p)]
+            .sort_values(["df", "term"], ascending=[False, True])
+            .head(4).itertuples())]
+        assert sorted(got.get(qid, [])) == want, p
