@@ -436,10 +436,20 @@ def run_grouped_topk(
         leads = rows[cum == 0]
         lead_order = np.lexsort((docs[leads], -sq[leads]))
         sel_groups = ords[leads[lead_order]][:k_groups]
-        grank_of = {int(o): r + 1 for r, o in enumerate(sel_groups)}
-        in_top = np.array([int(x) in grank_of for x in g])
-        rows, g, cum = rows[in_top], g[in_top], cum[in_top]
-        granks = np.array([grank_of[int(x)] for x in g], dtype=np.int32)
+        # vectorized ordinal -> group-rank lookup: sort the selected
+        # ordinals once, searchsorted every kept row against them (g can
+        # be num_groups x per_group long — 10^6+ domains at web scale —
+        # so no per-row Python)
+        sort_idx = np.argsort(sel_groups)
+        sel_sorted = sel_groups[sort_idx]
+        rank_sorted = np.arange(1, len(sel_groups) + 1,
+                                dtype=np.int32)[sort_idx]
+        pos = np.searchsorted(sel_sorted, g)
+        pos_c = np.minimum(pos, len(sel_sorted) - 1)
+        in_top = sel_sorted[pos_c] == g
+        rows, g, cum, pos_c = (rows[in_top], g[in_top], cum[in_top],
+                               pos_c[in_top])
+        granks = rank_sorted[pos_c]
         out_order = np.lexsort((cum, granks))
         return pd.DataFrame({
             "query_id": qid,
