@@ -963,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets_range": _entry_search_facets_range,
         "search_stats": _entry_search_stats,
         "search_percentiles": _entry_search_percentiles,
+        "search_boosted": _entry_search_boosted,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
         "search_sort_by_field": _entry_search_sort_by_field,
@@ -1664,6 +1665,23 @@ def _entry_search_percentiles(spark, sf_dir):
                                   ps=PCT_PS, mode="and")
 
 
+BOOST_FACTOR = 0.5  # binary-exact field_value_factor
+
+
+def _entry_search_boosted(spark, sf_dir):
+    """Function score (ES function_score / field_value_factor, log1p
+    modifier): BM25 * ln(1 + 0.5 * n_chars), missing values neutral —
+    the recency/popularity boost pattern (facets.run_boosted_queries)."""
+    from dint_spark.facets import build_doc_values, run_boosted_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_boosted_queries(spark, idx, QUERY_SPECS, vals,
+                               factor=BOOST_FACTOR, k=TOPK,
+                               dtype="float64")
+
+
 COLLAPSE_K = 8
 
 
@@ -2316,6 +2334,31 @@ ORDER BY 1
 )
 
 
+_BOOSTED_SQL = (
+    _PRELUDE
+    + _SCORED
+    + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT s.query_id, s.doc_id,
+         floor(s.score
+               * (CASE WHEN d.n_chars IS NULL THEN 1.0
+                       ELSE ln(1 + {BOOST_FACTOR} * d.n_chars) END)
+               * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY floor(s.score
+               * (CASE WHEN d.n_chars IS NULL THEN 1.0
+                       ELSE ln(1 + {BOOST_FACTOR} * d.n_chars) END)
+               * 1e9) DESC, s.doc_id ASC
+         )::INT AS rank
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+"""
+)
+
+
 def _multi_match_sql() -> str:
     """Oracle for multi_match best_fields: per-field tf/len/df/avg CTEs
     (title = first MM_TITLE_N tokens, body = rest), per-field BM25,
@@ -2762,6 +2805,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_facets_range": _FACETS_RANGE_SQL,
         "search_stats": _STATS_SQL,
         "search_percentiles": _PCT_SQL,
+        "search_boosted": _BOOSTED_SQL,
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,

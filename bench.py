@@ -358,7 +358,8 @@ def main() -> None:
                      "search_bool_dsl", "search_multi_match",
                      "search_stats", "search_explain", "search_analyzed",
                      "search_inner_hits", "search_regexp",
-                     "search_percentiles"):
+                     "search_percentiles", "suggest_complete",
+                     "search_boosted"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(

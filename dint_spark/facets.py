@@ -704,6 +704,84 @@ def run_percentile_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, schema)
 
 
+BOOSTED_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score_q", T.LongType(), False),
+])
+
+
+def run_boosted_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    factor: float = 1.0, k: int = 10, dtype: str = "float64",
+    quant: float = 1e9, doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Function score (the ES ``function_score`` / ``field_value_factor``
+    pattern with the log1p modifier): every matched doc's BM25 score is
+    multiplied by ln(1 + factor * doc_value) — the recency/popularity
+    boost every ranking pipeline eventually adds. Docs with a missing
+    value take a NEUTRAL multiplier of 1.0 (they rank by BM25 alone
+    rather than vanishing — the ES ``missing`` parameter's sane
+    default). Selection in floor(score*quant) integer space.
+
+    One exact scoring pass (queries.matched_scores) + one vectorized
+    value lookup in-kernel; the i64 doc-values sidecar ships once per
+    worker. Only |queries| x k rows leave. Returns
+    (query_id, rank, doc_id, score_q)."""
+    from dint_spark.queries import kernel_query_join, matched_scores
+
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    DT = np.float32 if dtype == "float32" else np.float64
+    norms = index.norm_lens if dtype == "float32" else index.norm_lens64
+    norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                              lambda: norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    fac = float(factor)
+    joined = kernel_query_join(spark, index, queries)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "doc_id", "score_q"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs, DT)
+        docs, scores = matched_scores(
+            cursors, norm_bc.value, num_docs, DT,
+            live=tomb_bc.value if tomb_bc is not None else None)
+        if not len(docs):
+            return pd.DataFrame(columns=cols)
+        v = vals_bc.value[docs]
+        mult = np.where(v == _DV_MISSING, 1.0,
+                        np.log1p(fac * v.astype(np.float64)))
+        sq = np.floor(scores.astype(np.float64) * mult
+                      * quant).astype(np.int64)
+        if len(docs) > 4 * k and k > 0:
+            thr = -np.partition(-sq, k - 1)[k - 1]
+            sel = np.flatnonzero(sq >= thr)
+            docs, sq = docs[sel], sq[sel]
+        order = np.lexsort((docs, -sq))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": docs[order].astype(np.int64),
+            "score_q": sq[order],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one,
+                                                    BOOSTED_SCHEMA)
+
+
 SORTED_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType(), False),
     T.StructField("rank", T.IntegerType(), False),

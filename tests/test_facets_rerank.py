@@ -712,6 +712,50 @@ def test_run_percentile_queries(spark, sidx, docs_pdf):
         run_percentile_queries(spark, sidx, specs, vals, ps=(0,))
 
 
+def test_run_boosted_queries(spark, sidx, docs_pdf):
+    """Function score == brute force: bm25 * ln(1 + factor*val) for
+    valued docs, neutral 1.0 multiplier for missing, quantized ties by
+    doc_id, DocMask composed."""
+    import math
+
+    from dint_spark.facets import (_DV_MISSING, build_doc_values,
+                                   run_boosted_queries)
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(docs_pdf).withColumn(
+        "nchars",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None))
+        .otherwise(F.length("text")))
+    vals = build_doc_values(spark, docs, sidx.num_docs, "nchars")
+    vocab = _vocab_map(spark, sidx)
+    mask = np.zeros(sidx.num_docs, dtype=bool)
+    mask[::2] = True
+    dm = DocMask.from_mask(mask)
+    specs = [[0], [1, 2], [0, 3, 5], [4]]
+    k, factor = 6, 0.5
+    for filt in (None, dm):
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score_q"])
+            for r in run_boosted_queries(
+                spark, sidx, specs, vals, factor=factor, k=k,
+                doc_filter=filt).collect()
+        }
+        want = {}
+        for qid, terms in enumerate(specs):
+            scores = _brute_bm25_scores(docs_pdf, vocab, terms)
+            rows = []
+            for d, s in scores.items():
+                if filt is not None and not mask[d]:
+                    continue
+                m = (1.0 if vals[d] == _DV_MISSING
+                     else math.log1p(factor * float(vals[d])))
+                rows.append((-math.floor(s * m * 1e9), d))
+            rows.sort()
+            for i, (nsq, d) in enumerate(rows[:k], 1):
+                want[(qid, i)] = (d, -nsq)
+        assert got == want, filt is None
+
+
 def test_doc_values_rejects_overflow_ids(spark, sidx, docs_pdf):
     from dint_spark.facets import build_doc_values
 
