@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stats": _entry_search_stats,
         "search_percentiles": _entry_search_percentiles,
         "search_boosted": _entry_search_boosted,
+        "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
         "search_sort_by_field": _entry_search_sort_by_field,
@@ -1680,6 +1681,44 @@ def _entry_search_boosted(spark, sf_dir):
     return run_boosted_queries(spark, idx, QUERY_SPECS, vals,
                                factor=BOOST_FACTOR, k=TOPK,
                                dtype="float64")
+
+
+PERC_QUERIES = ["join hash", "scan filter batch", "customer order",
+                "zzznotaword join", "merge"]
+
+
+def _entry_percolate(spark, sf_dir):
+    """Percolation (the ES percolator — search inverted): registered
+    term-bag queries matched against the documents table; a doc fires a
+    query when it contains EVERY distinct query token. Broadcast query
+    table, one tokenize->join->count pass, stateless — the identical
+    plan runs per Structured-Streaming micro-batch
+    (dint_spark/percolate.py)."""
+    from dint_spark.percolate import percolate, register_queries
+
+    reg = register_queries(spark, PERC_QUERIES)
+    return percolate(_documents(spark, sf_dir), reg)
+
+
+def _percolate_sql() -> str:
+    rows = []
+    for qid, q in enumerate(PERC_QUERIES):
+        toks = sorted({t for t in q.lower().split() if t})
+        rows += [f"({qid}, '{t}', {len(toks)})" for t in toks]
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS term
+  FROM documents
+),
+dterms AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+pq(query_id, term, n_terms) AS (VALUES {", ".join(rows)})
+SELECT pq.query_id, d.doc_id
+FROM pq JOIN dterms d ON d.term = pq.term
+GROUP BY 1, 2
+HAVING count(*) = any_value(pq.n_terms)
+ORDER BY 1, 2
+"""
 
 
 COLLAPSE_K = 8
@@ -2806,6 +2845,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_stats": _STATS_SQL,
         "search_percentiles": _PCT_SQL,
         "search_boosted": _BOOSTED_SQL,
+        "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,
