@@ -42,6 +42,15 @@ SUBSET = [
     "ann_ivf_topk",
     "media_frame_sample",
     "events_sessionize_stream",
+    # round-3 search surface (one per module/technique)
+    "search_collapse",
+    "search_page2",
+    "search_bool_dsl",
+    "search_multi_match",
+    "search_analyzed",
+    "search_percentiles",
+    "search_boosted",
+    "percolate_docs",
 ]
 
 
