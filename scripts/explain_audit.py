@@ -467,6 +467,28 @@ def main() -> None:
         "segment scan keeps its term_id pushdown.",
     ))
 
+    # 20. percolate: the registered-query table must broadcast against
+    # the streaming document side, and the containment count must be a
+    # partial+final hash aggregate — the only shuffle carries (doc,
+    # query) candidate rows.
+    from dint_spark.percolate import percolate, register_queries
+
+    reg20 = register_queries(spark, ["join hash", "scan filter", "merge"])
+    p20 = plan_of(percolate(docs, reg20))
+    ok20 = ("BroadcastHashJoin" in p20
+            and p20.count("HashAggregate") >= 2
+            and "CartesianProduct" not in p20)
+    sections.append((
+        "percolate: broadcast query table, partial+final containment "
+        "count",
+        _join_shapes(p20),
+        ok20,
+        "registered queries broadcast-hash-join the tokenized document "
+        "stream; the per-(doc, query) containment count partial-"
+        "aggregates map-side, so the only shuffle carries candidate "
+        "pairs — the same plan runs per streaming micro-batch.",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")
