@@ -25,6 +25,42 @@ from dint_spark.corpus import generate_pages, pages_from_documents  # noqa: E402
 from dint_spark.index import IndexConfig, build_index  # noqa: E402
 
 
+def pef_bpi(idx) -> dict:
+    """Partitioned-Elias-Fano comparison row (the reference README's
+    'PEF eps-opt' baseline role): encode every decoded posting list with
+    dint_spark.dint.pef — docs as the monotone id sequence (+1 to make
+    ids positive), freqs as the prefix-sum positive_sequence — and
+    report measured output_bytes*8/postings per the same protocol."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dint_spark.queries import decoded_postings
+
+    def per_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from dint_spark.dint.pef import pef_encoded_bytes
+
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["doc_id"].to_numpy(dtype="int64") + 1
+        freqs = pdf["freq"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "db": [pef_encoded_bytes(docs)],
+            "fb": [pef_encoded_bytes(np.cumsum(freqs))],
+            "n": [len(docs)],
+        })
+
+    row = (decoded_postings(idx)
+           .groupBy("term_id")
+           .applyInPandas(per_term, "db long, fb long, n long")
+           .agg(F.sum("db").alias("db"), F.sum("fb").alias("fb"),
+                F.sum("n").alias("n"))
+           .collect()[0])
+    db, fb, n = int(row["db"]), int(row["fb"]), int(row["n"])
+    return {"docs_bpi": round(db * 8 / n, 3),
+            "freqs_bpi": round(fb * 8 / n, 3)}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("bpi_ab", master="local[16]", shuffle_partitions=16)
@@ -47,6 +83,9 @@ def main() -> None:
         res[name] = {"docs_bpi": round(m["docs_bpi"], 3),
                      "freqs_bpi": round(m["freqs_bpi"], 3)}
         print(name, res[name], flush=True)
+        if name == "single":
+            res["pef"] = pef_bpi(idx)
+            print("pef", res["pef"], flush=True)
     print(json.dumps(res))
     spark.stop()
 
