@@ -19,8 +19,11 @@ Model (the paper's):
       * BITMAP  — a u-bit bitvector (wins for dense chunks);
       * ALL1    — zero body bits when the chunk is a run (n == u), the
                   case that makes PEF beat plain EF on clustered ids;
-  - chunk skeleton (per-chunk last element + count + 2-bit type) is
-    itself varint-encoded and counted into the size.
+  - chunk skeleton: per chunk varint(count-1) + varint((relative
+    universe - count) << 2 | type) — the chunk count is implicit (metas
+    parse until their counts sum to n) and the 2-bit type rides the
+    universe varint, so a run chunk's skeleton is 2 bytes; all counted
+    into the measured size.
 
 Partitioning: dynamic programming over cuts restricted to multiples of
 ``CUT_Q`` (64) with chunk length capped at ``MAX_CHUNK`` — exact within
@@ -191,8 +194,9 @@ def _partition(vals: np.ndarray) -> list[int]:
             base = int(vals[lo - 1]) if lo else 0
             cn = hi_i - lo
             cu = int(vals[hi_i - 1]) - base
-            _, body = _chunk_cost(cn, cu)
-            cost = best[j] + body + 2 + 8 * 2  # ~2 varint bytes skeleton
+            typ, body = _chunk_cost(cn, cu)
+            cost = (best[j] + body + _varint_cost(cn - 1)
+                    + _varint_cost((cu - cn) << 2 | typ))
             if cost < best[i]:
                 best[i] = cost
                 prev[i] = j
@@ -216,7 +220,6 @@ def pef_encode(vals) -> bytes:
     cuts = _partition(vals)
     head = bytearray()
     _write_varint(head, len(vals))
-    _write_varint(head, len(cuts))
     bw = _BitWriter()
     lo_idx = 0
     base = 0
@@ -225,9 +228,11 @@ def pef_encode(vals) -> bytes:
         cn = len(chunk)
         cu = int(chunk[-1]) - base
         typ, _ = _chunk_cost(cn, cu)
-        _write_varint(head, cn)
-        _write_varint(head, cu)
-        head.append(typ)
+        # skeleton: varint(cn-1) + varint((cu-cn) << 2 | type) — chunk
+        # count is implicit (metas parse until their cn sum reaches n),
+        # cu >= cn always, and the 2-bit type rides the same varint
+        _write_varint(head, cn - 1)
+        _write_varint(head, (cu - cn) << 2 | typ)
         rel = (chunk - base).astype(np.int64)
         if typ == _T_EF:
             l = _ef_low_bits(cn, cu)
@@ -260,14 +265,14 @@ def pef_decode(buf: bytes) -> np.ndarray:
     n, pos = _read_varint(buf, 0)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    nchunks, pos = _read_varint(buf, pos)
     metas = []
-    for _ in range(nchunks):
+    seen = 0
+    while seen < n:
         cn, pos = _read_varint(buf, pos)
-        cu, pos = _read_varint(buf, pos)
-        typ = buf[pos]
-        pos += 1
-        metas.append((cn, cu, typ))
+        cn += 1
+        packed, pos = _read_varint(buf, pos)
+        metas.append((cn, (packed >> 2) + cn, packed & 3))
+        seen += cn
     body = buf[pos:]
     pad = (-len(body)) % 8
     br = _BitReader(body + b"\x00" * pad)
