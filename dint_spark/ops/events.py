@@ -8,8 +8,12 @@
                       via lag + cumulative sum (gaps-and-islands) — the
                       relational equivalent of applyInPandasWithState
                       session windows, verified against the same SQL
+  events_cardinality  HyperLogLog distinct-user sketch per event_type
+                      (ES cardinality agg) — integer register invariant
+                      under the exact-hash gate, estimate in pytest
+  events_date_histogram  ES date_histogram, calendar-day buckets (UTC)
 
-Scale: both are single-shuffle window/agg plans (partition by user_id /
+Scale: all are single-shuffle agg/window plans (partition by user_id /
 event_type); no UDFs, fully whole-stage-codegen.
 """
 
@@ -144,14 +148,162 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# events_cardinality — HyperLogLog distinct-count sketch (ES cardinality agg)
+# --------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P          # 1024 registers
+_HLL_HASH_BITS = 60         # 15 hex chars of md5 -> fits a signed i64
+_HLL_W_BITS = _HLL_HASH_BITS - HLL_P  # 50 rank bits
+
+
+def events_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation: a mergeable HyperLogLog sketch of
+    distinct user_ids per event_type (Flajolet et al., AofA 2007 — the
+    algorithm ES's implementation cites).
+
+    The gate row is the sketch's integer invariant, not the float
+    estimate: per event_type, (registers set, registers zero, the
+    harmonic sum scaled by 2^50 — an exact int64). Both engines hash
+    with md5 (bit-identical by definition), so the oracle reproduces the
+    registers exactly; estimate accuracy is pinned separately in pytest
+    (``hll_estimate``), keeping cross-engine float math out of the
+    hash-compared gate.
+
+    Scale shape: this is the whole point of the sketch — the plan is
+    groupBy(type, register).max(rho) (map-side partial max over 1024·
+    |types| cells, NOT over distinct users) then a 1024-row-per-type
+    final fold. At 10^12 events the shuffle carries at most
+    |types|·1024 rows per partition regardless of user cardinality, and
+    sketches from different shards/epochs merge by register max — the
+    property count-distinct lacks. No UDFs; md5/conv/bin are JVM
+    expressions inside whole-stage codegen."""
+    e = _events(spark, sf_dir)
+    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16, 10).cast("long"))
+    d = e.select(
+        "event_type",
+        F.pmod(h, F.lit(HLL_M)).alias("reg"),
+        F.shiftright(h, HLL_P).alias("w"),
+    )
+    rho = (F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1))
+           .otherwise(F.lit(_HLL_W_BITS + 1) - F.length(F.bin("w"))))
+    regs = (d.select("event_type", "reg", rho.alias("rho"))
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("m_rho")))
+    # exact-integer harmonic sum: empty register term = 2^50, register
+    # with rank rho contributes 2^(50-(rho-1))/2 ... scaled so every
+    # term is integral: term = 2^(W+1-rho), empty = 2^(W+1)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                  f"{_HLL_W_BITS + 1} - m_rho)")
+    return (regs.groupBy("event_type")
+            .agg(F.count("*").alias("regs_set"),
+                 F.sum(term).alias("set_sum"))
+            .select(
+                "event_type",
+                F.col("regs_set").cast("long").alias("regs_set"),
+                (F.lit(HLL_M) - F.col("regs_set")).cast("long")
+                .alias("regs_zero"),
+                (F.col("set_sum")
+                 + (F.lit(HLL_M) - F.col("regs_set"))
+                 * F.lit(1 << (_HLL_W_BITS + 1))).cast("long")
+                .alias("harmonic_x"),
+            ))
+
+
+EVENTS_CARDINALITY_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events
+),
+d AS (
+  SELECT event_type, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM h
+),
+r AS (
+  SELECT event_type, reg,
+         max(CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE {_HLL_W_BITS + 1} - length(bin(w)) END) AS m_rho
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*)::BIGINT AS regs_set,
+       ({HLL_M} - count(*))::BIGINT AS regs_zero,
+       (sum(1::BIGINT << ({_HLL_W_BITS + 1} - m_rho))
+        + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_W_BITS + 1})
+       )::BIGINT AS harmonic_x
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def hll_estimate(regs_zero: int, harmonic_x: int, m: int = HLL_M) -> float:
+    """Cardinality estimate from the sketch invariant the gate rows
+    carry: E = alpha_m * m^2 / sum(2^-M_j), with the small-range
+    linear-counting correction (Flajolet et al. §4)."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * float(1 << (_HLL_W_BITS + 1)) / harmonic_x
+    if est <= 2.5 * m and regs_zero > 0:
+        return m * math.log(m / regs_zero)
+    return est
+
+
+# --------------------------------------------------------------------------
+# events_date_histogram — ES date_histogram (calendar day buckets)
+# --------------------------------------------------------------------------
+
+
+def events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` with calendar_interval=day: per (calendar
+    day, event_type), event count, distinct users, and the exact
+    cents-quantized value sum (the events_windowed convention — float
+    sums are order-dependent across engines, int64 cent sums are not).
+
+    Calendar truncation (date_trunc), not epoch flooring — the ES
+    calendar_interval semantic that generalizes to month/quarter where
+    bucket widths vary. The session timezone is pinned to UTC for the
+    truncation so the bucket edges are engine-independent. One
+    map-side-combined hash aggregate; scales like events_windowed."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .alias("sum_value_c"))
+        .select(F.unix_timestamp("day").alias("day_start"),
+                "event_type", "n_events", "n_users", "sum_value_c")
+    )
+
+
+EVENTS_DATE_HISTOGRAM_SQL = """
+SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_c
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SPARK_QUERIES = {
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
     "events_sessionize_stream": events_sessionize_stream,
+    "events_cardinality": events_cardinality,
+    "events_date_histogram": events_date_histogram,
 }
 
 ORACLE_SQLS = {
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_sessionize_stream": EVENTS_SESSIONIZE_SQL,
+    "events_cardinality": EVENTS_CARDINALITY_SQL,
+    "events_date_histogram": EVENTS_DATE_HISTOGRAM_SQL,
 }

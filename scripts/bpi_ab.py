@@ -25,40 +25,55 @@ from dint_spark.corpus import generate_pages, pages_from_documents  # noqa: E402
 from dint_spark.index import IndexConfig, build_index  # noqa: E402
 
 
-def pef_bpi(idx) -> dict:
-    """Partitioned-Elias-Fano comparison row (the reference README's
-    'PEF eps-opt' baseline role): encode every decoded posting list with
-    dint_spark.dint.pef — docs as the monotone id sequence (+1 to make
-    ids positive), freqs as the prefix-sum positive_sequence — and
-    report measured output_bytes*8/postings per the same protocol."""
+_BASELINES = ["pef", "optpfor", "simple16", "streamvbyte", "varintg8iu"]
+
+
+def baseline_bpi(idx) -> dict:
+    """Comparison-codec rows, the reference README benchmark-table roles:
+    PEF ('PEF eps-opt'), OptPFor, Simple16, StreamVByte, Varint-G8IU
+    (SURVEY §2 C4/C5/C7/C8). One decode pass; every decoded posting list
+    is encoded under each codec — PEF takes docs as the monotone id
+    sequence (+1 to make ids positive) and freqs as the prefix-sum
+    positive_sequence, the block codecs take the reference's gap/freq
+    convention (d[i]-d[i-1]-1, f-1; vroom_env/encode.cpp:38-58) — and
+    the row is measured output_bytes*8/postings."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from dint_spark.queries import decoded_postings
 
+    cols = [f"{c}_{w}" for c in _BASELINES for w in ("db", "fb")]
+
     def per_term(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        from dint_spark.dint.blockcodecs import CODECS
         from dint_spark.dint.pef import pef_encoded_bytes
 
         pdf = pdf.sort_values("doc_id")
-        docs = pdf["doc_id"].to_numpy(dtype="int64") + 1
+        docs = pdf["doc_id"].to_numpy(dtype="int64")
         freqs = pdf["freq"].to_numpy(dtype="int64")
-        return pd.DataFrame({
-            "db": [pef_encoded_bytes(docs)],
-            "fb": [pef_encoded_bytes(np.cumsum(freqs))],
+        gaps = np.diff(docs, prepend=-1) - 1
+        out = {
+            "pef_db": [pef_encoded_bytes(docs + 1)],
+            "pef_fb": [pef_encoded_bytes(np.cumsum(freqs))],
             "n": [len(docs)],
-        })
+        }
+        for name, (enc, _) in CODECS.items():
+            out[f"{name}_db"] = [len(enc(gaps))]
+            out[f"{name}_fb"] = [len(enc(freqs - 1))]
+        return pd.DataFrame(out)
 
+    schema = ", ".join(f"{c} long" for c in cols) + ", n long"
     row = (decoded_postings(idx)
            .groupBy("term_id")
-           .applyInPandas(per_term, "db long, fb long, n long")
-           .agg(F.sum("db").alias("db"), F.sum("fb").alias("fb"),
-                F.sum("n").alias("n"))
+           .applyInPandas(per_term, schema)
+           .agg(*[F.sum(c).alias(c) for c in cols + ["n"]])
            .collect()[0])
-    db, fb, n = int(row["db"]), int(row["fb"]), int(row["n"])
-    return {"docs_bpi": round(db * 8 / n, 3),
-            "freqs_bpi": round(fb * 8 / n, 3)}
+    n = int(row["n"])
+    return {name: {"docs_bpi": round(int(row[f"{name}_db"]) * 8 / n, 3),
+                   "freqs_bpi": round(int(row[f"{name}_fb"]) * 8 / n, 3)}
+            for name in _BASELINES}
 
 
 def main() -> None:
@@ -84,8 +99,9 @@ def main() -> None:
                      "freqs_bpi": round(m["freqs_bpi"], 3)}
         print(name, res[name], flush=True)
         if name == "single":
-            res["pef"] = pef_bpi(idx)
-            print("pef", res["pef"], flush=True)
+            res.update(baseline_bpi(idx))
+            for b in _BASELINES:
+                print(b, res[b], flush=True)
     print(json.dumps(res))
     spark.stop()
 
