@@ -447,6 +447,45 @@ def _entry_term_stats(spark, sf_dir):
     )
 
 
+TV_DOC_IDS = [0, 3, 7, 11, 19, 23, 31, 42]  # valid at every sf (>=50 docs)
+
+
+def _entry_term_vectors(spark, sf_dir):
+    """ES _termvectors: per requested doc, one row per term with its
+    in-doc frequency plus the term's corpus statistics (df from the
+    index vocabulary, ttf = total term frequency). The doc-side fetch is
+    a pushed-down point lookup on the documents table re-analyzed
+    through the index tokenizer (the ES realtime-termvectors path); the
+    corpus stats join is broadcast (vocabulary-sized). At scale the ttf
+    table is index metadata computed at build time, not a per-call
+    scan — here it shares the build's tokenize pass shape."""
+    idx = _get_index(spark, sf_dir)
+    req = tokenize(_documents(spark, sf_dir)).where(
+        F.col("doc_id").isin(TV_DOC_IDS))
+    tf = (req.select("doc_id", F.explode("tokens").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    ttf = (tokenize(_documents(spark, sf_dir))
+           .select(F.explode("tokens").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("ttf")))
+    vocab = idx.vocab().select("term", "df")
+    return (tf.join(F.broadcast(vocab), "term")
+            .join(F.broadcast(ttf), "term")
+            .select("doc_id", "term", "tf", "df", "ttf"))
+
+
+def _term_vectors_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return (_PRELUDE + f"""
+, ts AS (SELECT term, sum(tf)::BIGINT AS ttf FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, v.df, ts.ttf
+FROM tf
+JOIN vocab v ON v.term = tf.term
+JOIN ts ON ts.term = tf.term
+WHERE tf.doc_id IN ({ids})
+ORDER BY tf.doc_id, tf.term
+""")
+
+
 def _entry_doclens(spark, sf_dir):
     return tokenize(_documents(spark, sf_dir)).select(
         "doc_id", F.size("tokens").cast("long").alias("len")
@@ -941,6 +980,7 @@ def _entry_bm25_after_compact(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         "term_stats": _entry_term_stats,
+        "term_vectors": _entry_term_vectors,
         "doclens": _entry_doclens,
         "vocab_term_ids": _entry_vocab,
         "postings_build": _entry_postings_flat,
@@ -997,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_merged": _entry_bm25_merged,
         "bm25_after_compact": _entry_bm25_after_compact,
         "kwic_snippets": _entry_kwic_snippets,
+        "search_rank_eval": _entry_search_rank_eval,
     }
     from dint_spark.ops import entries as ops_entries
 
@@ -1681,6 +1722,23 @@ def _entry_search_boosted(spark, sf_dir):
     return run_boosted_queries(spark, idx, QUERY_SPECS, vals,
                                factor=BOOST_FACTOR, k=TOPK,
                                dtype="float64")
+
+
+def _rank_eval_oracle() -> str:
+    from dint_spark.rankeval import rank_eval_sql
+
+    return rank_eval_sql(_PRELUDE, _q_values(), topk=TOPK)
+
+
+def _entry_search_rank_eval(spark, sf_dir):
+    """ES Ranking Evaluation API (_rank_eval): precision@10, MRR and
+    NDCG@10 of the quantized-BM25 BMW run against conjunctive graded
+    judgments (rel = min(3, tf sum) for all-terms matches), all exact
+    integer arithmetic — dint_spark/rankeval.py."""
+    from dint_spark.rankeval import run_rank_eval
+
+    idx = _get_index(spark, sf_dir)
+    return run_rank_eval(spark, idx, QUERY_SPECS, k=TOPK)
 
 
 PERC_QUERIES = ["join hash", "scan filter batch", "customer order",
@@ -2842,6 +2900,8 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_and_not": _BOOL_ANDNOT_SQL,
         "search_facets": _FACETS_SQL,
         "search_facets_range": _FACETS_RANGE_SQL,
+        "search_rank_eval": _rank_eval_oracle(),
+        "term_vectors": _term_vectors_sql(),
         "search_stats": _STATS_SQL,
         "search_percentiles": _PCT_SQL,
         "search_boosted": _BOOSTED_SQL,
