@@ -51,6 +51,11 @@ SUBSET = [
     "search_percentiles",
     "search_boosted",
     "percolate_docs",
+    # round-3 additions: evaluation, doc-level stats, sketch aggs
+    "search_rank_eval",
+    "term_vectors",
+    "events_cardinality",
+    "events_date_histogram",
 ]
 
 
