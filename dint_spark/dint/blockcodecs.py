@@ -1,10 +1,10 @@
 """Block-codec comparison baselines: Simple16, StreamVByte, Varint-G8IU,
-OptPFor.
+OptPFor, QMX.
 
 The reference benchmarks DINT against a family of block codecs
 (`include/ds2i/block_codecs.hpp:153-507` — OptPFor via FastPFor,
 Varint-G8IU, QMX, vbyte/simple16/streamvbyte wrappers; SURVEY §2 rows
-C4/C5/C7). Those rows are comparison baselines in the paper's benchmark
+C4/C5/C6/C7). Those rows are comparison baselines in the paper's benchmark
 table, not part of the DINT index format — same adjudication as PEF
 (`dint_spark/dint/pef.py`), and this module plays the same role:
 REAL encoders/decoders producing actual bytes, implemented from the
@@ -27,6 +27,9 @@ Sources (all public):
     FOR with b low bits for every slot and patched exceptions; b chosen
     per block to minimize encoded size (low bits + exception positions
     + exception remainders).
+  - QMX: Trotman, ADCS 2014 ("Compression, SIMD, and Postings Lists")
+    — 128-bit data words each packed at one bit width, selector bytes
+    (width class + run length) in a separate stream.
 
 Encoding here is per posting list inside the same mapInPandas lane the
 DINT/PEF encoders use (embarrassingly parallel over lists, nothing
@@ -214,6 +217,107 @@ def varintg8iu_decode(buf: bytes, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# QMX (Quantities, Multipliers and eXtractors)
+# ---------------------------------------------------------------------------
+
+# per-128-bit-word bit widths and their value capacities (floor(128/w));
+# the paper's table without the SIMD-specific 0-width zero-run and
+# cross-word 256-value classes (documented simplification — those exist
+# to feed 16-lane SSE extractors, which a byte-stream measurement codec
+# does not have)
+_QMX_WIDTHS = [1, 2, 3, 4, 5, 6, 8, 10, 16, 32]
+_QMX_COUNTS = [128 // w for w in _QMX_WIDTHS]
+
+
+def _write_varint(out: bytearray, x: int) -> None:
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    x, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        x |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return x, pos
+        shift += 7
+
+
+def qmx_encode(vals) -> bytes:
+    """QMX (Trotman, SIGIR-ADCS 2014: "Compression, SIMD, and Postings
+    Lists"): data packs into 128-bit words, every value in a word at one
+    bit width; a separate selector byte stream stores
+    (width_class << 4) | (run_length - 1) for runs of up to 16
+    consecutive words sharing a width. Layout: varint(selector_count) +
+    selectors + 16-byte data words."""
+    vals = np.asarray(vals, dtype=np.int64)
+    if len(vals) and (vals.min() < 0 or vals.max() > 0xFFFFFFFF):
+        raise ValueError("qmx needs 0 <= v < 2^32")
+    sels = bytearray()
+    data = bytearray()
+    i, n = 0, len(vals)
+    run_w, run_len = -1, 0
+
+    def flush_run():
+        nonlocal run_w, run_len
+        while run_len > 0:
+            take = min(16, run_len)
+            sels.append((run_w << 4) | (take - 1))
+            run_len -= take
+        run_w = -1
+
+    while i < n:
+        for wi, (w, cnt) in enumerate(zip(_QMX_WIDTHS, _QMX_COUNTS)):
+            chunk = vals[i:i + cnt]
+            if int(chunk.max()) < (1 << w):
+                word = 0
+                for j, v in enumerate(chunk):
+                    word |= int(v) << (j * w)
+                data += word.to_bytes(16, "little")
+                if wi == run_w:
+                    run_len += 1
+                else:
+                    flush_run()
+                    run_w, run_len = wi, 1
+                i += len(chunk)
+                break
+        else:  # pragma: no cover - width 32 always fits u32
+            raise AssertionError("no qmx width fits")
+    flush_run()
+    head = bytearray()
+    _write_varint(head, len(sels))
+    return bytes(head) + bytes(sels) + bytes(data)
+
+
+def qmx_decode(buf: bytes, n: int) -> np.ndarray:
+    nsel, pos = _read_varint(buf, 0)
+    sels = buf[pos:pos + nsel]
+    dpos = pos + nsel
+    out = np.empty(n, dtype=np.int64)
+    o = 0
+    for s in sels:
+        wi, run = s >> 4, (s & 15) + 1
+        w, cnt = _QMX_WIDTHS[wi], _QMX_COUNTS[wi]
+        mask = (1 << w) - 1
+        for _ in range(run):
+            word = int.from_bytes(buf[dpos:dpos + 16], "little")
+            dpos += 16
+            take = min(cnt, n - o)
+            for j in range(take):
+                out[o + j] = (word >> (j * w)) & mask
+            o += take
+    return out
+
+
+# ---------------------------------------------------------------------------
 # OptPFor (OPT-PFD)
 # ---------------------------------------------------------------------------
 
@@ -318,6 +422,7 @@ def optpfor_decode(buf: bytes, n: int) -> np.ndarray:
 
 CODECS = {
     "simple16": (simple16_encode, simple16_decode),
+    "qmx": (qmx_encode, qmx_decode),
     "streamvbyte": (streamvbyte_encode, streamvbyte_decode),
     "varintg8iu": (varintg8iu_encode, varintg8iu_decode),
     "optpfor": (optpfor_encode, optpfor_decode),

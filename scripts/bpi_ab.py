@@ -25,7 +25,8 @@ from dint_spark.corpus import generate_pages, pages_from_documents  # noqa: E402
 from dint_spark.index import IndexConfig, build_index  # noqa: E402
 
 
-_BASELINES = ["pef", "optpfor", "simple16", "streamvbyte", "varintg8iu"]
+_BASELINES = ["pef", "optpfor", "simple16", "qmx", "streamvbyte",
+              "varintg8iu"]
 
 
 def baseline_bpi(idx) -> dict:

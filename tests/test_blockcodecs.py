@@ -1,7 +1,7 @@
-"""Block-codec comparison baselines (SURVEY §2 C4/C5/C7 roles):
+"""Block-codec comparison baselines (SURVEY §2 C4/C5/C6/C7 roles):
 
   - encode->decode is the identity for Simple16, StreamVByte,
-    Varint-G8IU and OptPFor across zero-runs, small-value runs, large
+    Varint-G8IU, OptPFor and QMX across zero-runs, small-value runs, large
     values at the codec's width ceiling, and Zipfian gap shapes;
   - hypothesis: arbitrary non-negative lists roundtrip (the reference's
     gap d[i]-d[i-1]-1 / freq-1 convention includes 0);
@@ -47,7 +47,8 @@ def test_roundtrip_shapes(name):
         _rt(name, vals)
 
 
-@pytest.mark.parametrize("name", ["streamvbyte", "varintg8iu", "optpfor"])
+@pytest.mark.parametrize("name", ["streamvbyte", "varintg8iu", "optpfor",
+                                  "qmx"])
 def test_u32_ceiling(name):
     _rt(name, [0xFFFFFFFF, 0, 1, 0xFFFFFFFF])
     with pytest.raises(ValueError):
