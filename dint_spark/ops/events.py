@@ -179,11 +179,18 @@ def events_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches from different shards/epochs merge by register max — the
     property count-distinct lacks. No UDFs; md5/conv/bin are JVM
     expressions inside whole-stage codegen."""
-    e = _events(spark, sf_dir)
-    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+    return cardinality_sketch(_events(spark, sf_dir),
+                              key="event_type", value="user_id")
+
+
+def cardinality_sketch(df: DataFrame, key: str, value: str) -> DataFrame:
+    """The HLL aggregation over any (key, value) DataFrame: one row per
+    key with the exact integer sketch invariant (regs_set, regs_zero,
+    harmonic_x). See events_cardinality for the contract."""
+    h = (F.conv(F.substring(F.md5(F.col(value).cast("string")), 1, 15),
                 16, 10).cast("long"))
-    d = e.select(
-        "event_type",
+    d = df.select(
+        F.col(key).alias("event_type"),
         F.pmod(h, F.lit(HLL_M)).alias("reg"),
         F.shiftright(h, HLL_P).alias("w"),
     )
@@ -192,9 +199,8 @@ def events_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = (d.select("event_type", "reg", rho.alias("rho"))
             .groupBy("event_type", "reg")
             .agg(F.max("rho").alias("m_rho")))
-    # exact-integer harmonic sum: empty register term = 2^50, register
-    # with rank rho contributes 2^(50-(rho-1))/2 ... scaled so every
-    # term is integral: term = 2^(W+1-rho), empty = 2^(W+1)
+    # exact-integer harmonic sum, scaled so every term is integral:
+    # register with rank rho contributes 2^(W+1-rho), empty = 2^(W+1)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                   f"{_HLL_W_BITS + 1} - m_rho)")
     return (regs.groupBy("event_type")
