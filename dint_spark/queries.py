@@ -2929,12 +2929,16 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
             "ints_per_sec_core": ints / secs if secs else 0.0}
 
 
-def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
+def decoded_postings(index, parallelism: int | None = None,
+                     term_ids: list[int] | None = None) -> DataFrame:
     """Full decode of every segment back to (term_id, doc_id, freq) — the
     reference's check_index / verify_collection protocol
     (include/ds2i/verify_collection.hpp:7-52) as a distributed job.
     ``parallelism`` forces a repartition so the decode saturates all cores
-    even when segments sit in few parquet files (bench protocol)."""
+    even when segments sit in few parquet files (bench protocol).
+    ``term_ids`` restricts the decode to a term subset with the filter
+    pushed into the segments scan (consumers like rankeval.judged_rel
+    decode a handful of query terms, not the index)."""
     from dint_spark.dint.codec import (
         BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
 
@@ -2993,7 +2997,19 @@ def decoded_postings(index, parallelism: int | None = None) -> DataFrame:
         if buf.count:
             yield buf.flush_rows()
 
-    seg = index.segments.select(
+    base = index.segments
+    if term_ids is not None:
+        # push the subset into the parquet scan (row-group/partition
+        # pruning, same contract as _pruned_segments) so a k-term decode
+        # never reads the full index
+        if len(term_ids) <= 100_000:
+            base = base.where(F.col("term_id").isin([int(t)
+                                                     for t in term_ids]))
+        else:
+            tpb = index.terms_per_bucket
+            base = base.where(F.col("bucket").isin(
+                sorted({int(t) // tpb for t in term_ids})))
+    seg = base.select(
         "term_id", "n", "block_maxs", "endpoints", "freq_offsets", "payload"
     )
     if parallelism:
