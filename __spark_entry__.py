@@ -1002,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _entry_search_facets,
         "search_facets_range": _entry_search_facets_range,
         "search_stats": _entry_search_stats,
+        "search_extended_stats": _entry_search_extended_stats,
         "search_percentiles": _entry_search_percentiles,
         "search_boosted": _entry_search_boosted,
         "percolate_docs": _entry_percolate,
@@ -1692,6 +1693,20 @@ def _entry_search_analyzed(spark, sf_dir):
 
 
 PCT_PS = (25, 50, 75, 95)
+
+
+def _entry_search_extended_stats(spark, sf_dir):
+    """ES extended_stats: the stats row plus the exact int64 sum of
+    squares, from which variance/std derive caller-side — same single
+    in-kernel pass as search_stats (facets.run_stats_queries
+    extended=True)."""
+    from dint_spark.facets import build_doc_values, run_stats_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_stats_queries(spark, idx, FACET_SPECS, vals, mode="and",
+                             extended=True)
 
 
 def _entry_search_percentiles(spark, sf_dir):
@@ -2408,6 +2423,24 @@ ORDER BY 1
 )
 
 
+_XSTATS_SQL = (
+    _FACET_MATCHED
+    + """
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       count(d.n_chars)::BIGINT AS n_valued,
+       coalesce(sum(d.n_chars), 0)::BIGINT AS vsum,
+       min(d.n_chars)::BIGINT AS vmin,
+       max(d.n_chars)::BIGINT AS vmax,
+       coalesce(sum(d.n_chars * d.n_chars), 0)::BIGINT AS vsumsq
+FROM matched m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1
+ORDER BY 1
+"""
+)
+
+
 _PCT_SQL = (
     _FACET_MATCHED
     + f"""
@@ -2903,6 +2936,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_rank_eval": _rank_eval_oracle(),
         "term_vectors": _term_vectors_sql(),
         "search_stats": _STATS_SQL,
+        "search_extended_stats": _XSTATS_SQL,
         "search_percentiles": _PCT_SQL,
         "search_boosted": _BOOSTED_SQL,
         "percolate_docs": _percolate_sql(),

@@ -575,6 +575,7 @@ STATS_SCHEMA = T.StructType([
 def run_stats_queries(
     spark: SparkSession, index, queries, values: np.ndarray,
     mode: str = "and", doc_filter: DocMask | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """The ES ``stats`` aggregation over the FULL match set: per query,
     the matched-doc count plus count/sum/min/max of the doc value over
@@ -583,7 +584,14 @@ def run_stats_queries(
     is left to the caller so every output stays exact-integer). One
     vectorized pass appended to the boolean kernel; output is ONE row
     per query — nothing per-doc ever leaves a worker. vmin/vmax are
-    NULL when no matched doc has a value."""
+    NULL when no matched doc has a value.
+
+    ``extended=True`` adds ``vsumsq`` (exact int64 sum of squared
+    values) — the ES ``extended_stats`` aggregation: variance =
+    (n*vsumsq - vsum^2) / n^2 and std follow from the integer
+    invariants caller-side (int64-safe up to ~2*10^6 docs at values
+    <= ~2*10^6; beyond that the kernel would carry the sum in two
+    limbs — same pattern, not needed at the gate's value domain)."""
     local_terms = sorted({int(t) for ts in queries for t in ts})
     qdf = spark.createDataFrame(
         [(i, [int(t) for t in ts]) for i, ts in enumerate(queries)],
@@ -614,8 +622,14 @@ def run_stats_queries(
         _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
         "term_id")
 
+    out_schema = STATS_SCHEMA
+    if extended:
+        out_schema = T.StructType(
+            list(STATS_SCHEMA.fields)
+            + [T.StructField("vsumsq", T.LongType(), False)])
+
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["query_id", "n_docs", "n_valued", "vsum", "vmin", "vmax"]
+        cols = [f.name for f in out_schema.fields]
         if not len(pdf):
             return pd.DataFrame(columns=cols)
         qid = int(pdf["query_id"].iloc[0])
@@ -630,16 +644,19 @@ def run_stats_queries(
             return pd.DataFrame(columns=cols)
         v = vals_bc.value[docs]
         v = v[v != _DV_MISSING]
-        return pd.DataFrame({
+        row = {
             "query_id": [qid],
             "n_docs": [len(docs)],
             "n_valued": [len(v)],
             "vsum": [int(v.sum()) if len(v) else 0],
             "vmin": [int(v.min()) if len(v) else None],
             "vmax": [int(v.max()) if len(v) else None],
-        })
+        }
+        if extended:
+            row["vsumsq"] = [int((v * v).sum()) if len(v) else 0]
+        return pd.DataFrame(row)
 
-    return joined.groupBy("query_id").applyInPandas(run_one, STATS_SCHEMA)
+    return joined.groupBy("query_id").applyInPandas(run_one, out_schema)
 
 
 def run_percentile_queries(

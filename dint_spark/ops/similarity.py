@@ -4,6 +4,10 @@
                     exactness baseline. Integer-quantized components make
                     dot products exact int64 arithmetic, so ranking is
                     bit-identical across engines.
+  ann_filtered_topk ES filtered kNN: a label predicate restricts the
+                    corpus BEFORE top-k selection (pushed parquet
+                    filter), so neighbors always satisfy it and k fills
+                    from the filtered set.
   ann_lsh_topk      random-hyperplane LSH (16 md5-derived sign planes ->
                     16-bit bucket), multi-probe radius 3 on bucket Hamming
                     distance, exact cosine re-rank of candidates — the
@@ -532,8 +536,86 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_filtered_topk (ES filtered kNN: predicate BEFORE k selection)
+# ---------------------------------------------------------------------------
+
+FILTER_MOD = 3  # corpus predicate: label % 3 == 0 (~1/3 selectivity)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the ES `knn.filter` semantic): the label
+    predicate restricts the CORPUS side before top-k selection, so every
+    returned neighbor satisfies it and k is filled from the filtered set
+    (post-filtering an unfiltered top-k would under-fill — the exact
+    trap ES's pre-filter kNN exists to avoid).
+
+    Scale shape: the predicate is a pushed parquet filter on the corpus
+    scan (row-group pruning on label), the query side broadcasts, and
+    ranking is the same per-query window over candidate rows as
+    ann_cosine_topk. The same pre-filter composes with the LSH/IVF
+    bucket paths at crawl scale (filter the candidate join's corpus
+    side) — this entry pins the exactness contract."""
+    e = _embeddings(spark, sf_dir)
+    eq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long"))
+    base = e.select(
+        "vec_id", "label", eq.alias("eq"),
+        F.aggregate(eq, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("n2"))
+    qs = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"))
+    corpus = base.where(F.col("label") % FILTER_MOD == 0)
+    pairs = F.broadcast(qs).crossJoin(corpus).select(
+        "query_id", "vec_id",
+        _dot(F.col("q_eq"), F.col("eq")).alias("dot"),
+        "q_n2", "n2")
+    cos = F.col("dot") / F.sqrt(
+        F.col("q_n2").cast("double") * F.col("n2").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("vec_id"))
+    return (pairs.withColumn("cos_q", q6(cos))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOPK)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "vec_id", "cos_q"))
+
+
+ANN_FILTERED_SQL = f"""
+WITH {_EMBQ_SQL.strip()},
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+flt AS (SELECT vec_id FROM embeddings WHERE label % {FILTER_MOD} = 0),
+dots AS (
+  SELECT q.query_id, y.vec_id, sum(x.c * y.c)::BIGINT AS dot
+  FROM qids q
+  JOIN eq x ON x.vec_id = q.query_id
+  JOIN eq y ON y.d = x.d
+  JOIN flt f ON f.vec_id = y.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         {sql_q6('d.dot / sqrt(nq.n2::DOUBLE * nv.n2::DOUBLE)')} AS cos_q
+  FROM dots d
+  JOIN n2 nq ON nq.vec_id = d.query_id
+  JOIN n2 nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, cos_q FROM (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id ASC)::INT AS rank
+  FROM scored
+) r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
 SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_filtered_topk": ann_filtered_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     # no ORACLE_SQLS entry (iterative k-means is not SQL-expressible):
@@ -544,6 +626,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQLS = {
     "ann_cosine_topk": ANN_COSINE_SQL,
+    "ann_filtered_topk": ANN_FILTERED_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
 }

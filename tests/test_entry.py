@@ -38,6 +38,7 @@ SUBSET = [
     "dedup_cluster",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_filtered_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_frame_sample",
@@ -49,6 +50,7 @@ SUBSET = [
     "search_multi_match",
     "search_analyzed",
     "search_percentiles",
+    "search_extended_stats",
     "search_boosted",
     "percolate_docs",
     # round-3 additions: evaluation, doc-level stats, sketch aggs
