@@ -1008,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
+        "search_reindexed": _entry_search_reindexed,
         "search_sort_by_field": _entry_search_sort_by_field,
         "search_collapse": _entry_search_collapse,
         "search_inner_hits": _entry_search_inner_hits,
@@ -1664,6 +1665,51 @@ def _get_analyzed_index(spark, sf_dir):
         idx = build_index(spark, pages_from_documents(adocs), adir, cfg)
     _AN_IDX_CACHE[key] = idx
     return idx
+
+
+_RI_IDX_CACHE: dict[str, object] = {}
+
+
+def _entry_search_reindexed(spark, sf_dir):
+    """The ES _reindex API driven end-to-end: the cached base index is
+    rebuilt FROM ITSELF through the analyzer chain
+    (compact.reindex_index + analyzer.analyzed_tokens — no source
+    corpus touched), then queried with analyzed queries. Shares
+    search_analyzed's oracle: a reindex must equal a fresh build over
+    the analyzed corpus."""
+    from dint_spark.analyzer import analyze, analyzed_tokens
+    from dint_spark.compact import reindex_index
+    from dint_spark.search import parse_queries
+
+    key = os.path.abspath(sf_dir)
+    idx = _RI_IDX_CACHE.get(key)
+    if idx is None:
+        tag = (f"{os.path.basename(key.rstrip('/'))}"
+               f"-reindexed-v{dint_spark.__version__}")
+        rdir = os.path.join("/tmp/dint_spark_entry", tag)
+        if os.path.exists(os.path.join(rdir, "manifest.json")):
+            try:
+                idx = load_index(spark, rdir)
+            except Exception:
+                shutil.rmtree(rdir, ignore_errors=True)
+                idx = None
+        if idx is None:
+            idx = reindex_index(spark, _get_index(spark, sf_dir), rdir,
+                                token_transform=analyzed_tokens)
+        _RI_IDX_CACHE[key] = idx
+    specs, _ = parse_queries(idx, [" ".join(analyze(q))
+                                   for q in AN_QUERIES])
+    raw = run_queries(spark, idx, specs, algo="block_max_wand", k=100,
+                      dtype="float64")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    return (
+        raw.withColumn("score_q", F.floor(F.col("score") * 1e9).cast("long"))
+        .withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= TOPK)
+        .select("query_id", F.col("qrank").cast("int").alias("rank"),
+                "doc_id", "score_q")
+    )
 
 
 def _entry_search_analyzed(spark, sf_dir):
@@ -2942,6 +2988,7 @@ FROM tf GROUP BY term ORDER BY term
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),
+        "search_reindexed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,
         "search_collapse": _COLLAPSE_SQL,
         "search_inner_hits": _INNER_HITS_SQL,

@@ -108,3 +108,17 @@ def analyze_documents(docs: DataFrame, text_col: str = "text"
     """The corpus transform: replace ``text_col`` with its analyzed
     form; every other column passes through."""
     return docs.withColumn(text_col, analyzed_text(text_col))
+
+
+def analyzed_tokens(tokens_col) -> Column:
+    """The same chain over an ALREADY-TOKENIZED array column (the
+    reindex path: tokens reconstructed from an index are lowercase
+    [0-9a-z]+ by the tokenizer contract, so lowercase/split are no-ops
+    and only stopword-drop + stem apply). Per-token, so a token
+    MULTISET transforms to the multiset of transforms — which is why a
+    non-positional reconstruction reindexes exactly."""
+    col = (F.col(tokens_col) if isinstance(tokens_col, str)
+           else tokens_col)
+    toks = F.filter(col, lambda x: ~x.isin(*STOPWORDS))
+    return F.filter(F.transform(toks, _stem_col),
+                    lambda x: x != F.lit(""))

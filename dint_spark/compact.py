@@ -43,10 +43,11 @@ from dint_spark.queries import decoded_positions, decoded_postings
 _CFG_FIELDS = set(IndexConfig.__dataclass_fields__)
 
 
-def _clone_config(index: Index, num_buckets: int | None) -> IndexConfig:
+def _clone_config(index: Index, num_buckets: int | None,
+                  tag_prefix: str = "compact:") -> IndexConfig:
     d = {k: v for k, v in dict(index.manifest["config"]).items()
          if k in _CFG_FIELDS}
-    d["input_tag"] = f"compact:{d.get('input_tag', '')}"
+    d["input_tag"] = f"{tag_prefix}{d.get('input_tag', '')}"
     if num_buckets is not None:
         d["num_buckets"] = num_buckets
     return IndexConfig(**d)
@@ -63,6 +64,28 @@ def compact_index(spark: SparkSession, index: Index, out_dir: str,
     """
     config = _clone_config(index, num_buckets)
     corpus = reconstruct_corpus(spark, index, config)
+    return build_index(spark, None, out_dir, config, corpus_docs=corpus)
+
+
+def reindex_index(spark: SparkSession, index: Index, out_dir: str,
+                  token_transform=None,
+                  num_buckets: int | None = None) -> Index:
+    """The ES ``_reindex`` API: rebuild the index FROM ITSELF under a
+    new analysis chain — no source corpus needed. Dataflow is
+    compaction's reconstruct -> (per-token transform) -> standard
+    resumable build; ``token_transform`` is a Column->Column over the
+    token array (e.g. ``analyzer.analyzed_tokens`` for the stopword+
+    S-stem chain). Because the transform is per-token, the multiset
+    reconstruction is exact for non-positional indexes too — the result
+    is pinned equal to a fresh build over the transformed corpus
+    (tests/test_reindex.py, driver entry search_reindexed). Live docs
+    only: tombstoned documents do not survive a reindex (same as ES,
+    where _reindex copies live documents)."""
+    config = _clone_config(index, num_buckets, tag_prefix="reindex:")
+    corpus = reconstruct_corpus(spark, index, config)
+    if token_transform is not None:
+        corpus = corpus.select(
+            "doc_id", token_transform(F.col("tokens")).alias("tokens"))
     return build_index(spark, None, out_dir, config, corpus_docs=corpus)
 
 

@@ -49,6 +49,7 @@ SUBSET = [
     "search_bool_dsl",
     "search_multi_match",
     "search_analyzed",
+    "search_reindexed",
     "search_percentiles",
     "search_extended_stats",
     "search_boosted",
