@@ -1032,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": _entry_search_fuzzy,
         "search_regexp": _entry_search_regexp,
         "suggest_complete": _entry_suggest_complete,
+        "suggest_phrase": _entry_suggest_phrase,
         "proximity_within": _entry_proximity_within,
         "bm25_with_deletes": _entry_bm25_with_deletes,
         "bm25_filtered": _entry_bm25_filtered,
@@ -1789,6 +1790,71 @@ def _rank_eval_oracle() -> str:
     from dint_spark.rankeval import rank_eval_sql
 
     return rank_eval_sql(_PRELUDE, _q_values(), topk=TOPK)
+
+
+SUGG_PHRASES = ["join hashh", "scann filter", "customer ordr", "merge",
+                "zzzz batch", "sow data"]
+SUGG_PHRASE_N = 3
+SUGG_PHRASE_CANDS = 3
+
+
+def _entry_suggest_phrase(spark, sf_dir):
+    """ES phrase suggester ("did you mean" over whole queries): per-word
+    distance-<=1 candidates capped DirectSpellChecker-style, phrases
+    scored by a quantized df-unigram LM plus per-edit penalties
+    (search.suggest_phrase). "zzzz batch" yields no rows — a word with
+    no correction kills its phrase, the ES contract."""
+    from dint_spark.search import suggest_phrase
+
+    idx = _get_index(spark, sf_dir)
+    return suggest_phrase(spark, idx, SUGG_PHRASES, n=SUGG_PHRASE_N,
+                          max_cands=SUGG_PHRASE_CANDS)
+
+
+def _phrase_suggest_sql() -> str:
+    from dint_spark.search import (PHRASE_EDIT_PENALTY_Q,
+                                   PHRASE_LM_SCALE)
+
+    words = sorted({w for p in SUGG_PHRASES for w in p.lower().split()})
+    wvals = ", ".join(f"('{w}')" for w in words)
+    branches = []
+    for qid, p in enumerate(SUGG_PHRASES):
+        ws = p.lower().split()
+        als = [f"c{i}" for i in range(len(ws))]
+        phrase = " || ' ' || ".join(f"{a}.term" for a in als)
+        score = " + ".join(f"{a}.s" for a in als)
+        joins = " CROSS JOIN ".join(
+            f"(SELECT term, s FROM cand WHERE word = '{w}' "
+            f"AND rn <= {SUGG_PHRASE_CANDS}) {a}"
+            for w, a in zip(ws, als))
+        branches.append(
+            f"SELECT {qid} AS query_id, {phrase} AS phrase, "
+            f"{score} AS score_q FROM {joins}")
+    return (_PRELUDE + f"""
+, words(word) AS (VALUES {wvals}),
+tot AS (SELECT sum(df)::DOUBLE AS total_df FROM vocab),
+cand AS (
+  SELECT w.word, v.term,
+         floor(ln(v.df::DOUBLE / t.total_df) * {PHRASE_LM_SCALE})::BIGINT
+           + (CASE WHEN v.term = w.word THEN 0 ELSE 1 END)
+             * {PHRASE_EDIT_PENALTY_Q} AS s,
+         row_number() OVER (
+           PARTITION BY w.word
+           ORDER BY CASE WHEN v.term = w.word THEN 0 ELSE 1 END,
+                    v.df DESC, v.term ASC) AS rn
+  FROM words w
+  JOIN vocab v ON levenshtein(w.word, v.term) <= 1
+  CROSS JOIN tot t
+),
+phrases AS ({" UNION ALL ".join(branches)})
+SELECT query_id, rank, phrase, score_q FROM (
+  SELECT query_id, phrase, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, phrase ASC)::INT AS rank
+  FROM phrases
+) r WHERE rank <= {SUGG_PHRASE_N}
+ORDER BY query_id, rank
+""")
 
 
 def _entry_search_rank_eval(spark, sf_dir):
@@ -2998,6 +3064,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_rerank": _RERANK_SQL,
         "search_hybrid_rrf": _HYBRID_SQL,
         "suggest_spelling": _SUGGEST_SQL,
+        "suggest_phrase": _phrase_suggest_sql(),
         "significant_terms": _SIG_SQL,
         "search_more_like_this": _MLT_SQL,
         # same full-corpus SQL as search_text: the appended two-epoch index

@@ -350,6 +350,87 @@ def suggest_spelling(
     )
 
 
+PHRASE_LM_SCALE = 1 << 24   # unigram logprob quantum (ln * scale, floored)
+PHRASE_EDIT_PENALTY_Q = -5 * PHRASE_LM_SCALE  # per-edit additive penalty
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    index,
+    phrases: list[str],
+    n: int = 3,
+    max_cands: int = 3,
+    fuzzy_path: str | None = None,
+    nfc: bool = False,
+) -> DataFrame:
+    """The ES *phrase suggester* ("did you mean" over whole queries):
+    per input phrase, candidate corrections are the cross product of
+    each word's distance-<=1 vocabulary neighborhood (capped at
+    ``max_cands`` per word by dist asc, df desc, term asc — the
+    DirectSpellChecker order), scored by a df-based unigram language
+    model plus a per-edit penalty, top-``n`` per phrase by (score desc,
+    phrase asc).
+
+    Scoring is quantized-integer end-to-end: per word,
+    floor(ln(df / total_df) * 2^24) + dist * PENALTY, summed over the
+    phrase — so the SQL oracle reproduces rows exactly (the
+    unigram_logprob quantize-before-sum pattern). A word with NO
+    neighborhood (OOV beyond distance 1) makes its phrase yield no
+    rows — ES's suggester likewise returns nothing when a term has no
+    correction.
+
+    Scale shape: candidates come from ONE delete-1-table probe for the
+    whole batch (pushed IN filter, per-key-bucket bounded — the
+    suggest_spelling plan); the cross-product enumeration is driver-side
+    over <= |phrases| * max_cands^words tiny tuples, the same documented
+    driver-verify contract as suggest_spelling. The LM is index
+    metadata (vocab df + one cached total), not a corpus scan."""
+    import math
+
+    qtoks = [[t for t in (_single_token(w, nfc=nfc) for w in p.split())
+              if t is not None] for p in phrases]
+    live = sorted({t for ts in qtoks for t in ts})
+    total_df = int(index.vocab().agg(
+        F.sum("df").alias("s")).collect()[0]["s"])
+    out_rows: list[tuple] = []
+    if live:
+        rows = _fuzzy_candidate_rows(index, live, fuzzy_path)
+        for qid, toks in enumerate(qtoks):
+            if not toks:
+                continue
+            per_word: list[list[tuple[int, str]]] = []
+            for tok in toks:
+                hits = sorted(
+                    (0 if r["term"] == tok else 1, -int(r["df"]),
+                     r["term"])
+                    for r in rows if _lev_le1(r["term"], tok))
+                cands = []
+                for dist, negdf, term in hits[:max_cands]:
+                    qlp = math.floor(
+                        math.log(-negdf / total_df) * PHRASE_LM_SCALE)
+                    cands.append((qlp + dist * PHRASE_EDIT_PENALTY_Q,
+                                  term))
+                per_word.append(cands)
+            if any(not c for c in per_word):
+                continue
+            combos = [(0, [])]
+            for cands in per_word:
+                combos = [(s + cs, words + [ct])
+                          for s, words in combos for cs, ct in cands]
+            ranked = sorted(((-s, " ".join(words)) for s, words in combos))
+            for rank, (negs, phrase) in enumerate(ranked[:n], 1):
+                out_rows.append((qid, rank, phrase, -negs))
+    from pyspark.sql import types as T
+    return spark.createDataFrame(
+        out_rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("phrase", T.StringType(), False),
+            T.StructField("score_q", T.LongType(), False),
+        ]))
+
+
 def _rank_and_cap(rows, toks: list, max_terms: int) -> list[list[int]]:
     """Per-word verify (exact levenshtein <= 1) + deterministic
     (df DESC, term ASC) cap over the collected candidate rows."""

@@ -56,6 +56,7 @@ SUBSET = [
     "percolate_docs",
     # round-3 additions: evaluation, doc-level stats, sketch aggs
     "search_rank_eval",
+    "suggest_phrase",
     "term_vectors",
     "events_cardinality",
     "events_date_histogram",
