@@ -1643,29 +1643,41 @@ AN_QUERIES = ["the joins and rows", "tables of values",
 _AN_IDX_CACHE: dict[str, object] = {}
 
 
+def _cached_entry_index(spark, sf_dir, cache: dict, suffix: str, build_fn):
+    """The load-or-build-or-rebuild idiom shared by every derived entry
+    index (analyzed, reindexed): per-sf memory cache over a version-
+    tagged /tmp dir; a manifest that fails to load is corruption and
+    clears for a clean rebuild. ``build_fn(dir, tag)`` builds fresh."""
+    key = os.path.abspath(sf_dir)
+    if key in cache:
+        return cache[key]
+    tag = (f"{os.path.basename(key.rstrip('/'))}"
+           f"-{suffix}-v{dint_spark.__version__}")
+    d = os.path.join("/tmp/dint_spark_entry", tag)
+    idx = None
+    if os.path.exists(os.path.join(d, "manifest.json")):
+        try:
+            idx = load_index(spark, d)
+        except Exception:
+            shutil.rmtree(d, ignore_errors=True)
+    if idx is None:
+        idx = build_fn(d, tag)
+    cache[key] = idx
+    return idx
+
+
 def _get_analyzed_index(spark, sf_dir):
     """Index over the analyzer-chain transform of the driver documents
     (stopword drop + S-stem), built once per sf_dir and cached."""
     from dint_spark.analyzer import analyze_documents
 
-    key = os.path.abspath(sf_dir)
-    if key in _AN_IDX_CACHE:
-        return _AN_IDX_CACHE[key]
-    tag = (f"{os.path.basename(key.rstrip('/'))}"
-           f"-analyzed-v{dint_spark.__version__}")
-    adir = os.path.join("/tmp/dint_spark_entry", tag)
-    adocs = analyze_documents(_documents(spark, sf_dir))
-    cfg = IndexConfig(num_buckets=4, input_tag=tag)
-    idx = None
-    if os.path.exists(os.path.join(adir, "manifest.json")):
-        try:
-            idx = load_index(spark, adir)
-        except Exception:
-            shutil.rmtree(adir, ignore_errors=True)
-    if idx is None:
-        idx = build_index(spark, pages_from_documents(adocs), adir, cfg)
-    _AN_IDX_CACHE[key] = idx
-    return idx
+    def build(adir, tag):
+        adocs = analyze_documents(_documents(spark, sf_dir))
+        return build_index(spark, pages_from_documents(adocs), adir,
+                           IndexConfig(num_buckets=4, input_tag=tag))
+
+    return _cached_entry_index(spark, sf_dir, _AN_IDX_CACHE, "analyzed",
+                               build)
 
 
 _RI_IDX_CACHE: dict[str, object] = {}
@@ -1682,22 +1694,11 @@ def _entry_search_reindexed(spark, sf_dir):
     from dint_spark.compact import reindex_index
     from dint_spark.search import parse_queries
 
-    key = os.path.abspath(sf_dir)
-    idx = _RI_IDX_CACHE.get(key)
-    if idx is None:
-        tag = (f"{os.path.basename(key.rstrip('/'))}"
-               f"-reindexed-v{dint_spark.__version__}")
-        rdir = os.path.join("/tmp/dint_spark_entry", tag)
-        if os.path.exists(os.path.join(rdir, "manifest.json")):
-            try:
-                idx = load_index(spark, rdir)
-            except Exception:
-                shutil.rmtree(rdir, ignore_errors=True)
-                idx = None
-        if idx is None:
-            idx = reindex_index(spark, _get_index(spark, sf_dir), rdir,
-                                token_transform=analyzed_tokens)
-        _RI_IDX_CACHE[key] = idx
+    idx = _cached_entry_index(
+        spark, sf_dir, _RI_IDX_CACHE, "reindexed",
+        lambda rdir, tag: reindex_index(
+            spark, _get_index(spark, sf_dir), rdir,
+            token_transform=analyzed_tokens))
     specs, _ = parse_queries(idx, [" ".join(analyze(q))
                                    for q in AN_QUERIES])
     raw = run_queries(spark, idx, specs, algo="block_max_wand", k=100,

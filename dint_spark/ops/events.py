@@ -190,24 +190,24 @@ def cardinality_sketch(df: DataFrame, key: str, value: str) -> DataFrame:
     h = (F.conv(F.substring(F.md5(F.col(value).cast("string")), 1, 15),
                 16, 10).cast("long"))
     d = df.select(
-        F.col(key).alias("event_type"),
+        F.col(key).alias(key),
         F.pmod(h, F.lit(HLL_M)).alias("reg"),
         F.shiftright(h, HLL_P).alias("w"),
     )
     rho = (F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1))
            .otherwise(F.lit(_HLL_W_BITS + 1) - F.length(F.bin("w"))))
-    regs = (d.select("event_type", "reg", rho.alias("rho"))
-            .groupBy("event_type", "reg")
+    regs = (d.select(key, "reg", rho.alias("rho"))
+            .groupBy(key, "reg")
             .agg(F.max("rho").alias("m_rho")))
     # exact-integer harmonic sum, scaled so every term is integral:
     # register with rank rho contributes 2^(W+1-rho), empty = 2^(W+1)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                   f"{_HLL_W_BITS + 1} - m_rho)")
-    return (regs.groupBy("event_type")
+    return (regs.groupBy(key)
             .agg(F.count("*").alias("regs_set"),
                  F.sum(term).alias("set_sum"))
             .select(
-                "event_type",
+                key,
                 F.col("regs_set").cast("long").alias("regs_set"),
                 (F.lit(HLL_M) - F.col("regs_set")).cast("long")
                 .alias("regs_zero"),
@@ -268,21 +268,24 @@ def events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents-quantized value sum (the events_windowed convention — float
     sums are order-dependent across engines, int64 cent sums are not).
 
-    Calendar truncation (date_trunc), not epoch flooring — the ES
-    calendar_interval semantic that generalizes to month/quarter where
-    bucket widths vary. The session timezone is pinned to UTC for the
-    truncation so the bucket edges are engine-independent. One
-    map-side-combined hash aggregate; scales like events_windowed."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    UTC calendar days are computed by epoch flooring (for the day
+    interval, UTC-calendar truncation IS floor(epoch/86400) — no
+    session-timezone dependence, unlike date_trunc, which reads the
+    session zone at EXECUTION time and would silently shift bucket
+    edges if any caller changed it; review round 3). Month/quarter
+    calendar intervals are the named seam that would need date_trunc
+    under an explicitly pinned zone. One map-side-combined hash
+    aggregate; scales like events_windowed."""
     e = _events(spark, sf_dir)
+    day_start = (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
     return (
-        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        e.groupBy(day_start.cast("long").alias("day_start"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.countDistinct("user_id").alias("n_users"),
              F.sum(F.round(F.col("value") * 100, 0).cast("long"))
              .alias("sum_value_c"))
-        .select(F.unix_timestamp("day").alias("day_start"),
-                "event_type", "n_events", "n_users", "sum_value_c")
+        .select("day_start", "event_type", "n_events", "n_users",
+                "sum_value_c")
     )
 
 

@@ -49,13 +49,15 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_q(spark: SparkSession, sf_dir: str,
+           extra_cols: tuple = ()) -> DataFrame:
     e = _embeddings(spark, sf_dir)
     eq = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long")
     )
     return e.select(
         "vec_id",
+        *extra_cols,
         eq.alias("eq"),
         F.aggregate(
             eq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
@@ -556,14 +558,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_cosine_topk. The same pre-filter composes with the LSH/IVF
     bucket paths at crawl scale (filter the candidate join's corpus
     side) — this entry pins the exactness contract."""
-    e = _embeddings(spark, sf_dir)
-    eq = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long"))
-    base = e.select(
-        "vec_id", "label", eq.alias("eq"),
-        F.aggregate(eq, F.lit(0).cast("long"),
-                    lambda acc, x: acc + x * x).alias("n2"))
+    base = _emb_q(spark, sf_dir, extra_cols=("label",))
     qs = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("eq").alias("q_eq"),

@@ -2929,6 +2929,9 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
             "ints_per_sec_core": ints / secs if secs else 0.0}
 
 
+_DECODE_ISIN_BOUND = 100_000  # beyond this, bucket prune + exact semi-join
+
+
 def decoded_postings(index, parallelism: int | None = None,
                      term_ids: list[int] | None = None) -> DataFrame:
     """Full decode of every segment back to (term_id, doc_id, freq) — the
@@ -3001,14 +3004,20 @@ def decoded_postings(index, parallelism: int | None = None,
     if term_ids is not None:
         # push the subset into the parquet scan (row-group/partition
         # pruning, same contract as _pruned_segments) so a k-term decode
-        # never reads the full index
-        if len(term_ids) <= 100_000:
-            base = base.where(F.col("term_id").isin([int(t)
-                                                     for t in term_ids]))
+        # never reads the full index. Past the isin-expression bound the
+        # scan prunes at bucket granularity and an exact broadcast
+        # semi-join drops same-bucket strangers BEFORE decode — the
+        # subset contract holds at every size.
+        tids = [int(t) for t in term_ids]
+        if len(tids) <= _DECODE_ISIN_BOUND:
+            base = base.where(F.col("term_id").isin(tids))
         else:
             tpb = index.terms_per_bucket
             base = base.where(F.col("bucket").isin(
-                sorted({int(t) // tpb for t in term_ids})))
+                sorted({t // tpb for t in tids})))
+            tdf = index.spark.createDataFrame(
+                [(t,) for t in tids], "term_id long")
+            base = base.join(F.broadcast(tdf), "term_id", "left_semi")
     seg = base.select(
         "term_id", "n", "block_maxs", "endpoints", "freq_offsets", "payload"
     )

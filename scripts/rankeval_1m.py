@@ -33,7 +33,9 @@ def main() -> None:
     idx_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gate1m_idx_1000000"
     pages = (sys.argv[2] if len(sys.argv) > 2
              else "/tmp/gate1m_pages_1000000.parquet")
-    docs_path = pages.replace("pages", "docs")
+    docs_path = os.path.join(
+        os.path.dirname(pages),
+        os.path.basename(pages).replace("pages", "docs"))
 
     from bench import host_health_probe
     from dint_spark.index import load_index
@@ -118,7 +120,7 @@ TO '{docs_path}' (FORMAT parquet, PER_THREAD_OUTPUT true)
     errs = {}
     for r in sk:
         est = hll_estimate(int(r["regs_zero"]), int(r["harmonic_x"]))
-        errs[r["event_type"]] = round(
+        errs[r["etype"]] = round(
             abs(est - exact[r["event_type"]]) / exact[r["event_type"]], 4)
     results["hll_rel_err_per_key"] = errs
     results["hll_max_rel_err"] = max(errs.values())

@@ -58,7 +58,6 @@ def test_reindex_equals_fresh_analyzed_build(spark, tmp_path, pages):
                     k=10).collect()
     b = run_queries(spark, fresh, specs, algo="block_max_wand",
                     k=10).collect()
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(((r["query_id"], r["rank"], r["doc_id"])
                    for r in a)) == \
         sorted(((r["query_id"], r["rank"], r["doc_id"]) for r in b))
@@ -71,3 +70,25 @@ def test_reindex_identity_without_transform(spark, tmp_path, pages):
                        IndexConfig(num_buckets=2, input_tag="ri2"))
     re_idx = reindex_index(spark, base, re_dir)
     assert _posting_rows(re_idx) == _posting_rows(base)
+
+
+def test_decoded_postings_term_subset_contract(spark, tmp_path, pages,
+                                               monkeypatch):
+    """term_ids restricts the output EXACTLY on both pushdown paths —
+    the isin scan filter and the over-bound bucket-prune + semi-join
+    (same-bucket strangers must not leak)."""
+    import dint_spark.queries as Q
+    from dint_spark.queries import decoded_postings
+
+    idx = build_index(spark, pages, str(tmp_path / "sub"),
+                      IndexConfig(num_buckets=2, input_tag="sub"))
+    want = [1, 3, 5]
+    small = {int(r["term_id"]) for r in
+             decoded_postings(idx, term_ids=want)
+             .select("term_id").distinct().collect()}
+    assert small == set(want)
+    monkeypatch.setattr(Q, "_DECODE_ISIN_BOUND", 1)
+    big = {int(r["term_id"]) for r in
+           decoded_postings(idx, term_ids=want)
+           .select("term_id").distinct().collect()}
+    assert big == set(want)
