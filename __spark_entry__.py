@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_inner_hits": _entry_search_inner_hits,
         "search_page2": _entry_search_page2,
         "search_bool_dsl": _entry_search_bool_dsl,
+        "search_query_string": _entry_search_query_string,
         "search_multi_match": _entry_search_multi_match,
         "search_rerank": _entry_search_rerank,
         "search_hybrid_rrf": _entry_search_hybrid,
@@ -1791,6 +1792,105 @@ def _rank_eval_oracle() -> str:
     from dint_spark.rankeval import rank_eval_sql
 
     return rank_eval_sql(_PRELUDE, _q_values(), topk=TOPK)
+
+
+QS_QUERIES = [
+    "+join hash -slow",
+    "scan +filter batch^2",
+    "customer order",
+    "+merge -zzznotaword",
+    "value^3 -table +row",
+]
+
+
+def _entry_search_query_string(spark, sf_dir):
+    """ES query_string (the `q=` mini-language): +must / -must_not /
+    bare-OR / ^N integer boosts parsed driver-side and routed through
+    the compound bool kernel (search.parse_query_string +
+    search_query_string). Boost-by-qf makes ^N exact integer weighting;
+    an OOV must_not is a no-op in both engines."""
+    from dint_spark.search import search_query_string
+
+    idx = _get_index(spark, sf_dir)
+    return search_query_string(spark, idx, QS_QUERIES, k=TOPK)
+
+
+def _query_string_sql() -> str:
+    """Oracle: the bool-DSL SQL with clause VALUES carrying term
+    STRINGS (joined on vocab.term), derived from the SAME pure-string
+    parse the entry uses — parser laws are pinned separately in
+    tests/test_query_string.py, and must-counts resolve against the
+    vocabulary so OOV drops match the Spark contract."""
+    from collections import Counter
+
+    from dint_spark.search import parse_query_string
+
+    pos, must, should, neg, mins = [], [], [], [], []
+    for qid, q in enumerate(QS_QUERIES):
+        p = parse_query_string(q)
+        qf = Counter(p["must"]) + Counter(p["should"])
+        pos += [f"({qid}, '{t}', {c})" for t, c in sorted(qf.items())]
+        must += [f"({qid}, '{t}')" for t in sorted(set(p["must"]))]
+        should += [f"({qid}, '{t}')" for t in sorted(set(p["should"]))]
+        neg += [f"({qid}, '{t}')" for t in sorted(set(p["must_not"]))]
+        ms = 0 if p["must"] else min(1, len(p["should"]))
+        mins.append(f"({qid}, {ms})")
+
+    def vals(name, cols, rows):
+        body = ", ".join(rows) if rows else "(-1, '')"
+        return f"{name}({cols}) AS (VALUES {body})"
+
+    return (
+        _PRELUDE
+        + f"""
+, {vals("qs_pos", "query_id, term, qf", pos)},
+{vals("qs_must", "query_id, term", must)},
+{vals("qs_should", "query_id, term", should)},
+{vals("qs_neg", "query_id, term", neg)},
+qs_min(query_id, min_should) AS (VALUES {", ".join(mins)}),
+qscored AS (
+  SELECT p.query_id, tf.doc_id,
+         sum(
+           p.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5))) * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs_pos p
+  JOIN vocab v ON v.term = p.term
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+qelig AS (
+  SELECT b.query_id, b.doc_id
+  FROM qscored b JOIN qs_min m ON m.query_id = b.query_id
+  WHERE (SELECT count(*) FROM qs_must q
+         JOIN vocab v2 ON v2.term = q.term
+         JOIN tf t2 ON t2.term = q.term AND t2.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id) =
+        (SELECT count(*) FROM qs_must q
+         JOIN vocab v2b ON v2b.term = q.term
+         WHERE q.query_id = b.query_id)
+    AND (SELECT count(*) FROM qs_should q
+         JOIN tf t3 ON t3.term = q.term AND t3.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id) >= m.min_should
+    AND NOT EXISTS (SELECT 1 FROM qs_neg q
+         JOIN tf t4 ON t4.term = q.term AND t4.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id)
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT b.query_id, b.doc_id,
+         floor(b.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY b.query_id
+           ORDER BY floor(b.score * 1e9) DESC, b.doc_id ASC
+         )::INT AS rank
+  FROM qscored b
+  JOIN qelig e ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+"""
+    )
 
 
 SUGG_PHRASES = ["join hashh", "scann filter", "customer ordr", "merge",
@@ -3061,6 +3161,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_inner_hits": _INNER_HITS_SQL,
         "search_page2": _PAGE2_SQL,
         "search_bool_dsl": _bool_dsl_sql(),
+        "search_query_string": _query_string_sql(),
         "search_multi_match": _multi_match_sql(),
         "search_rerank": _RERANK_SQL,
         "search_hybrid_rrf": _HYBRID_SQL,

@@ -350,6 +350,61 @@ def suggest_spelling(
     )
 
 
+def parse_query_string(q: str, nfc: bool = False) -> dict:
+    """The ES ``query_string`` mini-language, the subset that maps onto
+    the bool kernel: ``+word`` -> must, ``-word`` -> must_not, bare
+    ``word`` -> should (default_operator OR), ``word^N`` -> integer
+    boost by qf multiplicity (the BM25 kernel weights a term by its
+    query frequency, so boost N == the term appearing N times — exact,
+    no float weight channel needed). Returns word-level clauses
+    ``{"must": [...], "should": [...], "must_not": [...]}`` with boost
+    repetition; words normalize through the pinned tokenizer and
+    OOV handling happens at term-id resolution (search_query_string).
+    Phrases/fields/ranges are the named out-of-scope seams (the repo
+    routes those through phrase_ranked / multi_match / range facets)."""
+    out = {"must": [], "should": [], "must_not": []}
+    for tok in q.split():
+        boost = 1
+        if "^" in tok:
+            parts = tok.split("^")
+            tok = parts[0]
+            for b in reversed(parts[1:]):
+                if b.isdigit() and int(b) >= 1:
+                    boost = int(b)
+                    break
+        clause = "should"
+        if tok.startswith("+"):
+            clause, tok = "must", tok[1:]
+        elif tok.startswith("-"):
+            clause, tok = "must_not", tok[1:]
+        w = _single_token(tok, nfc=nfc)
+        if w is None:
+            continue
+        out[clause] += [w] * (boost if clause != "must_not" else 1)
+    return out
+
+
+def search_query_string(spark: SparkSession, index, queries: list[str],
+                        k: int = 10, nfc: bool = False) -> DataFrame:
+    """query_string retrieval: parse each string, resolve words to term
+    ids through the index vocabulary (OOV words DROP from their clause —
+    the search_text contract; an OOV must_not is a no-op in both
+    engines), and run the compound bool kernel. Returns the
+    run_bool_queries shape (query_id, rank, doc_id, score_q)."""
+    from dint_spark.bool_query import BoolSpec, run_bool_queries
+
+    parsed = [parse_query_string(q, nfc=nfc) for q in queries]
+    words = sorted({w for p in parsed for c in p.values() for w in c})
+    tid = lookup_term_ids(index, words)
+    specs = []
+    for p in parsed:
+        specs.append(BoolSpec(
+            must=[tid[w] for w in p["must"] if w in tid],
+            should=[tid[w] for w in p["should"] if w in tid],
+            must_not=[tid[w] for w in p["must_not"] if w in tid]))
+    return run_bool_queries(spark, index, specs, k=k, dtype="float64")
+
+
 PHRASE_LM_SCALE = 1 << 24   # unigram logprob quantum (ln * scale, floored)
 PHRASE_EDIT_PENALTY_Q = -5 * PHRASE_LM_SCALE  # per-edit additive penalty
 

@@ -47,6 +47,7 @@ SUBSET = [
     "search_collapse",
     "search_page2",
     "search_bool_dsl",
+    "search_query_string",
     "search_multi_match",
     "search_analyzed",
     "search_reindexed",
