@@ -1027,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": _entry_search_synonyms,
         "wand_max_weights": _entry_wand_max_weights,
         "phrase_match": _entry_phrase_match,
+        "phrase_prefix": _entry_phrase_prefix,
         "phrase_ranked": _entry_phrase_ranked,
         "search_text": _entry_search_text,
         "search_prefix": _entry_search_prefix,
@@ -1082,6 +1083,66 @@ def _entry_phrase_match(spark, sf_dir):
     return res.select(
         F.col("query_id").alias("phrase_id"), "doc_id", "phrase_tf"
     ).orderBy("phrase_id", "doc_id")
+
+
+MPP_SPECS = [("customer", "or"), ("key", "ag"), ("fast", "s"),
+             ("value", "ta"), ("merge", "ba")]
+
+
+def _entry_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix (the autocomplete phrase): fixed first
+    term + a prefix in the last position, expanded through the pushed
+    StartsWith vocab scan and run as ONE positional phrase batch with
+    per-(query, doc) occurrence sums (search.match_phrase_prefix).
+    "fast s*" expands to 6 vocabulary terms — the multi-expansion
+    union path."""
+    from dint_spark.search import match_phrase_prefix
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    tid = idx.term_ids([w for w, _ in MPP_SPECS])
+    specs = [[tid[w], pfx] for w, pfx in MPP_SPECS]
+    return (match_phrase_prefix(spark, idx, specs)
+            .orderBy("query_id", "doc_id"))
+
+
+def _phrase_prefix_sql() -> str:
+    fixed = ", ".join(f"({qid}, 0, '{w}')"
+                      for qid, (w, _) in enumerate(MPP_SPECS))
+    pref = ", ".join(f"({qid}, 1, '{p}')"
+                     for qid, (_, p) in enumerate(MPP_SPECS))
+    plen = ", ".join(f"({qid}, 2)" for qid in range(len(MPP_SPECS)))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+fixedt(query_id, off, term) AS (VALUES {fixed}),
+pref(query_id, off, prefix) AS (VALUES {pref}),
+plen(query_id, len) AS (VALUES {plen}),
+hits AS (
+  SELECT f.query_id, tp.doc_id, tp.pos - f.off AS start
+  FROM fixedt f JOIN toks_ord tp ON tp.term = f.term
+  UNION ALL
+  SELECT p.query_id, tp.doc_id, tp.pos - p.off AS start
+  FROM pref p JOIN toks_ord tp ON tp.term LIKE p.prefix || '%'
+),
+occ AS (
+  SELECT h.query_id, h.doc_id, h.start
+  FROM hits h JOIN plen l ON l.query_id = h.query_id
+  GROUP BY h.query_id, h.doc_id, h.start, l.len
+  HAVING count(*) = l.len
+)
+SELECT query_id, doc_id, count(*)::BIGINT AS ptf
+FROM occ GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 # ordered proximity pairs (t2 within PROX_WINDOW tokens after t1): frequent
@@ -3177,6 +3238,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_synonyms": _synonyms_sql(),
         "wand_max_weights": _WAND_MW_SQL,
         "phrase_match": _PHRASE_SQL,
+        "phrase_prefix": _phrase_prefix_sql(),
         "phrase_ranked": _PHRASE_RANKED_SQL,
         "search_text": _topk_or_sql(scored=_text_scored()),
         "search_prefix": _topk_or_sql(scored=_prefix_scored()),

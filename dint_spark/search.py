@@ -350,6 +350,42 @@ def suggest_spelling(
     )
 
 
+def match_phrase_prefix(spark: SparkSession, index, specs,
+                        max_terms: int = 64) -> DataFrame:
+    """The ES ``match_phrase_prefix`` query (the autocomplete phrase):
+    each spec is (fixed term_ids..., last_prefix_string); the last
+    position matches ANY vocabulary term with that prefix. Expansion
+    goes through expand_prefix (pushed StartsWith vocab scan, capped
+    top-``max_terms`` by df — the Lucene rewrite bound), every variant
+    phrase runs through ONE positional phrase batch, and occurrences
+    sum per (query, doc): a token occupies exactly one position, so
+    each phrase start is counted under exactly one expansion and the
+    sum is the exact count of starts whose fixed offsets match and
+    whose last token carries the prefix. Returns (query_id, doc_id,
+    ptf) — integer-exact."""
+    from pyspark.sql import functions as F
+
+    from dint_spark.queries import run_phrase_queries
+
+    variants: list[list[int]] = []
+    vmap: list[int] = []
+    for qid, spec in enumerate(specs):
+        *fixed, prefix = spec
+        for tid in expand_prefix(index, prefix, max_terms=max_terms):
+            variants.append([int(t) for t in fixed] + [int(tid)])
+            vmap.append(qid)
+    if not variants:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, ptf long")
+    vdf = spark.createDataFrame(
+        list(enumerate(vmap)), "variant_id long, query_id long")
+    res = run_phrase_queries(spark, index, variants)
+    return (res.withColumnRenamed("query_id", "variant_id")
+            .join(F.broadcast(vdf), "variant_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("phrase_tf").cast("long").alias("ptf")))
+
+
 def parse_query_string(q: str, nfc: bool = False) -> dict:
     """The ES ``query_string`` mini-language, the subset that maps onto
     the bool kernel: ``+word`` -> must, ``-word`` -> must_not, bare

@@ -48,6 +48,7 @@ SUBSET = [
     "search_page2",
     "search_bool_dsl",
     "search_query_string",
+    "phrase_prefix",
     "search_multi_match",
     "search_analyzed",
     "search_reindexed",
