@@ -1010,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_analyzed": _entry_search_analyzed,
         "search_reindexed": _entry_search_reindexed,
         "search_sort_by_field": _entry_search_sort_by_field,
+        "search_sort_by_keyword": _entry_search_sort_by_keyword,
         "search_collapse": _entry_search_collapse,
         "search_inner_hits": _entry_search_inner_hits,
         "search_page2": _entry_search_page2,
@@ -1657,6 +1658,23 @@ def _entry_search_sort_by_field(spark, sf_dir):
     return run_sorted_queries(
         spark, idx, FACET_SPECS, vals, k=SORT_FIELD_K, mode="and",
         descending=True)
+
+
+def _entry_search_sort_by_keyword(spark, sf_dir):
+    """Sort-by-keyword retrieval (ES ``sort: [{source: asc}]``): the
+    facet ordinal array doubles as an order-isomorphic doc value, so
+    keyword sorting reuses the sort-by-field kernel and joins the
+    broadcast ordinal dimension on the k-row output
+    (facets.run_keyword_sorted_queries)."""
+    from dint_spark.facets import (build_doc_facets,
+                                   run_keyword_sorted_queries)
+
+    idx = _get_index(spark, sf_dir)
+    fac = build_doc_facets(
+        spark, _documents(spark, sf_dir), idx.num_docs, "source")
+    return run_keyword_sorted_queries(spark, idx, FACET_SPECS, fac,
+                                      k=SORT_FIELD_K, mode="and",
+                                      descending=False)
 
 
 def _entry_search_facets_range(spark, sf_dir):
@@ -2473,6 +2491,24 @@ ORDER BY 1, 2
 )
 
 
+_SORT_KEYWORD_SQL = (
+    _FACET_MATCHED
+    + f"""
+SELECT query_id, rank, doc_id, keyword FROM (
+  SELECT m.query_id, m.doc_id, d.source AS keyword,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY d.source ASC, m.doc_id ASC
+         )::INT AS rank
+  FROM matched m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.source IS NOT NULL
+) WHERE rank <= {SORT_FIELD_K}
+ORDER BY 1, 2
+"""
+)
+
+
 def _range_bucket_values() -> str:
     rows = [f"({i}, {lo}, {hi})"
             for i, (lo, hi) in enumerate(zip(RANGE_EDGES, RANGE_EDGES[1:]))]
@@ -3218,6 +3254,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_analyzed": _analyzed_sql(),
         "search_reindexed": _analyzed_sql(),
         "search_sort_by_field": _SORT_FIELD_SQL,
+        "search_sort_by_keyword": _SORT_KEYWORD_SQL,
         "search_collapse": _COLLAPSE_SQL,
         "search_inner_hits": _INNER_HITS_SQL,
         "search_page2": _PAGE2_SQL,

@@ -659,6 +659,34 @@ def run_stats_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, out_schema)
 
 
+def run_keyword_sorted_queries(
+    spark: SparkSession, index, queries, facets: DocFacets,
+    k: int = 10, mode: str = "and", descending: bool = False,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Sort-by-KEYWORD retrieval (the ES ``sort: [{field.keyword:
+    asc}]`` mode): the facet ordinal array IS an order-isomorphic i64
+    doc value (ordinals are assigned by facet value ASC in
+    build_doc_facets), so keyword sorting reuses run_sorted_queries
+    verbatim — missing-facet docs map to the missing sentinel and never
+    rank — and the k-row output joins the broadcast ordinal->value
+    dimension to surface the keyword. Returns (query_id, rank, doc_id,
+    keyword)."""
+    ords = facets.ords.astype(np.int64)
+    ords[ords == facets.num_values] = _DV_MISSING
+    res = run_sorted_queries(spark, index, queries, ords, k=k,
+                             mode=mode, descending=descending,
+                             doc_filter=doc_filter)
+    dim = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(facets.values)],
+        schema=T.StructType([
+            T.StructField("val", T.LongType(), False),
+            T.StructField("keyword", T.StringType(), False),
+        ]))
+    return (res.join(F.broadcast(dim), "val")
+            .select("query_id", "rank", "doc_id", "keyword"))
+
+
 def run_percentile_queries(
     spark: SparkSession, index, queries, values: np.ndarray,
     ps: tuple = (25, 50, 75, 95), mode: str = "and",

@@ -49,6 +49,7 @@ SUBSET = [
     "search_bool_dsl",
     "search_query_string",
     "phrase_prefix",
+    "search_sort_by_keyword",
     "search_multi_match",
     "search_analyzed",
     "search_reindexed",
