@@ -456,14 +456,22 @@ def _entry_term_vectors(spark, sf_dir):
     index vocabulary, ttf = total term frequency). The doc-side fetch is
     a pushed-down point lookup on the documents table re-analyzed
     through the index tokenizer (the ES realtime-termvectors path); the
-    corpus stats join is broadcast (vocabulary-sized). At scale the ttf
-    table is index metadata computed at build time, not a per-call
-    scan — here it shares the build's tokenize pass shape."""
+    corpus stats join is broadcast (vocabulary-sized); ttf IS index
+    metadata computed at build time (build_vocab carries df and ttf),
+    so no corpus data is touched at query time (corpus-aggregate
+    fallback kept for pre-ttf index layouts)."""
     idx = _get_index(spark, sf_dir)
     req = tokenize(_documents(spark, sf_dir)).where(
         F.col("doc_id").isin(TV_DOC_IDS))
     tf = (req.select("doc_id", F.explode("tokens").alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    if "ttf" in idx.vocab().columns:
+        # ttf is build-time index metadata (build_vocab, round 3) — the
+        # stats join touches NO corpus data at query time
+        vocab = idx.vocab().select("term", "df", "ttf")
+        return (tf.join(F.broadcast(vocab), "term")
+                .select("doc_id", "term", "tf", "df", "ttf"))
+    # pre-ttf index layouts: fall back to the corpus aggregate
     ttf = (tokenize(_documents(spark, sf_dir))
            .select(F.explode("tokens").alias("term"))
            .groupBy("term").agg(F.count("*").alias("ttf")))

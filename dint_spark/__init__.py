@@ -16,6 +16,6 @@ pandas UDFs; all dataflow is pyspark.sql DataFrames (no RDDs, no per-row
 Python UDFs).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"
 
 from dint_spark.bm25 import BM25  # noqa: F401

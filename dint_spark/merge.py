@@ -167,10 +167,11 @@ def merge_indexes(
     offset = ia.num_docs
 
     # ---- unified vocab: combined df, same (df desc, term asc) dense rank --
-    va = ia.vocab().select("term", "df")
-    vb = ib.vocab().select("term", "df")
+    va = ia.vocab().select("term", "df", "ttf")
+    vb = ib.vocab().select("term", "df", "ttf")
     combined = (
-        va.unionByName(vb).groupBy("term").agg(F.sum("df").alias("df"))
+        va.unionByName(vb).groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
     )
     vocab = add_dense_index(
         combined, [F.col("df").desc(), F.col("term").asc()], "term_id"

@@ -241,21 +241,27 @@ def append_docs(
     # ---- extended vocabulary (stable ids, updated dfs) --------------------
     old_vocab = sidx.vocab()
     next_id = int(old_vocab.agg(F.max("term_id")).collect()[0][0]) + 1
-    delta = (
-        docs_new.select(F.explode(F.array_distinct("tokens")).alias("term"))
-        .groupBy("term").agg(F.count("*").alias("df_new"))
+    tf_new = (
+        docs_new.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     )
+    delta = tf_new.groupBy("term").agg(
+        F.count("*").alias("df_new"), F.sum("c").alias("ttf_new"))
     merged = old_vocab.join(delta, "term", "full_outer")
     known = merged.where(F.col("term_id").isNotNull()).select(
         "term",
         (F.col("df") + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+        (F.col("ttf") + F.coalesce(F.col("ttf_new"), F.lit(0)))
+        .alias("ttf"),
         "term_id",
     )
     fresh = add_dense_index(
         merged.where(F.col("term_id").isNull())
-        .select("term", F.col("df_new").alias("df")),
+        .select("term", F.col("df_new").alias("df"),
+                F.col("ttf_new").alias("ttf")),
         [F.col("df").desc(), F.col("term").asc()], "term_id",
-    ).select("term", "df", (F.col("term_id") + next_id).alias("term_id"))
+    ).select("term", "df", "ttf",
+             (F.col("term_id") + next_id).alias("term_id"))
     vocab_file = f"vocab_v{k}.parquet"
     known.unionByName(fresh).write.mode("overwrite").parquet(
         os.path.join(sidx.dir, vocab_file))

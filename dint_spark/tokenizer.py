@@ -58,16 +58,22 @@ def assign_doc_ids(pages: DataFrame, key_col: str = "url") -> DataFrame:
 
 
 def build_vocab(doc_tokens: DataFrame) -> DataFrame:
-    """vocab(term, df, term_id): term_id dense by (df desc, term asc).
+    """vocab(term, df, ttf, term_id): term_id dense by (df desc, term
+    asc); ttf = total term frequency, carried as index metadata so
+    doc-level stats APIs (term_vectors) never re-scan the corpus.
 
-    One exploded aggregation (Catalyst partial+final hash agg) plus the
-    distributed rank — no driver materialization of the vocabulary.
+    Two map-side-combined hash aggregations (per-(doc, term) tf, then
+    per-term df/ttf — the same shuffle shape term_doc_freqs pays
+    anyway) plus the distributed rank — no driver materialization of
+    the vocabulary.
     """
-    df_counts = (
-        doc_tokens.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    tf = (
+        doc_tokens.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
     )
+    df_counts = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("c").alias("ttf"))
     return add_dense_index(df_counts, [F.col("df").desc(), F.col("term").asc()], "term_id")
 
 
