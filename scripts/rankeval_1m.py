@@ -91,11 +91,18 @@ TO '{docs_path}' (FORMAT parquet, PER_THREAD_OUTPUT true)
     req = tokenize(docs.where(F.col("doc_id").isin(tv_ids)))
     tf = (req.select("doc_id", F.explode("tokens").alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    ttf = (tokenize(docs).select(F.explode("tokens").alias("term"))
-           .groupBy("term").agg(F.count("*").alias("ttf")))
-    out = (tf.join(F.broadcast(idx.vocab().select("term", "df")), "term")
-           .join(F.broadcast(ttf), "term")
-           .select("doc_id", "term", "tf", "df", "ttf"))
+    if "ttf" in idx.vocab().columns:
+        # metadata path: df+ttf ride the vocabulary, no corpus scan
+        out = (tf.join(F.broadcast(idx.vocab()
+                                   .select("term", "df", "ttf")), "term")
+               .select("doc_id", "term", "tf", "df", "ttf"))
+    else:
+        ttf = (tokenize(docs).select(F.explode("tokens").alias("term"))
+               .groupBy("term").agg(F.count("*").alias("ttf")))
+        out = (tf.join(F.broadcast(idx.vocab().select("term", "df")),
+                       "term")
+               .join(F.broadcast(ttf), "term")
+               .select("doc_id", "term", "tf", "df", "ttf"))
     results["term_vectors_rows"] = out.count()
     results["term_vectors_s"] = round(time.time() - t0, 1)
 
