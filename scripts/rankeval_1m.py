@@ -128,7 +128,7 @@ TO '{docs_path}' (FORMAT parquet, PER_THREAD_OUTPUT true)
     for r in sk:
         est = hll_estimate(int(r["regs_zero"]), int(r["harmonic_x"]))
         errs[r["etype"]] = round(
-            abs(est - exact[r["event_type"]]) / exact[r["event_type"]], 4)
+            abs(est - exact[r["etype"]]) / exact[r["etype"]], 4)
     results["hll_rel_err_per_key"] = errs
     results["hll_max_rel_err"] = max(errs.values())
     ev.unpersist()
