@@ -1008,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": _entry_boolean_or,
         "boolean_and_not": _entry_boolean_and_not,
         "search_facets": _entry_search_facets,
+        "search_multi_terms": _entry_search_multi_terms,
         "search_facets_range": _entry_search_facets_range,
         "search_stats": _entry_search_stats,
         "search_extended_stats": _entry_search_extended_stats,
@@ -1644,6 +1645,26 @@ def _entry_search_facets(spark, sf_dir):
     fac = build_doc_facets(
         spark, _documents(spark, sf_dir), idx.num_docs, "lang")
     return run_facet_queries(spark, idx, FACET_SPECS, fac, mode="and")
+
+
+def _entry_search_multi_terms(spark, sf_dir):
+    """ES multi_terms aggregation: buckets keyed by the (source, lang)
+    tuple over the FULL match set. The composite key concatenates into
+    ONE facet column, so the whole op is the single-bincount facet
+    kernel over a composite ordinal array — no extra pass, no wider
+    shuffle; the output splits the key back into its fields."""
+    from dint_spark.facets import build_doc_facets, run_facet_queries
+
+    idx = _get_index(spark, sf_dir)
+    docs = _documents(spark, sf_dir).withColumn(
+        "src_lang", F.concat_ws("|", "source", "lang"))
+    fac = build_doc_facets(spark, docs, idx.num_docs, "src_lang")
+    res = run_facet_queries(spark, idx, FACET_SPECS, fac, mode="and")
+    return res.select(
+        "query_id",
+        F.substring_index("facet", "|", 1).alias("source"),
+        F.substring_index("facet", "|", -1).alias("lang"),
+        "n_docs")
 
 
 SORT_FIELD_K = 10
@@ -2517,6 +2538,19 @@ ORDER BY 1, 2
 )
 
 
+_MULTI_TERMS_SQL = (
+    _FACET_MATCHED
+    + """
+SELECT m.query_id, d.source, d.lang, count(*)::BIGINT AS n_docs
+FROM matched m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+)
+
+
 def _range_bucket_values() -> str:
     rows = [f"({i}, {lo}, {hi})"
             for i, (lo, hi) in enumerate(zip(RANGE_EDGES, RANGE_EDGES[1:]))]
@@ -3250,6 +3284,7 @@ FROM tf GROUP BY term ORDER BY term
         "boolean_or": _BOOL_OR_SQL,
         "boolean_and_not": _BOOL_ANDNOT_SQL,
         "search_facets": _FACETS_SQL,
+        "search_multi_terms": _MULTI_TERMS_SQL,
         "search_facets_range": _FACETS_RANGE_SQL,
         "search_rank_eval": _rank_eval_oracle(),
         "term_vectors": _term_vectors_sql(),

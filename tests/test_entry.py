@@ -50,6 +50,7 @@ SUBSET = [
     "search_query_string",
     "phrase_prefix",
     "search_sort_by_keyword",
+    "search_multi_terms",
     "search_multi_match",
     "search_analyzed",
     "search_reindexed",
