@@ -831,6 +831,12 @@ SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster": dedup_cluster,
+    # the crawl-scale feeder as its own gate entry: banding bounds
+    # candidate volume per doc, and the clusters must equal the exact
+    # shingle-blocked source (same oracle)
+    "dedup_cluster_minhash": (
+        lambda spark, sf_dir: dedup_cluster(spark, sf_dir,
+                                            pair_source="minhash")),
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -841,6 +847,7 @@ ORACLE_SQLS = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_cluster": DEDUP_CLUSTER_SQL,
+    "dedup_cluster_minhash": DEDUP_CLUSTER_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,

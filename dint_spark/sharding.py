@@ -499,6 +499,24 @@ class ShardedQueryServer:
         return _merge_topk(parts, k)
 
 
+def update_docs(spark: SparkSession, sidx: ShardedIndex,
+                doc_ids, new_pages: DataFrame,
+                config: IndexConfig | None = None) -> ShardedIndex:
+    """The ES update-by-id lifecycle over the shard fan-out: tombstone
+    the old versions, append the new ones as an epoch shard — exactly
+    what Lucene does for an update (delete + add; the internal docid
+    changes, the user-facing key — here the url — persists). Composes
+    the two already-verified primitives, so the update inherits their
+    contracts: tombstones are O(1)-per-shard masks, the append touches
+    only the batch, statistics follow the delete_docs/append_docs
+    staleness rules until compaction. ``doc_ids`` are the GLOBAL ids of
+    the superseded versions; ``new_pages`` carries the replacement
+    (url, text, ...) rows. Pinned against delete+append equivalence and
+    retrieval of the new content in tests/test_update.py."""
+    delete_docs_sharded(spark, sidx, doc_ids)
+    return append_docs(spark, sidx, new_pages, config=config)
+
+
 def delete_docs_sharded(spark: SparkSession, sidx: ShardedIndex,
                         doc_ids) -> int:
     """Tombstone GLOBAL doc ids across a sharded index.

@@ -36,6 +36,7 @@ SUBSET = [
     "text_fingerprint_winnow",
     "dedup_minhash_lsh",
     "dedup_cluster",
+    "dedup_cluster_minhash",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_filtered_topk",
