@@ -413,10 +413,13 @@ def parse_query_string(q: str, nfc: bool = False) -> dict:
             clause, tok = "must", tok[1:]
         elif tok.startswith("-"):
             clause, tok = "must_not", tok[1:]
-        w = _single_token(tok, nfc=nfc)
-        if w is None:
-            continue
-        out[clause] += [w] * (boost if clause != "must_not" else 1)
+        # a token with internal punctuation ('title:join', 'a"b')
+        # analyzes into its constituent terms, each under the token's
+        # clause and boost — the ES query_string analyze-the-text
+        # behavior (found by the hypothesis fuzz: _single_token raises
+        # on multi-token input by contract)
+        for w in tokenize_query(tok, nfc=nfc):
+            out[clause] += [w] * (boost if clause != "must_not" else 1)
     return out
 
 

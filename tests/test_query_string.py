@@ -49,3 +49,38 @@ def test_multiple_carets_use_last():
 def test_empty_query():
     assert parse_query_string("") == {"must": [], "should": [],
                                       "must_not": []}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+    whitelist_characters="+-^\"'~*:()[]{}"), max_size=60))
+def test_parser_never_crashes_and_is_well_formed(q):
+    """Any query-box input parses without raising; every produced word
+    is a normalized [0-9a-z]+ token and clause lists stay lists."""
+    p = parse_query_string(q)
+    assert set(p) == {"must", "should", "must_not"}
+    for clause in p.values():
+        for w in clause:
+            assert w and w == w.lower()
+            assert all(c.isalnum() for c in w)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["join", "+join", "-join", "hash^2", "+hash^3", "-slow^4", "^", "+",
+     "-", "a^b", "scan^0"]), max_size=8))
+def test_parser_multiset_law(tokens):
+    """Parsing token-by-token equals parsing the joined string — the
+    parser is a per-token fold with no cross-token state."""
+    whole = parse_query_string(" ".join(tokens))
+    folded = {"must": [], "should": [], "must_not": []}
+    for t in tokens:
+        part = parse_query_string(t)
+        for k in folded:
+            folded[k] += part[k]
+    assert whole == folded
