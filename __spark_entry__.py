@@ -1105,10 +1105,22 @@ def _entry_phrase_prefix(spark, sf_dir):
     StartsWith vocab scan and run as ONE positional phrase batch with
     per-(query, doc) occurrence sums (search.match_phrase_prefix).
     "fast s*" expands to 6 vocabulary terms — the multi-expansion
-    union path."""
-    from dint_spark.search import match_phrase_prefix
+    union path.
+
+    The Spark side caps expansion at max_terms=64 (the Lucene rewrite
+    bound); the oracle's LIKE prefix||'%' is uncapped, so this entry
+    ASSERTS every expansion stays under the cap — a vocabulary change
+    that would make entry and oracle diverge fails loudly here instead
+    of silently hash-mismatching (ADVICE r3)."""
+    from dint_spark.search import expand_prefix, match_phrase_prefix
 
     idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    for _, pfx in MPP_SPECS:
+        n_exp = len(expand_prefix(idx, pfx, max_terms=65))
+        assert n_exp <= 64, (
+            f"prefix {pfx!r} expands to >64 vocab terms — the uncapped "
+            "DuckDB oracle would diverge from the capped entry; "
+            "re-pick MPP_SPECS for this vocabulary")
     tid = idx.term_ids([w for w, _ in MPP_SPECS])
     specs = [[tid[w], pfx] for w, pfx in MPP_SPECS]
     return (match_phrase_prefix(spark, idx, specs)
@@ -2021,10 +2033,49 @@ def _entry_suggest_phrase(spark, sf_dir):
 
 
 def _phrase_suggest_sql() -> str:
-    from dint_spark.search import (PHRASE_EDIT_PENALTY_Q,
-                                   PHRASE_LM_SCALE)
+    """Oracle with NO libm call on the SQL side (ADVICE r3): the
+    quantized unigram logprob floor(ln(df/total_df)*2^24) is computed
+    ONCE here, at generation time, with the SAME Python ``math.log``
+    the entry's suggest_phrase uses, over (term, df) read from the gate
+    corpus (sf0.01, overridable via SPARK_GRAFT_ORACLE_SF_DIR) with the
+    pinned tokenizer — and injected as a qlp VALUES table. A last-ulp
+    libm difference between engines therefore cannot flip the floored
+    score. Candidate SELECTION stays in SQL (levenshtein<=1 join, the
+    DirectSpellChecker cap order — exact string/integer ops); the inner
+    join on the injected qlp means a candidate the generation-time
+    enumeration missed drops its rows and fails the gate loudly rather
+    than diverging silently."""
+    import math
+    import os
 
+    import duckdb
+
+    from dint_spark.search import (PHRASE_EDIT_PENALTY_Q,
+                                   PHRASE_LM_SCALE, _lev_le1)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    vocab_rows = duckdb.connect().execute(f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^0-9a-z]+'))
+                   AS term
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ),
+        tfd AS (SELECT doc_id, term FROM toks WHERE term <> ''
+                GROUP BY 1, 2)
+        SELECT term, count(*)::BIGINT AS df FROM tfd GROUP BY 1
+    """).fetchall()
+    total_df = sum(df for _, df in vocab_rows)
     words = sorted({w for p in SUGG_PHRASES for w in p.lower().split()})
+    qlp_rows = []
+    for w in words:
+        for term, df in vocab_rows:
+            if _lev_le1(term, w):
+                qlp_rows.append(
+                    f"('{w}', '{term}', "
+                    f"{math.floor(math.log(df / total_df) * PHRASE_LM_SCALE)})")
+    qlp_vals = ", ".join(qlp_rows) if qlp_rows else "('', '', 0)"
     wvals = ", ".join(f"('{w}')" for w in words)
     branches = []
     for qid, p in enumerate(SUGG_PHRASES):
@@ -2041,11 +2092,10 @@ def _phrase_suggest_sql() -> str:
             f"{score} AS score_q FROM {joins}")
     return (_PRELUDE + f"""
 , words(word) AS (VALUES {wvals}),
-tot AS (SELECT sum(df)::DOUBLE AS total_df FROM vocab),
+qlp(word, term, qlp) AS (VALUES {qlp_vals}),
 cand AS (
   SELECT w.word, v.term,
-         floor(ln(v.df::DOUBLE / t.total_df) * {PHRASE_LM_SCALE})::BIGINT
-           + (CASE WHEN v.term = w.word THEN 0 ELSE 1 END)
+         q.qlp + (CASE WHEN v.term = w.word THEN 0 ELSE 1 END)
              * {PHRASE_EDIT_PENALTY_Q} AS s,
          row_number() OVER (
            PARTITION BY w.word
@@ -2053,7 +2103,7 @@ cand AS (
                     v.df DESC, v.term ASC) AS rn
   FROM words w
   JOIN vocab v ON levenshtein(w.word, v.term) <= 1
-  CROSS JOIN tot t
+  JOIN qlp q ON q.word = w.word AND q.term = v.term
 ),
 phrases AS ({" UNION ALL ".join(branches)})
 SELECT query_id, rank, phrase, score_q FROM (

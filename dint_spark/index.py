@@ -695,6 +695,33 @@ def load_index(spark: SparkSession, out_dir: str) -> Index:
     return Index(spark, out_dir)
 
 
+def vocab_ensure_ttf(spark: SparkSession, vocab: DataFrame,
+                     postings_paths: list[str]) -> DataFrame:
+    """Return ``vocab`` with a guaranteed ``ttf`` column.
+
+    Indexes built before ttf became vocabulary metadata (pre-ttf
+    layouts — e.g. the committed 1M gate index) lack the column;
+    append/merge/update need it to extend the vocabulary. Recompute it
+    EXACTLY from the raw postings checkpoint(s): ttf(term) = sum of the
+    term's freqs arrays across segments and shards. One aggregate over
+    the term-partitioned parquet (array-sum inside the scan, then a
+    hash agg on term_id) — no corpus re-tokenize, no driver collect.
+    Terms absent from postings (df=0 can't occur, but guard anyway)
+    coalesce to 0.
+    """
+    if "ttf" in vocab.columns:
+        return vocab
+    from pyspark.sql import functions as F
+    p = spark.read.parquet(*postings_paths)
+    ttf = (p.select(
+               "term_id",
+               F.aggregate("freqs", F.lit(0).cast("long"),
+                           lambda a, x: a + x).alias("t"))
+           .groupBy("term_id").agg(F.sum("t").alias("ttf")))
+    return (vocab.join(ttf, "term_id", "left")
+            .withColumn("ttf", F.coalesce("ttf", F.lit(0).cast("long"))))
+
+
 def delete_docs(spark: SparkSession, index: Index, doc_ids) -> int:
     """Tombstone documents in a built index (the liveDocs pattern of
     production search engines — e.g. Lucene's deleted-docs bitmap).

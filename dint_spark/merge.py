@@ -167,8 +167,13 @@ def merge_indexes(
     offset = ia.num_docs
 
     # ---- unified vocab: combined df, same (df desc, term asc) dense rank --
-    va = ia.vocab().select("term", "df", "ttf")
-    vb = ib.vocab().select("term", "df", "ttf")
+    from dint_spark.index import vocab_ensure_ttf
+    va = vocab_ensure_ttf(
+        spark, ia.vocab(), [os.path.join(dir_a, "postings.parquet")]
+    ).select("term", "df", "ttf")
+    vb = vocab_ensure_ttf(
+        spark, ib.vocab(), [os.path.join(dir_b, "postings.parquet")]
+    ).select("term", "df", "ttf")
     combined = (
         va.unionByName(vb).groupBy("term").agg(
             F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))

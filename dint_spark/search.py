@@ -428,20 +428,39 @@ def search_query_string(spark: SparkSession, index, queries: list[str],
     """query_string retrieval: parse each string, resolve words to term
     ids through the index vocabulary (OOV words DROP from their clause —
     the search_text contract; an OOV must_not is a no-op in both
-    engines), and run the compound bool kernel. Returns the
-    run_bool_queries shape (query_id, rank, doc_id, score_q)."""
+    engines), and run the compound bool kernel. A query whose resolved
+    must+should is empty (all positive words OOV, or only must_not
+    clauses) yields ZERO hit rows for its query_id — the ES
+    query_string behavior — rather than a BoolSpec ValueError.
+    Returns the run_bool_queries shape (query_id, rank, doc_id,
+    score_q)."""
     from dint_spark.bool_query import BoolSpec, run_bool_queries
 
     parsed = [parse_query_string(q, nfc=nfc) for q in queries]
     words = sorted({w for p in parsed for c in p.values() for w in c})
     tid = lookup_term_ids(index, words)
-    specs = []
-    for p in parsed:
-        specs.append(BoolSpec(
-            must=[tid[w] for w in p["must"] if w in tid],
-            should=[tid[w] for w in p["should"] if w in tid],
-            must_not=[tid[w] for w in p["must_not"] if w in tid]))
-    return run_bool_queries(spark, index, specs, k=k, dtype="float64")
+    kept: list[tuple[int, BoolSpec]] = []
+    for qid, p in enumerate(parsed):
+        must = [tid[w] for w in p["must"] if w in tid]
+        should = [tid[w] for w in p["should"] if w in tid]
+        if not must and not should:
+            continue  # unscoreable query: no rows, not a crash
+        kept.append((qid, BoolSpec(
+            must=must, should=should,
+            must_not=[tid[w] for w in p["must_not"] if w in tid])))
+    if not kept:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score_q long")
+    res = run_bool_queries(spark, index, [s for _, s in kept], k=k,
+                           dtype="float64")
+    if len(kept) == len(parsed):
+        return res
+    remap = spark.createDataFrame(
+        [(i, qid) for i, (qid, _) in enumerate(kept)],
+        "local_id long, query_id long")
+    return (res.withColumnRenamed("query_id", "local_id")
+            .join(F.broadcast(remap), "local_id")
+            .select("query_id", "rank", "doc_id", "score_q"))
 
 
 PHRASE_LM_SCALE = 1 << 24   # unigram logprob quantum (ln * scale, floored)

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dint_spark.ids import add_dense_index
-from dint_spark.index import Index, IndexConfig, build_index, load_index
+from dint_spark.index import (Index, IndexConfig, build_index, load_index,
+                              vocab_ensure_ttf)
 from dint_spark.queries import run_queries
 from dint_spark.tokenizer import assign_doc_ids, build_vocab, doclens, tokenize
 
@@ -239,7 +240,11 @@ def append_docs(
         .parquet(os.path.join(sidx.dir, f"doclens_epoch{k}.parquet"))
 
     # ---- extended vocabulary (stable ids, updated dfs) --------------------
-    old_vocab = sidx.vocab()
+    # pre-ttf vocab layouts (indexes built before ttf was vocabulary
+    # metadata) backfill ttf exactly from the shards' postings checkpoints
+    old_vocab = vocab_ensure_ttf(
+        spark, sidx.vocab(),
+        [os.path.join(sh.dir, "postings.parquet") for sh in sidx.shards])
     next_id = int(old_vocab.agg(F.max("term_id")).collect()[0][0]) + 1
     tf_new = (
         docs_new.select("doc_id", F.explode("tokens").alias("term"))

@@ -314,3 +314,38 @@ def test_append_empty_is_noop(appended):
     out = append_docs(spark, sidx, empty)
     assert out is sidx
     assert len(sidx.shards) == 2
+
+
+def test_append_to_pre_ttf_index(spark, tmp_path):
+    """ADVICE r3: append_docs must accept an index whose vocabulary
+    predates ttf metadata (pre-ttf layouts exist on disk, e.g. the 1M
+    gate index). Simulate one by stripping the ttf column from the
+    sharded vocab parquet; the backfill (index.vocab_ensure_ttf)
+    recomputes ttf exactly from the postings checkpoint, so the
+    post-append vocabulary and top-k match a fresh full build."""
+    full, old, new = _split_pages(spark, 160, 90, seed=31, grow="new")
+    cfg = IndexConfig(num_buckets=2, input_tag="prettf")
+    d_app, d_full = str(tmp_path / "app"), str(tmp_path / "full")
+    sidx = build_sharded_index(spark, old, d_app, num_shards=1, config=cfg)
+    # strip ttf: rewrite the manifest-pointed vocab file without it
+    import os
+    vf = os.path.join(d_app, sidx.manifest.get("vocab_file",
+                                               "vocab.parquet"))
+    stripped = spark.read.parquet(vf).drop("ttf").toPandas()
+    shutil.rmtree(vf, ignore_errors=True)
+    spark.createDataFrame(stripped).write.mode("overwrite").parquet(vf)
+    from dint_spark.sharding import ShardedIndex
+    sidx = ShardedIndex(spark, d_app)
+    assert "ttf" not in sidx.vocab().columns
+    sidx = append_docs(spark, sidx, new)
+    idx_full = build_index(spark, full, d_full, cfg)
+    fv = idx_full.vocab().toPandas()
+    av = sidx.vocab().toPandas()
+    m = fv.merge(av, on="term", suffixes=("_full", "_app"))
+    assert len(m) == len(fv) == len(av)
+    assert (m["df_full"] == m["df_app"]).all()
+    assert (m["ttf_full"] == m["ttf_app"]).all()
+    tq = _term_queries(idx_full)
+    r1 = _pdf(run_queries(spark, idx_full, _resolve(idx_full, tq), k=10))
+    r2 = _pdf(run_queries_sharded(spark, sidx, _resolve(sidx, tq), k=10))
+    assert r1.equals(r2)

@@ -68,3 +68,33 @@ def test_merge_indexes_equals_full_build(spark, tmp_path):
     assert np.array_equal(
         rm["score"].to_numpy(np.float32), rf["score"].to_numpy(np.float32)
     )
+
+
+def test_merge_pre_ttf_index(spark, tmp_path):
+    """ADVICE r3: merge_indexes must accept indexes whose vocabularies
+    predate ttf metadata — the backfill recomputes ttf exactly from the
+    postings checkpoint, so the merged vocabulary matches a merge of
+    two ttf-carrying builds."""
+    import shutil
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    half_a = pages_from_documents(docs.where("doc_id < 25"))
+    half_b = pages_from_documents(docs.where("doc_id >= 25"))
+    cfg = lambda tag: IndexConfig(num_buckets=2, input_tag=tag)
+    build_index(spark, half_a, str(tmp_path / "a"), cfg("a"))
+    build_index(spark, half_b, str(tmp_path / "b"), cfg("b"))
+    m_ref = merge_indexes(spark, str(tmp_path / "a"), str(tmp_path / "b"),
+                          str(tmp_path / "m_ref"), cfg("mref"))
+    ref_vocab = m_ref.vocab().toPandas().sort_values("term_id")
+
+    # strip ttf from BOTH inputs, re-merge through the backfill path
+    for d in ("a", "b"):
+        vf = str(tmp_path / d / "vocab.parquet")
+        stripped = spark.read.parquet(vf).drop("ttf").toPandas()
+        shutil.rmtree(vf)
+        spark.createDataFrame(stripped).write.parquet(vf)
+    m2 = merge_indexes(spark, str(tmp_path / "a"), str(tmp_path / "b"),
+                       str(tmp_path / "m2"), cfg("m2"))
+    got = m2.vocab().toPandas().sort_values("term_id")
+    assert got.reset_index(drop=True).equals(
+        ref_vocab.reset_index(drop=True))

@@ -286,3 +286,34 @@ def test_suggest_complete_matches_bruteforce(spark, sidx):
             .sort_values(["df", "term"], ascending=[False, True])
             .head(4).itertuples())]
         assert sorted(got.get(qid, [])) == want, p
+
+
+def test_query_string_oov_and_pure_negative_yield_no_rows(spark, sidx):
+    """ADVICE r3: a query whose positive words are all OOV (typo-only)
+    or that contains only must_not clauses must yield ZERO rows for its
+    query_id — the ES query_string contract — not a BoolSpec
+    ValueError; and surviving queries keep their ORIGINAL query_ids
+    after the unscoreable ones drop out."""
+    from dint_spark.search import search_query_string
+
+    vocab = sidx.vocab().toPandas().sort_values("df", ascending=False)
+    w0, w1 = vocab.term.iloc[0], vocab.term.iloc[1]
+    queries = ["zzzznotaword qqqqnotaword",   # all-OOV -> no rows
+               f"-{w0}",                       # must_not only -> no rows
+               f"{w0} {w1}",                   # scoreable, qid 2
+               "",                             # empty -> no rows
+               f"+{w0} -zzzznotaword"]         # scoreable, qid 4
+    res = search_query_string(spark, sidx, queries, k=5).toPandas()
+    assert set(res.query_id.unique()) == {2, 4}
+    assert (res[res.query_id == 2].sort_values("rank")["rank"]
+            .tolist() == list(range(1, len(res[res.query_id == 2]) + 1)))
+    # qid 4 equals the same query without the OOV must_not
+    alone = search_query_string(spark, sidx, [f"+{w0}"], k=5).toPandas()
+    got4 = (res[res.query_id == 4].drop(columns="query_id")
+            .reset_index(drop=True))
+    want = alone.drop(columns="query_id").reset_index(drop=True)
+    assert got4.equals(want)
+    # the all-unscoreable batch returns an EMPTY frame with the shape
+    empty = search_query_string(spark, sidx, ["zzzznotaword"], k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "rank", "doc_id", "score_q"]
