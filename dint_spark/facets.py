@@ -44,48 +44,81 @@ _FACET_CHUNK = 1 << 19  # docs per aggregated chunk row (64 KiB-1 MiB each)
 
 class DocFacets:
     """Per-doc facet ordinals: ``ords[doc_id] -> ordinal`` (u32), plus the
-    ordinal->value dimension rows. Docs with no facet value carry ordinal
-    ``num_values`` (a reserved "missing" slot that is never emitted)."""
+    ordinal->value dimension as a PARQUET SIDECAR — the driver never
+    holds the value list. Docs with no facet value carry ordinal
+    ``num_values`` (a reserved "missing" slot that is never emitted).
 
-    __slots__ = ("ords", "values")
+    Ordinal domain is u32: ``num_values`` must stay below 2^32 - 1 (one
+    slot reserved for "missing"). That bounds a single facet dimension
+    at ~4.29e9 distinct values — enough for every registered domain on
+    the web (~10^8); a facet with more distinct values than that is a
+    doc-unique field, not a facet, and build_doc_facets raises."""
 
-    def __init__(self, ords: np.ndarray, values: list[str]):
+    __slots__ = ("ords", "num_values", "dim_path", "spark")
+
+    def __init__(self, ords: np.ndarray, num_values: int, dim_path: str,
+                 spark: SparkSession):
         self.ords = np.asarray(ords, dtype=np.uint32)
-        self.values = list(values)
+        self.num_values = int(num_values)
+        self.dim_path = dim_path
+        self.spark = spark
+
+    def dim(self) -> DataFrame:
+        """The ordinal dimension (facet_ord long, facet string) — a
+        parquet scan, joinable at any cardinality."""
+        return self.spark.read.parquet(self.dim_path)
 
     @property
-    def num_values(self) -> int:
-        return len(self.values)
+    def values(self) -> list[str]:
+        """Driver-side value list, ordinal ASC — TEST/DEBUG ONLY (this
+        collects the dimension; the engine paths never call it)."""
+        return [r["facet"] for r in
+                self.dim().orderBy("facet_ord").collect()]
 
 
 def build_doc_facets(spark: SparkSession, docs: DataFrame, num_docs: int,
-                     facet_col: str, id_col: str = "doc_id") -> DocFacets:
+                     facet_col: str, id_col: str = "doc_id",
+                     dim_path: str | None = None) -> DocFacets:
     """Distributed (doc_id, facet_value) -> DocFacets.
 
-    Ordinals are assigned deterministically by facet value ASC (a global
-    sort of the DISTINCT values — facet cardinality, not corpus-sized).
-    Each executor packs its 2^19-doc chunk of the ordinal array
-    (groupBy chunk -> u32 tobytes); the driver assembles num_docs*4 bytes
-    of ordinals and never sees per-doc rows — selectivity- and
-    cardinality-independent, the build_doc_filter collect contract."""
-    vals = [r[0] for r in (docs.select(F.col(facet_col).cast("string"))
-                           .where(F.col(facet_col).isNotNull())
-                           .distinct().orderBy(facet_col).collect())]
-    missing = len(vals)
-    dim = spark.createDataFrame(
-        [(v, i) for i, v in enumerate(vals)],
-        schema=T.StructType([
-            T.StructField("fv", T.StringType(), False),
-            T.StructField("o", T.LongType(), False),
-        ]),
-    )
+    Ordinals are assigned deterministically by facet value ASC via a
+    DISTRIBUTED dense rank over the distinct values (ids.add_dense_index
+    — range-partitioned sort, no driver collect, no single-partition
+    window), persisted as a parquet dim sidecar (facet_ord, facet) at
+    ``dim_path`` (a fresh temp dir when omitted). The per-doc ordinal
+    join runs against that sidecar as a plain hash join — AQE broadcasts
+    it when it is dimension-small, and a 10^8-value domain facet stays a
+    shuffle join instead of an OOM. Each executor then packs its
+    2^19-doc chunk of the ordinal array (groupBy chunk -> u32 tobytes);
+    the driver assembles num_docs*4 bytes of ordinals and ONLY ever
+    collects those packed chunk rows — never per-doc rows, never the
+    value list. Raises when the facet cardinality exceeds the u32
+    ordinal ceiling (2^32 - 1 values + the missing slot)."""
+    from dint_spark.ids import add_dense_index
+
+    if dim_path is None:
+        import tempfile
+        dim_path = tempfile.mkdtemp(prefix="dint_facet_dim_")
+    distinct = (docs.select(F.col(facet_col).cast("string").alias("facet"))
+                .where(F.col("facet").isNotNull()).distinct())
+    (add_dense_index(distinct, [F.col("facet").asc()], "facet_ord")
+     .select("facet_ord", "facet")
+     .write.mode("overwrite").parquet(dim_path))
+    dim = spark.read.parquet(dim_path)
+    missing = dim.count()
+    if missing >= (1 << 32) - 1:
+        raise ValueError(
+            f"facet {facet_col!r} has {missing} distinct values — beyond "
+            "the u32 ordinal ceiling (2^32-1 incl. the missing slot); "
+            "this is a doc-unique field, not a facet")
     chunk_rows = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.col(facet_col).cast("string").alias("fv"))
-        # broadcast dim join, not a literal map: facet cardinality is
-        # dimension-sized (langs/domains), never corpus-sized
-        .join(F.broadcast(dim), "fv", "left")
-        .select("doc_id", F.coalesce("o", F.lit(missing)).alias("o"))
+                    F.col(facet_col).cast("string").alias("facet"))
+        # parquet-dim hash join, not a literal map: AQE broadcasts the
+        # dimension-small case; a web-scale domain facet shuffle-joins
+        .join(dim, "facet", "left")
+        .select("doc_id",
+                F.coalesce("facet_ord", F.lit(missing)).alias("o"))
         .withColumn("chunk", F.shiftright("doc_id", 19))
         .groupBy("chunk")
     )
@@ -114,7 +147,7 @@ def build_doc_facets(spark: SparkSession, docs: DataFrame, num_docs: int,
         hi = min(lo + _FACET_CHUNK, num_docs)
         ords[lo:hi] = np.frombuffer(
             r["ords"], dtype=np.uint32)[: hi - lo]
-    return DocFacets(ords, vals)
+    return DocFacets(ords, missing, dim_path, spark)
 
 
 FACET_SCHEMA = T.StructType([
@@ -187,14 +220,9 @@ def run_facet_queries(
         })
 
     out = joined.groupBy("query_id").applyInPandas(run_one, FACET_SCHEMA)
-    dim = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(facets.values)],
-        schema=T.StructType([
-            T.StructField("facet_ord", T.LongType(), False),
-            T.StructField("facet", T.StringType(), False),
-        ]),
-    )
-    return (out.join(F.broadcast(dim), "facet_ord")
+    # parquet-sidecar dim join (never a driver value list); AQE
+    # broadcasts the dimension-small case
+    return (out.join(facets.dim(), "facet_ord")
             .select("query_id", "facet", "n_docs"))
 
 
@@ -344,16 +372,10 @@ def run_collapsed_queries(
         })
 
     out = joined.groupBy("query_id").applyInPandas(run_one, COLLAPSE_SCHEMA)
-    dim = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(facets.values)],
-        schema=T.StructType([
-            T.StructField("facet_ord", T.LongType(), False),
-            T.StructField("facet", T.StringType(), False),
-        ]),
-    )
-    # left join: the missing-value group (ordinal == num_values) has no
-    # dimension row and surfaces as facet NULL, the ES null group
-    return (out.join(F.broadcast(dim), "facet_ord", "left")
+    # left join on the parquet-sidecar dim: the missing-value group
+    # (ordinal == num_values) has no dimension row and surfaces as facet
+    # NULL, the ES null group
+    return (out.join(facets.dim(), "facet_ord", "left")
             .select("query_id", "rank", "facet", "doc_id", "score_q"))
 
 
@@ -461,14 +483,7 @@ def run_grouped_topk(
         })
 
     out = joined.groupBy("query_id").applyInPandas(run_one, GROUPED_SCHEMA)
-    dim = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(facets.values)],
-        schema=T.StructType([
-            T.StructField("facet_ord", T.LongType(), False),
-            T.StructField("facet", T.StringType(), False),
-        ]),
-    )
-    return (out.join(F.broadcast(dim), "facet_ord", "left")
+    return (out.join(facets.dim(), "facet_ord", "left")
             .select("query_id", "rank", "group_rank", "facet", "doc_id",
                     "score_q"))
 
@@ -677,13 +692,9 @@ def run_keyword_sorted_queries(
     res = run_sorted_queries(spark, index, queries, ords, k=k,
                              mode=mode, descending=descending,
                              doc_filter=doc_filter)
-    dim = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(facets.values)],
-        schema=T.StructType([
-            T.StructField("val", T.LongType(), False),
-            T.StructField("keyword", T.StringType(), False),
-        ]))
-    return (res.join(F.broadcast(dim), "val")
+    dim = facets.dim().select(F.col("facet_ord").alias("val"),
+                              F.col("facet").alias("keyword"))
+    return (res.join(dim, "val")
             .select("query_id", "rank", "doc_id", "keyword"))
 
 

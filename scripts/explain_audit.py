@@ -534,6 +534,35 @@ def main() -> None:
         "query. Query tables broadcast against the postings decode.",
     ))
 
+    # 23. facet build + count: the ordinal dimension must be a PARQUET
+    # sidecar joined into both the per-doc ordinal assignment and the
+    # result decoration — never a driver-collected value list
+    # materialized as a LocalTableScan (the round-3 weak item: a
+    # 10^8-domain facet would OOM the driver as a literal). The per-doc
+    # join may be broadcast (AQE, dimension-small here) but its build
+    # side must be the parquet scan.
+    from dint_spark.facets import build_doc_facets, run_facet_queries
+
+    fac = build_doc_facets(spark, docs, idx.num_docs, "lang")
+    docs_side = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("lang").cast("string").alias("facet"))
+        .join(fac.dim(), "facet", "left"))
+    p23a = plan_of(docs_side)
+    p23b = plan_of(run_facet_queries(spark, idx, [[0, 3], [1]], fac))
+    ok23 = ("Scan parquet" in p23a and "LocalTableScan" not in p23a
+            and "Scan parquet" in p23b and "LocalTableScan" not in p23b)
+    sections.append((
+        "facets: ordinal dim is a parquet sidecar, no driver value list",
+        _join_shapes(p23a) + "\n---\n" + _join_shapes(p23b),
+        ok23,
+        "ordinals are assigned by a distributed dense rank persisted as "
+        "a parquet dim; both the per-doc ordinal join and the "
+        "facet_ord->value decoration scan that sidecar (no "
+        "LocalTableScan of collected values), so facet cardinality "
+        "never lands on the driver — only the packed u32 chunk rows do.",
+    ))
+
     md = ["# PLANS — physical-plan audit (scale-critical properties)\n"]
     for title, plan, ok, why in sections:
         md.append(f"## {title} — {'PASS' if ok else 'FAIL'}\n\n{why}\n")
