@@ -103,20 +103,81 @@ def expand_prefix(index, prefix: str, max_terms: int = 64,
     return sorted(int(r["term_id"]) for r in rows)
 
 
+def regex_literal_prefix(pattern: str) -> str:
+    """The longest literal prefix P guaranteed by an (implicitly
+    anchored) regex: every string that fullmatches ``pattern`` starts
+    with P. Conservative by construction — any construct this scanner
+    can't reason about stops accumulation (or, for a top-level ``|``,
+    invalidates the prefix entirely, since an alternation's branches
+    need not share it); the caller always re-applies the FULL pattern,
+    so a shorter-than-optimal prefix only costs scan selectivity, never
+    correctness. This is the pushdown half of what Lucene gets by
+    intersecting the compiled automaton with the term FST: the anchored
+    literal run before the first operator."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    stopped = False   # no longer accumulating, still scanning for '|'
+    depth = 0         # group nesting: '|' inside a group is harmless
+    in_class = False  # inside [...] every metachar is literal
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if not stopped:
+                if nxt and not nxt.isalnum():
+                    out.append(nxt)   # escaped metachar: literal
+                else:
+                    stopped = True    # class shorthand (\d \w) / backref
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class, stopped = True, True
+        elif c == "|" and depth == 0:
+            return ""  # top-level alternation: no common prefix
+        elif c == "(":
+            depth, stopped = depth + 1, True
+        elif c == ")":
+            depth, stopped = max(0, depth - 1), True
+        elif not stopped:
+            if c in "*?{":
+                if out:        # quantifier makes the PREVIOUS char
+                    out.pop()  # optional/repeated — drop it
+                stopped = True
+            elif c in "+.^$":
+                # '+' keeps its char (>=1 occurrence); the rest stop
+                stopped = True
+            else:
+                out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def expand_regex(index, pattern: str, max_terms: int = 64) -> list[int]:
     """ES ``regexp`` query expansion: the vocabulary terms whose ENTIRE
     text matches ``pattern`` (ES anchors regexps implicitly), capped to
     the top ``max_terms`` by (df DESC, term ASC) — the same Lucene
     rewrite bound as expand_prefix.
 
-    Scale shape: a general regex cannot push to the parquet scan the way
-    StartsWith does, so this is a distributed full-vocabulary filter —
-    vocabulary-sized work (the fuzzy fallback's cost class), never
-    corpus-sized, and the cap still runs as a distributed TakeOrdered.
-    Extracting an anchored literal prefix from the pattern to restore
-    scan pushdown is the known optimization seam for 10^8-term vocabs."""
-    rows = (index.vocab()
-            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+    Scale shape: the pattern's anchored literal prefix
+    (regex_literal_prefix) pushes to the vocab.parquet scan as a
+    StartsWith filter — the expand_prefix machinery, so a prefixed
+    pattern over a 10^8-term web vocabulary reads only the matching
+    row groups — and the FULL pattern post-filters the survivors
+    (correct for any prefix, including a conservative short one).
+    Patterns with no extractable prefix (top-level alternation, leading
+    class/quantifier) keep the documented distributed full-vocabulary
+    filter — vocabulary-sized work, never corpus-sized — and the cap
+    always runs as a distributed TakeOrdered."""
+    v = index.vocab()
+    pre = regex_literal_prefix(pattern)
+    if pre:
+        v = v.filter(F.col("term").startswith(pre))
+    rows = (v.filter(F.col("term").rlike(f"^(?:{pattern})$"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_terms)
             .select("term_id").collect())

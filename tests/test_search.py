@@ -317,3 +317,74 @@ def test_query_string_oov_and_pure_negative_yield_no_rows(spark, sidx):
     empty = search_query_string(spark, sidx, ["zzzznotaword"], k=5)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "rank", "doc_id", "score_q"]
+
+
+def test_regex_literal_prefix_extraction():
+    """Pin the pushdown-prefix scanner (VERDICT r3 item 3): curated
+    pattern -> prefix pairs, including every fallback class."""
+    from dint_spark.search import regex_literal_prefix as rlp
+
+    assert rlp("merge") == "merge"
+    assert rlp("join.*") == "join"
+    assert rlp("jo+in") == "jo"          # + keeps its char
+    assert rlp("ab*c") == "a"            # * drops its char
+    assert rlp("ab?c") == "a"
+    assert rlp("a{2,3}b") == ""          # conservative: { drops its char
+                                         # ({0,n} would make it optional)
+    assert rlp("ab(c|d)e") == "ab"       # group '|' is harmless
+    assert rlp("ab|cd") == ""            # top-level alternation
+    assert rlp("(ab)cd") == ""           # leading group: conservative
+    assert rlp("[jk]oin") == ""          # leading class
+    assert rlp("s\\d+") == "s"           # class shorthand stops
+    assert rlp("ab\\.c") == "ab.c"       # escaped metachar is literal
+    assert rlp("ab\\|cd") == "ab|cd"     # escaped pipe is literal
+    assert rlp("^abc") == ""             # anchor: conservative stop
+    assert rlp("abc$") == "abc"
+    assert rlp("w0.1") == "w0"
+    assert rlp("") == ""
+
+
+def test_regex_literal_prefix_law():
+    """Safety law: every string fullmatching the pattern starts with
+    the extracted prefix (randomized over pattern templates whose
+    matches we can enumerate)."""
+    import re
+
+    from dint_spark.search import regex_literal_prefix as rlp
+
+    cases = [
+        ("jo+in", ["join", "jooin", "joooin"]),
+        ("ab*c", ["ac", "abc", "abbc"]),
+        ("merge[sd]", ["merges", "merged"]),
+        ("w00(1|2)x?", ["w001", "w002", "w001x", "w002x"]),
+        ("s.{2}n", ["scan", "sign", "soon"]),
+        ("a\\d{2}", ["a12", "a00"]),
+    ]
+    for pat, matches in cases:
+        pre = rlp(pat)
+        for s in matches:
+            assert re.fullmatch(pat, s), (pat, s)
+            assert s.startswith(pre), (pat, pre, s)
+
+
+def test_search_regexp_prefix_pushdown(spark, sidx):
+    """The prefixed-pattern path must (a) push a StartsWith filter to
+    the vocab parquet scan and (b) return exactly what the full-vocab
+    fallback returns for the same pattern."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from dint_spark.search import expand_regex, regex_literal_prefix
+
+    pat = "w00.*1"
+    assert regex_literal_prefix(pat) == "w00"
+    got = expand_regex(sidx, pat, max_terms=1000)
+    vocab = sidx.vocab().toPandas()
+    want = sorted(int(t) for t, term in zip(vocab.term_id, vocab.term)
+                  if re.fullmatch(pat, term))
+    assert got == want and got  # non-trivial match set
+    plan = (sidx.vocab().filter(F.col("term").startswith("w00"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "StartsWith" in plan and "PushedFilters" in plan
+
