@@ -129,32 +129,38 @@ def main() -> None:
     con.sql(f"SET threads TO {min(16, os.cpu_count() or 8)}")
     con.sql(f"CREATE VIEW pages AS SELECT * FROM '{PAGES}/*.parquet'")
     # identical tokenize + dense ids (rank over url) + vocab rank as the
-    # engine (the sf-gate _PRELUDE, with documents -> pages+url-rank ids)
-    prelude = """
-WITH ids AS (
-  SELECT row_number() OVER (ORDER BY url) - 1 AS doc_id, text FROM pages
-),
-toks AS (
+    # engine (the sf-gate _PRELUDE, with documents -> pages+url-rank ids).
+    # MATERIALIZED ONCE as temp tables: with 10 value checks sharing them
+    # the corpus tokenize would otherwise re-run per check (it dominated
+    # the round-3 gate wall time 3x over; now it runs once).
+    t_step = time.time()
+    con.sql("""
+CREATE TABLE ids AS
+SELECT row_number() OVER (ORDER BY url) - 1 AS doc_id, text FROM pages""")
+    con.sql("""
+CREATE TABLE tf AS
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
   SELECT doc_id,
          unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS term
   FROM ids
-),
-toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
-dl AS (
-  SELECT d.doc_id, count(t.term)::BIGINT AS len
-  FROM ids d LEFT JOIN toks2 t ON d.doc_id = t.doc_id GROUP BY 1
-),
-stats AS (
-  SELECT (SELECT count(*) FROM ids)::BIGINT AS n_docs, avg(len) AS avg_len
-  FROM dl
-),
-vocab AS (
-  SELECT term, count(*)::BIGINT AS df,
-         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
-  FROM tf GROUP BY term
-)
-"""
+) WHERE term <> '' GROUP BY 1, 2""")
+    con.sql("""
+CREATE TABLE dl AS
+SELECT d.doc_id, coalesce(sum(t.tf), 0)::BIGINT AS len
+FROM ids d LEFT JOIN tf t ON d.doc_id = t.doc_id GROUP BY 1""")
+    con.sql("""
+CREATE TABLE stats AS
+SELECT (SELECT count(*) FROM ids)::BIGINT AS n_docs,
+       (SELECT avg(len) FROM dl) AS avg_len""")
+    con.sql("""
+CREATE TABLE vocab AS
+SELECT term, count(*)::BIGINT AS df,
+       row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+FROM tf GROUP BY term""")
+    results["oracle_materialize_s"] = round(time.time() - t_step, 1)
+    # the check SQL below predates the materialization and starts either
+    # with "SELECT" or with ", cte AS (...)" expecting a WITH prefix
+    prelude = "WITH _one AS (SELECT 1)\n"
 
     def check(name: str, engine: dict, oracle: dict) -> None:
         ok = engine == oracle
@@ -250,6 +256,314 @@ ORDER BY query_id, rank
         "n_queries": N_QUERIES, "sec": round(time.time() - t_step, 1)}
     print(("PASS " if ok else "FAIL ") + "bm25_bmw_vec_1m",
           results["bm25_bmw_vec_1m"], flush=True)
+
+    # ======================================================================
+    # round-3 search surface at 1M (round-3 VERDICT item 1): the entries
+    # below had value evidence only at sf0.01; these re-verify them
+    # row-for-row (or by exact order-free checksum where the result set
+    # is corpus-sized) on the SAME 1M corpus as the core checks.
+    # ======================================================================
+
+    def check_df(name: str, eng_pdf, ora_pdf, extra: dict | None = None):
+        ok = (list(eng_pdf.columns) == list(ora_pdf.columns)
+              and len(eng_pdf) == len(ora_pdf)
+              and bool((eng_pdf.values == ora_pdf.values).all()))
+        results[name] = {"ok": ok, "rows": [len(eng_pdf), len(ora_pdf)],
+                         "sec": round(time.time() - t_step, 1),
+                         **(extra or {})}
+        print(("PASS " if ok else "FAIL ") + name, results[name],
+              flush=True)
+
+    # one (doc_id, text) parquet with the ENGINE's url-rank ids, readable
+    # by Spark — the facet/doc-value source both sides derive from
+    IDSP = f"/tmp/gate1m_ids_{num_docs}.parquet"
+    if not os.path.exists(IDSP):
+        con.sql(f"COPY (SELECT doc_id, text FROM ids) TO '{IDSP}' "
+                "(FORMAT parquet, PER_THREAD_OUTPUT true)")
+    docs_sp = spark.read.parquet(IDSP)
+
+    # head/mid/tail AND workload (the serp_1m spec shape): term 0
+    # matches ~40% of the corpus, so the facet/sort/collapse kernels
+    # score or bucket ~400k docs per query — what sf0.01 can't exercise
+    vdf = vocab_pdf.sort_values("term_id").reset_index(drop=True)
+    mid = int(vdf.iloc[(vdf["df"] - 1000).abs().idxmin()]["term_id"])
+    tail = int(vdf.iloc[(vdf["df"] - 50).abs().idxmin()]["term_id"])
+    fspecs = [[0], [1, 5], [mid, 2], [tail], [0, 3], [7, 9]]
+    fq_vals = ", ".join(f"({qi}, {t})" for qi, ts in enumerate(fspecs)
+                        for t in ts)
+    matched_cte = f"""
+, fq(query_id, term_id) AS (VALUES {fq_vals}),
+matched AS (
+  SELECT fq.query_id, tf.doc_id
+  FROM fq
+  JOIN vocab v ON v.term_id = fq.term_id
+  JOIN tf ON tf.term = v.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT count(*) FROM fq q2
+                     WHERE q2.query_id = fq.query_id)
+)
+"""
+
+    # -- phrase_match at 1M (positional index; exact checksum) --------------
+    t_step = time.time()
+    POS_IDX = f"/tmp/gate1m_pos_idx_{num_docs}"
+    if not os.path.exists(os.path.join(POS_IDX, "manifest.json")):
+        shutil.rmtree(POS_IDX, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, pages, POS_IDX,
+                    IndexConfig(num_buckets=8, positions=True,
+                                input_tag="gate1m-pos"))
+        results["pos_build_s"] = round(time.time() - t0, 1)
+    from dint_spark.queries import run_phrase_queries
+    pos_idx = load_index(spark, POS_IDX)
+    # phrases drawn FROM corpus text (guaranteed occurrences, incl. a
+    # mid-doc trigram) + the two head terms as a bigram (common-word
+    # phrase: huge candidate sets, tiny true-match set)
+    import re as _re
+    phrases: list[list[str]] = []
+    for _, txt in con.sql(
+            "SELECT doc_id, text FROM ids "
+            "WHERE doc_id IN (0, 313131, 717171) ORDER BY doc_id"
+    ).fetchall():
+        toks = [t for t in _re.split("[^0-9a-z]+", txt.lower()) if t]
+        if len(toks) >= 2:
+            phrases.append(toks[0:2])
+        if len(toks) >= 5:
+            phrases.append(toks[2:5])
+    phrases.append([r[0] for r in con.sql(
+        "SELECT term FROM vocab ORDER BY df DESC, term LIMIT 2"
+    ).fetchall()])
+    seen: set = set()
+    phrases = [p for p in phrases
+               if tuple(p) not in seen and not seen.add(tuple(p))]
+    tidmap = pos_idx.term_ids(sorted({w for p in phrases for w in p}))
+    pspecs = [[tidmap[w] for w in p] for p in phrases]
+    eng_ph = _spark_cksum(
+        run_phrase_queries(spark, pos_idx, pspecs),
+        "query_id", "doc_id", "phrase_tf")
+    pt_vals = ", ".join(f"({pid}, {off}, '{w}')"
+                        for pid, p in enumerate(phrases)
+                        for off, w in enumerate(p))
+    ora_ph_row = con.sql(f"""
+WITH pt(phrase_id, off, term) AS (VALUES {pt_vals}),
+toks_ne AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(text), '[^0-9a-z]+') AS l
+          FROM ids)
+  ) WHERE term <> ''
+),
+toks_pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM toks_ne
+),
+ppos AS (SELECT * FROM toks_pos
+         WHERE term IN (SELECT DISTINCT term FROM pt)),
+plen AS (SELECT phrase_id, count(*) AS len FROM pt GROUP BY 1),
+hits AS (
+  SELECT pt.phrase_id, tp.doc_id, tp.pos - pt.off AS start
+  FROM pt JOIN ppos tp ON tp.term = pt.term
+),
+occ AS (
+  SELECT h.phrase_id, h.doc_id, h.start
+  FROM hits h JOIN plen l ON l.phrase_id = h.phrase_id
+  GROUP BY h.phrase_id, h.doc_id, h.start, l.len
+  HAVING count(*) = l.len
+),
+res AS (SELECT phrase_id::BIGINT AS phrase_id, doc_id::BIGINT AS doc_id,
+               count(*)::BIGINT AS ptf
+        FROM occ GROUP BY 1, 2)
+SELECT {_cksum_exprs('phrase_id', 'doc_id', 'ptf')} FROM res
+""").df().iloc[0]
+    check("phrase_match_1m", eng_ph,
+          {k: int(ora_ph_row[k]) for k in eng_ph})
+
+    # -- search_facets at 1M (site facet, full-match-set counts) ------------
+    t_step = time.time()
+    from dint_spark.facets import (build_doc_facets, build_doc_values,
+                                   run_collapsed_queries,
+                                   run_facet_queries, run_sorted_queries)
+    fdocs = docs_sp.select(
+        "doc_id",
+        F.format_string("site%04d", (F.col("doc_id") % 1000)
+                        .cast("int")).alias("site"))
+    fac = build_doc_facets(spark, fdocs, idx.num_docs, "site")
+    eng_fc = (run_facet_queries(spark, idx, fspecs, fac, mode="and")
+              .toPandas().sort_values(["query_id", "facet"])
+              .reset_index(drop=True))
+    ora_fc = con.sql(prelude + matched_cte + """
+SELECT query_id, printf('site%04d', doc_id % 1000) AS facet,
+       count(*)::BIGINT AS n_docs
+FROM matched GROUP BY 1, 2 ORDER BY 1, 2
+""").df()
+    check_df("search_facets_1m", eng_fc, ora_fc,
+             {"n_queries": len(fspecs)})
+
+    # -- search_multi_terms at 1M (composite-key buckets) -------------------
+    t_step = time.time()
+    mdocs = docs_sp.select(
+        "doc_id",
+        F.concat_ws("|",
+                    F.format_string("g%d", (F.col("doc_id") % 7)
+                                    .cast("int")),
+                    F.format_string("l%d", (F.col("doc_id") % 3)
+                                    .cast("int"))).alias("gl"))
+    mfac = build_doc_facets(spark, mdocs, idx.num_docs, "gl")
+    eng_mt = (run_facet_queries(spark, idx, fspecs, mfac, mode="and")
+              .select("query_id",
+                      F.substring_index("facet", "|", 1).alias("grp"),
+                      F.substring_index("facet", "|", -1).alias("lng"),
+                      "n_docs")
+              .toPandas().sort_values(["query_id", "grp", "lng"])
+              .reset_index(drop=True))
+    ora_mt = con.sql(prelude + matched_cte + """
+SELECT query_id, printf('g%d', doc_id % 7) AS grp,
+       printf('l%d', doc_id % 3) AS lng, count(*)::BIGINT AS n_docs
+FROM matched GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""").df()
+    check_df("search_multi_terms_1m", eng_mt, ora_mt)
+
+    # -- search_sort_by_field at 1M (doc-values sidecar ranking) ------------
+    t_step = time.time()
+    vals = build_doc_values(
+        spark, docs_sp.withColumn("nchars", F.length("text")),
+        idx.num_docs, "nchars")
+    eng_sf = (run_sorted_queries(spark, idx, fspecs, vals, k=10,
+                                 mode="and", descending=True)
+              .toPandas().sort_values(["query_id", "rank"])
+              .reset_index(drop=True))
+    ora_sf = con.sql(prelude + matched_cte + """
+SELECT query_id, rank, doc_id, val FROM (
+  SELECT m.query_id, m.doc_id, length(i.text)::BIGINT AS val,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY length(i.text) DESC, m.doc_id ASC)::INT AS rank
+  FROM matched m JOIN ids i ON i.doc_id = m.doc_id
+) WHERE rank <= 10 ORDER BY 1, 2
+""").df()
+    check_df("search_sort_by_field_1m", eng_sf, ora_sf)
+
+    # -- search_collapse at 1M (one-hit-per-site over the full match set) ---
+    t_step = time.time()
+    eng_cl = (run_collapsed_queries(spark, idx, fspecs, fac, k=10,
+                                    dtype="float64")
+              .toPandas().sort_values(["query_id", "rank"])
+              .reset_index(drop=True))
+    cq_vals = ", ".join(f"({qi}, {t}, 1)" for qi, ts in enumerate(fspecs)
+                        for t in ts)
+    ora_cl = con.sql(prelude + f"""
+, qs(query_id, term_id, qf) AS (VALUES {cq_vals}),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         sum(
+           qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+sq AS (
+  SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+         printf('site%04d', doc_id % 1000) AS facet
+  FROM scored
+),
+reps AS (
+  SELECT query_id, doc_id, score_q, facet,
+         row_number() OVER (PARTITION BY query_id, facet
+                            ORDER BY score_q DESC, doc_id ASC) AS gr
+  FROM sq
+)
+SELECT query_id, rank, facet, doc_id, score_q FROM (
+  SELECT query_id, facet, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id ASC)::INT AS rank
+  FROM reps WHERE gr = 1
+) WHERE rank <= 10 ORDER BY 1, 2
+""").df()
+    check_df("search_collapse_1m", eng_cl, ora_cl)
+
+    # -- search_bool_dsl at 1M (compound eligibility + scoring) -------------
+    t_step = time.time()
+    from collections import Counter
+
+    from dint_spark.bool_query import BoolSpec, run_bool_queries
+    bool_specs = [([0], [3, 5, 7], [], 1), ([], [0, 1, 2], [], 2),
+                  ([mid], [], [1], None), ([1, 3], [], [tail], None)]
+    eng_bd = (run_bool_queries(
+        spark, idx,
+        [BoolSpec(m, s, n, ms) for m, s, n, ms in bool_specs],
+        k=10, dtype="float64")
+        .toPandas().sort_values(["query_id", "rank"])
+        .reset_index(drop=True))
+    pos_r, must_r, should_r, neg_r, mins_r = [], [], [], [], []
+    for qid, (m, s, n, ms) in enumerate(bool_specs):
+        qf = Counter(m) + Counter(s)
+        pos_r += [f"({qid}, {t}, {c})" for t, c in sorted(qf.items())]
+        must_r += [f"({qid}, {t})" for t in sorted(set(m))]
+        should_r += [f"({qid}, {t})" for t in sorted(set(s))]
+        neg_r += [f"({qid}, {t})" for t in sorted(set(n))]
+        if ms is None:
+            ms = 0 if m else min(1, len(s))
+        mins_r.append(f"({qid}, {ms}, {len(set(m))})")
+
+    def _vals(name, cols, rows):
+        return (f"{name}({cols}) AS (VALUES "
+                + (", ".join(rows) if rows else "(-1, -1)") + ")")
+
+    ora_bd = con.sql(prelude + f"""
+, {_vals("bq_pos", "query_id, term_id, qf", pos_r)},
+{_vals("bq_must", "query_id, term_id", must_r)},
+{_vals("bq_should", "query_id, term_id", should_r)},
+{_vals("bq_neg", "query_id, term_id", neg_r)},
+bq_min(query_id, min_should, n_must) AS (VALUES {", ".join(mins_r)}),
+bscored AS (
+  SELECT p.query_id, tf.doc_id,
+         sum(
+           p.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM bq_pos p
+  JOIN vocab v ON v.term_id = p.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+elig AS (
+  SELECT b.query_id, b.doc_id
+  FROM bscored b JOIN bq_min m ON m.query_id = b.query_id
+  WHERE (SELECT count(*) FROM bq_must q
+         JOIN vocab v2 ON v2.term_id = q.term_id
+         JOIN tf t2 ON t2.term = v2.term AND t2.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id) = m.n_must
+    AND (SELECT count(*) FROM bq_should q
+         JOIN vocab v3 ON v3.term_id = q.term_id
+         JOIN tf t3 ON t3.term = v3.term AND t3.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id) >= m.min_should
+    AND NOT EXISTS (SELECT 1 FROM bq_neg q
+         JOIN vocab v4 ON v4.term_id = q.term_id
+         JOIN tf t4 ON t4.term = v4.term AND t4.doc_id = b.doc_id
+         WHERE q.query_id = b.query_id)
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT b.query_id, b.doc_id,
+         floor(b.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY b.query_id
+           ORDER BY floor(b.score * 1e9) DESC, b.doc_id ASC)::INT AS rank
+  FROM bscored b
+  JOIN elig e ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+) WHERE rank <= 10 ORDER BY 1, 2
+""").df()
+    check_df("search_bool_dsl_1m", eng_bd, ora_bd)
 
     # -- dedup_minhash on a 100k subset with injected near-dups --------------
     t_step = time.time()
