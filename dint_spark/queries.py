@@ -2726,7 +2726,7 @@ def bucket_decode_metrics(index, parallelism: int | None = None
     counts, and persists the result into manifest.json."""
     import time as _time
 
-    from dint_spark.dint.codec import BLOCK_SIZE, decode_list_bulk
+    from dint_spark.dint.codec import BLOCK_SIZE
 
     docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
@@ -2739,9 +2739,10 @@ def bucket_decode_metrics(index, parallelism: int | None = None
         # bucket -> [lists, postings, secs, checksum(u64 as python int)]
         per: dict[int, list] = {}
         bufs: dict[int, _ShortListBuffer] = {}
+        lbufs: dict[int, _LongListBuffer] = {}
 
-        def flush(b: int) -> None:
-            buf = bufs[b]
+        def flush(b: int, which: dict) -> None:
+            buf = which[b]
             acc = per.setdefault(b, [0, 0, 0.0, 0])
             t0 = _time.perf_counter()
             docs, freqs, _, ns, _ = buf._take()
@@ -2753,31 +2754,23 @@ def bucket_decode_metrics(index, parallelism: int | None = None
         for pdf in batches:
             for b, sub in pdf.groupby("bucket"):
                 b = int(b)
-                acc = per.setdefault(b, [0, 0, 0.0, 0])
+                per.setdefault(b, [0, 0, 0.0, 0])
                 ns = sub["n"].to_numpy()
                 sm = ns < BLOCK_SIZE
                 if sm.any():
                     buf = bufs.setdefault(b, _ShortListBuffer())
                     buf.add(sub, sm, ns)
                     if buf.count >= 8192:
-                        flush(b)
-                for row in sub[~sm].itertuples():
-                    payload = bytes(row.payload)
-                    n = int(row.n)
-                    bmax = np.asarray(row.block_maxs, dtype=np.int64)
-                    endp = np.asarray(row.endpoints, dtype=np.int64)
-                    foff = np.asarray(row.freq_offsets, dtype=np.int64)
-                    t0 = _time.perf_counter()
-                    docs, freqs = decode_list_bulk(payload, n, bmax, endp,
-                                                   foff, dd, fd)
-                    acc[2] += _time.perf_counter() - t0
-                    acc[0] += 1
-                    acc[1] += n
-                    acc[3] = (acc[3] + _decode_checksum(docs, freqs)) \
-                        & _U64_MASK
-        for b, buf in bufs.items():
-            if buf.count:
-                flush(b)
+                        flush(b, bufs)
+                if (~sm).any():
+                    lbuf = lbufs.setdefault(b, _LongListBuffer(dd, fd))
+                    lbuf.add(sub, ~sm, ns)
+                    if lbuf.postings >= 1 << 20:
+                        flush(b, lbufs)
+        for which in (bufs, lbufs):
+            for b, buf in which.items():
+                if buf.count:
+                    flush(b, which)
         if per:
             # u64 checksum -> signed i64 for the Long column (re-wrapped
             # on the driver side)
@@ -2862,6 +2855,71 @@ class _ShortListBuffer:
         })
 
 
+class _LongListBuffer:
+    """Accumulates LONG (>= BLOCK_SIZE) segment rows across Arrow batches
+    and decodes them through codec.decode_long_lists_batch: the full
+    256-int DINT blocks of every few-block list in the batch go through
+    ONE u16 codeword gather + ONE exception pass per stream, and every
+    BIC tail block rides one lockstep batch DFS — the cross-LIST mirror
+    of the encode side's encode_blocks_dint_batch. Multi-thousand-
+    posting lists route back to the per-list cross-block pass inside the
+    batch call (measured faster there). Flushes every ~1M postings to
+    bound memory."""
+
+    __slots__ = ("dd", "fd", "payloads", "ns", "bmaxs", "endps", "foffs",
+                 "term_ids", "postings")
+
+    def __init__(self, docs_dict, freqs_dict):
+        self.dd = docs_dict
+        self.fd = freqs_dict
+        self._reset()
+
+    def _reset(self):
+        self.payloads: list[bytes] = []
+        self.ns: list = []
+        self.bmaxs: list = []
+        self.endps: list = []
+        self.foffs: list = []
+        self.term_ids: list = []
+        self.postings = 0
+
+    @property
+    def count(self) -> int:
+        return len(self.payloads)
+
+    def add(self, pdf: pd.DataFrame, lg: np.ndarray, ns: np.ndarray) -> None:
+        self.payloads.extend(bytes(p) for p in pdf["payload"][lg])
+        self.ns.append(ns[lg])
+        self.bmaxs.extend(pdf["block_maxs"][lg])
+        self.endps.extend(pdf["endpoints"][lg])
+        self.foffs.extend(pdf["freq_offsets"][lg])
+        if "term_id" in pdf.columns:
+            self.term_ids.append(pdf["term_id"].to_numpy()[lg])
+        self.postings += int(ns[lg].sum())
+
+    def _take(self):
+        from dint_spark.dint.codec import decode_long_lists_batch
+
+        ns = np.concatenate(self.ns).astype(np.int64)
+        docs, freqs, offs = decode_long_lists_batch(
+            self.payloads, ns, self.bmaxs, self.endps, self.foffs,
+            self.dd, self.fd)
+        tids = (np.concatenate(self.term_ids) if self.term_ids else None)
+        self._reset()
+        return docs, freqs, offs, ns, tids
+
+    def flush_decode(self) -> int:
+        """Decode and discard (rate protocol); returns postings decoded."""
+        _, _, _, ns, _ = self._take()
+        return int(ns.sum())
+
+    def flush_rows(self) -> pd.DataFrame:
+        docs, freqs, offs, ns, tids = self._take()
+        return pd.DataFrame({
+            "term_id": np.repeat(tids, ns), "doc_id": docs, "freq": freqs,
+        })
+
+
 def decode_rate_stats(index, parallelism: int | None = None) -> dict:
     """The reference's vroom decode protocol (vroom_env/decode.cpp:47-70):
     time ONLY the decode loop, worker-side, and report ints/sec.
@@ -2873,8 +2931,7 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
     """
     import time as _time
 
-    from dint_spark.dint.codec import (
-        BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
+    from dint_spark.dint.codec import BLOCK_SIZE
 
     docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
@@ -2886,11 +2943,12 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
         fd = freqs_dict_bc.value
         ints = 0
         secs = 0.0
-        # short single-block BIC lists: buffered across Arrow batches (the
-        # 32-row columnar reader batches would defeat the vectorization)
-        # and decoded in one multi-list pass per ~8k lists — the per-list
-        # python path was the mixed-corpus decode bottleneck
+        # short single-block BIC lists AND long lists both buffer across
+        # Arrow batches (the 32-row columnar reader batches would defeat
+        # the vectorization) and decode in multi-list passes — the
+        # per-list python path was the mixed-corpus decode bottleneck
         buf = _ShortListBuffer()
+        lbuf = _LongListBuffer(dd, fd)
         for pdf in batches:
             ns = pdf["n"].to_numpy()
             sm = ns < BLOCK_SIZE
@@ -2901,21 +2959,19 @@ def decode_rate_stats(index, parallelism: int | None = None) -> dict:
                 n_dec = buf.flush_decode()
                 secs += _time.perf_counter() - t0
                 ints += 2 * n_dec
-            for row in pdf[~sm].itertuples():
-                payload = bytes(row.payload)
-                n = int(row.n)
-                bmax = np.asarray(row.block_maxs, dtype=np.int64)
-                endp = np.asarray(row.endpoints, dtype=np.int64)
-                foff = np.asarray(row.freq_offsets, dtype=np.int64)
+            if (~sm).any():
+                lbuf.add(pdf, ~sm, ns)
+            if lbuf.postings >= 1 << 20:
                 t0 = _time.perf_counter()
-                decode_list_bulk(payload, n, bmax, endp, foff, dd, fd)
+                n_dec = lbuf.flush_decode()
                 secs += _time.perf_counter() - t0
-                ints += 2 * n
-        if buf.count:
-            t0 = _time.perf_counter()
-            n_dec = buf.flush_decode()
-            secs += _time.perf_counter() - t0
-            ints += 2 * n_dec
+                ints += 2 * n_dec
+        for b in (buf, lbuf):
+            if b.count:
+                t0 = _time.perf_counter()
+                n_dec = b.flush_decode()
+                secs += _time.perf_counter() - t0
+                ints += 2 * n_dec
         yield pd.DataFrame({"n_ints": [ints], "decode_secs": [secs]})
 
     seg = index.segments.select(
@@ -2942,8 +2998,7 @@ def decoded_postings(index, parallelism: int | None = None,
     ``term_ids`` restricts the decode to a term subset with the filter
     pushed into the segments scan (consumers like rankeval.judged_rel
     decode a handful of query terms, not the index)."""
-    from dint_spark.dint.codec import (
-        BLOCK_SIZE, decode_list_bulk, decode_short_lists_batch)
+    from dint_spark.dint.codec import BLOCK_SIZE
 
     docs_dict_bc = shared_index_bc(index.spark, index, "docs_dict",
                                    lambda: index.docs_dict)
@@ -2954,26 +3009,10 @@ def decoded_postings(index, parallelism: int | None = None,
         dd = docs_dict_bc.value
         fd = freqs_dict_bc.value
         buf = _ShortListBuffer()
-        # long-list outputs accumulate as numpy arrays and flush as ONE
-        # frame per ~1M postings instead of a pd.DataFrame per list +
-        # pd.concat per 32-row Arrow batch
-        acc_t: list = []
-        acc_cnt: list = []
-        acc_d: list = []
-        acc_f: list = []
-        acc_n = 0
-
-        def emit_long() -> pd.DataFrame:
-            nonlocal acc_t, acc_cnt, acc_d, acc_f, acc_n
-            out = pd.DataFrame({
-                "term_id": np.repeat(np.asarray(acc_t, dtype=np.int64),
-                                     np.asarray(acc_cnt, dtype=np.int64)),
-                "doc_id": np.concatenate(acc_d),
-                "freq": np.concatenate(acc_f),
-            })
-            acc_t, acc_cnt, acc_d, acc_f, acc_n = [], [], [], [], 0
-            return out
-
+        # long lists buffer across Arrow batches too and decode through
+        # the cross-list batch (one frame out per ~1M postings — never a
+        # pd.DataFrame per list or a pd.concat per 32-row Arrow batch)
+        lbuf = _LongListBuffer(dd, fd)
         for pdf in batches:
             ns = pdf["n"].to_numpy()
             sm = ns < BLOCK_SIZE
@@ -2981,22 +3020,12 @@ def decoded_postings(index, parallelism: int | None = None,
                 buf.add(pdf, sm, ns)
             if buf.count >= 8192:
                 yield buf.flush_rows()
-            for row in pdf[~sm].itertuples():
-                docs, freqs = decode_list_bulk(
-                    bytes(row.payload), int(row.n),
-                    np.asarray(row.block_maxs, dtype=np.int64),
-                    np.asarray(row.endpoints, dtype=np.int64),
-                    np.asarray(row.freq_offsets, dtype=np.int64), dd, fd,
-                )
-                acc_t.append(int(row.term_id))
-                acc_cnt.append(len(docs))
-                acc_d.append(docs)
-                acc_f.append(freqs)
-                acc_n += len(docs)
-                if acc_n >= 1 << 20:
-                    yield emit_long()
-        if acc_n:
-            yield emit_long()
+            if (~sm).any():
+                lbuf.add(pdf, ~sm, ns)
+            if lbuf.postings >= 1 << 20:
+                yield lbuf.flush_rows()
+        if lbuf.count:
+            yield lbuf.flush_rows()
         if buf.count:
             yield buf.flush_rows()
 

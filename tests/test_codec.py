@@ -404,3 +404,69 @@ def test_pattern_stats_vectorized_oracle():
                     k = (stream, sel, ub[i * w:i * w + w], s)
                     got[k] = got.get(k, 0) + c
         assert got == oracle
+
+
+@pytest.mark.parametrize("multi", [False, True])
+def test_long_lists_batch_matches_per_list(multi):
+    """decode_long_lists_batch (cross-LIST full-block batching + lockstep
+    BIC tails) must be byte-identical to per-list decode_list_bulk for a
+    mixed batch: exact-multiple-of-256 lengths (no tail), tail of 1,
+    short-as-possible long lists (n=256), multi-block lists, single- and
+    multi-dictionary payloads, freqs with exceptions."""
+    from dint_spark.dint.codec import decode_long_lists_batch
+    from dint_spark.dint.dictionary import MultiDictionary, default_class_map
+
+    rng = np.random.default_rng(777 + int(multi))
+    if multi:
+        def _rand_dict(maxval, n_per_size=16):
+            pats, seen = [], set()
+            for s in (16, 8, 4, 2, 1):
+                for _ in range(n_per_size):
+                    p = (rng.integers(0, maxval, size=s, dtype=np.uint32)
+                         .astype("<u4").tobytes())
+                    if p not in seen:
+                        seen.add(p)
+                        pats.append(p)
+            return DintDictionary.build(pats)
+        dd = fd = MultiDictionary(
+            dicts=[_rand_dict(4), _rand_dict(1 << 20)],
+            class_map=default_class_map(2))
+    else:
+        stream = rng.integers(0, 300, size=4096).astype(np.uint32)
+        dd = DintDictionary.build(mkpats(stream))
+        fd = DintDictionary.build(mkpats(stream))
+
+    sizes = [256, 257, 511, 512, 768, 1024, 1025, 300, 999, 2048,
+             256 * 5, 256 * 3 + 1]
+    lists = []
+    for n in sizes:
+        universe = n * int(rng.integers(2, 9))
+        docs = np.sort(rng.choice(universe, size=n,
+                                  replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 70000 if multi else 257,
+                             size=n).astype(np.int64)
+        payload, bmax, endp, foff = encode_list(docs, freqs, dd, fd,
+                                                optimal=True)
+        lists.append((docs, freqs, payload, bmax, endp, foff))
+
+    order = rng.permutation(len(lists))
+    payloads = [lists[i][2] for i in order]
+    ns = np.array([len(lists[i][0]) for i in order])
+    bmaxs = [lists[i][3] for i in order]
+    endps = [lists[i][4] for i in order]
+    foffs = [lists[i][5] for i in order]
+    docs_c, freqs_c, offs = decode_long_lists_batch(
+        payloads, ns, bmaxs, endps, foffs, dd, fd)
+    for k, i in enumerate(order):
+        exp_d, exp_f = lists[i][0], lists[i][1]
+        got_d = docs_c[offs[k]:offs[k + 1]]
+        got_f = freqs_c[offs[k]:offs[k + 1]]
+        ref_d, ref_f = decode_list_bulk(lists[i][2], len(exp_d),
+                                        lists[i][3], lists[i][4],
+                                        lists[i][5], dd, fd)
+        assert np.array_equal(got_d, exp_d) and np.array_equal(got_d, ref_d)
+        assert np.array_equal(got_f, exp_f) and np.array_equal(got_f, ref_f)
+    # docs-only (lazy freqs) path
+    docs_c2, f2, offs2 = decode_long_lists_batch(
+        payloads, ns, bmaxs, endps, foffs, dd, None)
+    assert f2 is None and np.array_equal(docs_c2, docs_c)
