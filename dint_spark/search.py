@@ -237,6 +237,47 @@ def _delete1(word: str) -> list[str]:
     return [word[:i] + word[i + 1:] for i in range(len(word))]
 
 
+def _delete_keys(word: str, max_edits: int) -> list[str]:
+    """{word} ∪ deletes1(word) [∪ deletes2(word)] — the SymSpell probe
+    key set. For max_edits=2 that is 1 + L + C(L,2) keys (~L^2/2)."""
+    keys = {word}
+    d1 = _delete1(word)
+    keys.update(d1)
+    if max_edits >= 2:
+        for w in d1:
+            keys.update(_delete1(w))
+    return sorted(keys)
+
+
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """Exact levenshtein(a, b) <= k via banded DP (band width 2k+1) —
+    the driver-side verify for delete-neighborhood candidates at any
+    edit bound; k=1 short-circuits to the DP-free scan."""
+    if k <= 1:
+        return _lev_le1(a, b)
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    big = k + 1
+    prev = [j if j <= k else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [big] * (lb + 1)
+        if lo == 1:
+            cur[0] = i if i <= k else big
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        # the j=0 column is part of the band while i <= k (empty-b edge)
+        if min(cur[lo - 1:hi + 1], default=big) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 def _lev_le1(a: str, b: str) -> bool:
     """Exact levenshtein(a, b) <= 1 without building the DP table —
     the driver-side verify for delete-neighborhood candidates."""
@@ -256,33 +297,54 @@ def _lev_le1(a: str, b: str) -> bool:
 
 
 def build_fuzzy_table(spark: SparkSession, index, path: str | None = None,
-                      num_files: int | None = None) -> str:
-    """Materialize the SymSpell/FastSS delete-1 neighborhood of the
-    vocabulary: one row per (key, term) where key ∈ {term} ∪ deletes1(term)
-    — the classic scale structure for edit-distance-1 lookup. A fuzzy
-    query then touches only its own ~len(word)+1 keys via a pushed IN
-    filter instead of scanning the vocabulary with a levenshtein UDF
-    (10^8 terms × levenshtein per query word is the plan this avoids).
+                      num_files: int | None = None,
+                      max_edits: int = 1) -> str:
+    """Materialize the SymSpell/FastSS delete neighborhood of the
+    vocabulary: one row per (key, term) where key ∈ {term} ∪
+    deletes1(term) [∪ deletes2(term) for ``max_edits=2``] — the classic
+    scale structure for bounded-edit-distance lookup. A fuzzy query then
+    touches only its own probe keys via a pushed IN filter instead of
+    scanning the vocabulary with a levenshtein UDF (10^8 terms ×
+    levenshtein per query word is the plan this avoids).
 
-    Size is O(sum of term lengths) ≈ (avg_len+1)× vocab rows; the table
-    is range-partitioned and sorted by key so parquet min/max stats prune
-    to the few files holding the probe keys. Single-char terms keep their
-    empty-string delete key: that bucket holds every 1-char term (≤36
-    under the [0-9a-z]+ tokenizer) and is what makes the candidate set
-    COMPLETE for distance ≤1 between 1-char words. Idempotent: an
-    existing table (manifest _SUCCESS) is reused."""
+    Size: delete-1 is O(sum of term lengths) ≈ (avg_len+1)× vocab rows.
+    The delete-2 table multiplies that by ~(avg_len+2)/2 — for the
+    ~7-char average web term, 1+L+C(L,2) ≈ 29 keys/term vs 8, a ~3.6×
+    bigger table (the documented DirectSpellChecker-practical trade for
+    2-edit matching; probes grow by the same factor). The table is
+    range-partitioned and sorted by key so parquet min/max stats prune
+    to the few files holding the probe keys. Single-char terms keep
+    their empty-string delete key: that bucket holds every 1-char term
+    (≤36 under the [0-9a-z]+ tokenizer) and is what makes the candidate
+    set COMPLETE for short words. Idempotent: an existing table
+    (manifest _SUCCESS) is reused."""
     import os
 
-    path = path or os.path.join(index.dir, "fuzzy_deletes.parquet")
+    if max_edits not in (1, 2):
+        raise ValueError("max_edits must be 1 or 2")
+    suffix = "" if max_edits == 1 else "2"
+    path = path or os.path.join(index.dir, f"fuzzy_deletes{suffix}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    d1 = F.expr("transform(sequence(0, length(term) - 1), "
+                "i -> concat(substring(term, 1, i), "
+                "substring(term, i + 2)))")
+    key_arr = F.array_union(F.array("term"), d1)
+    if max_edits == 2:
+        # remove positions i<j (0-based): prefix[..i) + (i..j) + (j..]
+        # guarded: sequence(0, -1) would DESCEND for 1-char terms
+        d2 = F.expr(
+            "CASE WHEN length(term) >= 2 THEN "
+            "flatten(transform(sequence(0, length(term) - 2), i -> "
+            "transform(sequence(i + 1, length(term) - 1), j -> "
+            "concat(substring(term, 1, i), "
+            "substring(term, i + 2, j - i - 1), "
+            "substring(term, j + 2))))) "
+            "ELSE array() END")
+        key_arr = F.array_union(key_arr, d2)
     keys = (index.vocab()
-            .select(F.explode(F.array_union(
-                F.array("term"),
-                F.expr("transform(sequence(0, length(term) - 1), "
-                       "i -> concat(substring(term, 1, i), "
-                       "substring(term, i + 2)))"),
-            )).alias("key"), "term", "term_id", "df"))
+            .select(F.explode(key_arr).alias("key"),
+                    "term", "term_id", "df"))
     if num_files is None:
         # File granularity IS the probe's pruning granularity: each
         # range-partitioned file is one parquet row group, and a probe's
@@ -303,36 +365,46 @@ def build_fuzzy_table(spark: SparkSession, index, path: str | None = None,
 
 def fuzzy_term_ids(index, words: list[str], max_terms: int = 64,
                    fuzzy_path: str | None = None,
-                   nfc: bool = False) -> list[list[int]]:
-    """Edit-distance-≤1 expansion for a BATCH of query words in ONE Spark
-    job: probe the delete-1 table (build_fuzzy_table) with the union of
-    every word's {word} ∪ deletes1(word) keys, verify candidates with the
-    exact levenshtein ≤ 1 predicate driver-side (candidate sets are
-    per-key-bucket bounded), and cap each word's expansion to the top
-    ``max_terms`` by (df DESC, term ASC). Falls back to a distributed
-    levenshtein scan of the vocabulary when no delete table exists —
-    correct at any scale, just a full vocab pass per batch."""
+                   nfc: bool = False,
+                   max_edits: int = 1) -> list[list[int]]:
+    """Edit-distance-≤``max_edits`` expansion for a BATCH of query words
+    in ONE Spark job: probe the delete table (build_fuzzy_table, built
+    with the same max_edits) with the union of every word's delete keys,
+    verify candidates with the exact banded levenshtein predicate
+    driver-side (candidate sets are per-key-bucket bounded), and cap
+    each word's expansion to the top ``max_terms`` by (df DESC, term
+    ASC). Falls back to a distributed levenshtein scan of the
+    vocabulary when no delete table exists — correct at any scale, just
+    a full vocab pass per batch."""
     toks = [_single_token(w, nfc=nfc) for w in words]
     live = sorted({t for t in toks if t is not None})
     if not live:
         return [[] for _ in toks]
-    rows = _fuzzy_candidate_rows(index, live, fuzzy_path)
-    return _rank_and_cap(rows, toks, max_terms)
+    rows = _fuzzy_candidate_rows(index, live, fuzzy_path,
+                                 max_edits=max_edits)
+    return _rank_and_cap(rows, toks, max_terms, max_edits=max_edits)
 
 
 def _fuzzy_candidate_rows(index, live: list[str],
-                          fuzzy_path: str | None = None) -> list:
+                          fuzzy_path: str | None = None,
+                          max_edits: int = 1) -> list:
     """The candidate fetch shared by fuzzy_term_ids / suggest_spelling:
     collected (term, term_id, df) rows SUPERSET of every live word's
-    distance-≤1 neighborhood — delete-1-table probe when built (per-key-
-    bucket bounded), distributed levenshtein vocab scan otherwise."""
+    distance-≤max_edits neighborhood — delete-table probe when built
+    (per-key-bucket bounded), distributed levenshtein vocab scan
+    otherwise. The SymSpell completeness law: lev(a, b) <= d implies
+    deletes<=d(a) ∩ deletes<=d(b) is non-empty, so probing the union of
+    the word's delete keys against a deletes<=d table misses nothing."""
     import os
     from functools import reduce
     from operator import or_
 
-    path = fuzzy_path or os.path.join(index.dir, "fuzzy_deletes.parquet")
+    suffix = "" if max_edits == 1 else "2"
+    path = fuzzy_path or os.path.join(index.dir,
+                                      f"fuzzy_deletes{suffix}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        probe = sorted({k for w in live for k in [w, *_delete1(w)]})
+        probe = sorted({k for w in live
+                        for k in _delete_keys(w, max_edits)})
         # Above spark.sql.parquet.pushdown.inFilterThreshold (default 10)
         # Spark collapses an IN pushdown into ONE [min,max] range — for
         # scattered probe keys that spans the whole keyspace and defeats
@@ -357,7 +429,7 @@ def _fuzzy_candidate_rows(index, live: list[str],
                 spark.conf.set(conf_key, old)
         return rows
     pred = reduce(or_, [
-        F.levenshtein(F.col("term"), F.lit(w)) <= 1 for w in live])
+        F.levenshtein(F.col("term"), F.lit(w)) <= max_edits for w in live])
     return index.vocab().filter(pred).select("term", "term_id", "df") \
         .collect()
 
@@ -369,33 +441,40 @@ def suggest_spelling(
     n: int = 5,
     fuzzy_path: str | None = None,
     nfc: bool = False,
+    max_edits: int = 1,
 ) -> DataFrame:
     """"Did you mean": per input word (query_id = position), the top-``n``
-    vocabulary terms at levenshtein distance ≤ 1, ranked by (distance
-    asc, df desc, term asc) — so a word that IS a vocabulary term
-    suggests itself first, and corrections order by corpus popularity
-    (the Lucene DirectSpellChecker contract). Returns (query_id, rank,
-    term, term_id, dist, df); a word that normalizes to nothing yields
-    no rows, and a multi-token input raises (per-term suggestion, the
+    vocabulary terms at levenshtein distance ≤ ``max_edits`` (1 or 2 —
+    2 is DirectSpellChecker's practical contract; needs the delete-2
+    table for the bounded-probe plan), ranked by (distance asc, df
+    desc, term asc) — so a word that IS a vocabulary term suggests
+    itself first, and corrections order by corpus popularity (the
+    Lucene DirectSpellChecker contract). Returns (query_id, rank, term,
+    term_id, dist, df); a word that normalizes to nothing yields no
+    rows, and a multi-token input raises (per-term suggestion, the
     fuzzy/prefix contract).
 
-    Scale shape: one probe of the delete-1 table per batch (the
+    Scale shape: one probe of the delete table per batch (the
     search_fuzzy plan — pushed IN filter, per-key-bucket-bounded
-    candidates, exact driver-side verify), falling back to a distributed
-    levenshtein vocab scan when no table is built."""
+    candidates, exact driver-side banded-DP verify), falling back to a
+    distributed levenshtein vocab scan when no table is built."""
     toks = [_single_token(w, nfc=nfc) for w in words]
     live = sorted({t for t in toks if t is not None})
     out_rows: list[tuple] = []
     if live:
-        rows = _fuzzy_candidate_rows(index, live, fuzzy_path)
+        rows = _fuzzy_candidate_rows(index, live, fuzzy_path,
+                                     max_edits=max_edits)
         for qid, tok in enumerate(toks):
             if tok is None:
                 continue
-            hits = sorted(
-                (0 if r["term"] == tok else 1, -int(r["df"]), r["term"],
-                 int(r["term_id"]))
-                for r in rows if _lev_le1(r["term"], tok))
-            for rank, (dist, negdf, term, tid) in enumerate(hits[:n], 1):
+            cands = []
+            for r in rows:
+                d = _cand_dist(r["term"], tok, max_edits)
+                if d is not None:
+                    cands.append((d, -int(r["df"]), r["term"],
+                                  int(r["term_id"])))
+            for rank, (dist, negdf, term, tid) in enumerate(
+                    sorted(cands)[:n], 1):
                 out_rows.append((qid, rank, term, tid, dist, -negdf))
     from pyspark.sql import types as T
     return spark.createDataFrame(
@@ -605,8 +684,21 @@ def suggest_phrase(
         ]))
 
 
-def _rank_and_cap(rows, toks: list, max_terms: int) -> list[list[int]]:
-    """Per-word verify (exact levenshtein <= 1) + deterministic
+def _cand_dist(term: str, tok: str, max_edits: int) -> int | None:
+    """Exact distance of a delete-table candidate, or None past the
+    bound: 0/1 via the DP-free check, 2 only when max_edits allows."""
+    if term == tok:
+        return 0
+    if _lev_le1(term, tok):
+        return 1
+    if max_edits >= 2 and _lev_le(term, tok, 2):
+        return 2
+    return None
+
+
+def _rank_and_cap(rows, toks: list, max_terms: int,
+                  max_edits: int = 1) -> list[list[int]]:
+    """Per-word verify (exact levenshtein <= max_edits) + deterministic
     (df DESC, term ASC) cap over the collected candidate rows."""
     out = []
     for tok in toks:
@@ -614,7 +706,8 @@ def _rank_and_cap(rows, toks: list, max_terms: int) -> list[list[int]]:
             out.append([])
             continue
         hits = sorted(((-int(r["df"]), r["term"], int(r["term_id"]))
-                       for r in rows if _lev_le1(r["term"], tok)))
+                       for r in rows
+                       if _cand_dist(r["term"], tok, max_edits) is not None))
         out.append(sorted(t for _, _, t in hits[:max_terms]))
     return out
 

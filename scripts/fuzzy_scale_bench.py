@@ -1,18 +1,21 @@
-"""Fuzzy-matching scale bench: SymSpell delete-1 probe vs vocab-wide
+"""Fuzzy-matching scale bench: SymSpell delete probe vs vocab-wide
 levenshtein scan on a WEB-SIZED vocabulary (default 10M distinct terms —
 the regime the delete table exists for; corpus indexes in this sandbox
 cap at 30k synthetic terms, far too small to show the effect).
 
 Builds a deterministic vocabulary parquet (term = 't' + base36(id), df
-from a hash — no external data), materializes the delete-1 neighborhood
-with search.build_fuzzy_table, then resolves the same typo batch through
-(a) the pushed-IN key probe and (b) the fallback distributed levenshtein
-scan, asserting identical expansions and reporting both walls. The probe
-wall is what a query pays at ANY vocabulary size (keys ~ len(word)+1,
-file pruning via the range-partitioned sorted key); the scan wall grows
-linearly with the vocabulary.
+from a hash — no external data), materializes the delete neighborhood
+with search.build_fuzzy_table at the given ``max_edits`` (1 or 2; the
+delete-2 table is ~(avg_len+2)/2 x bigger and probes grow by the same
+factor — both sizes are REPORTED so the trade is measured, not
+asserted), then resolves the same typo batch through (a) the pushed-IN
+key probe and (b) the fallback distributed levenshtein scan, asserting
+identical expansions and reporting both walls. The probe wall is what a
+query pays at ANY vocabulary size (keys bounded by the word's delete
+neighborhood, file pruning via the range-partitioned sorted key); the
+scan wall grows linearly with the vocabulary.
 
-Usage: python scripts/fuzzy_scale_bench.py [n_terms] [n_words]
+Usage: python scripts/fuzzy_scale_bench.py [n_terms] [n_words] [max_edits]
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ class _VocabOnly:
 def main() -> None:
     n_terms = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_words = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    max_edits = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from pyspark.sql import functions as F
 
@@ -67,7 +71,7 @@ def main() -> None:
     idx = _VocabOnly(spark, d, n_terms)
 
     t0 = time.time()
-    fpath = build_fuzzy_table(spark, idx)
+    fpath = build_fuzzy_table(spark, idx, max_edits=max_edits)
     t_build = time.time() - t0
     n_keys = spark.read.parquet(fpath).count()
     tbl_bytes = sum(os.path.getsize(os.path.join(r, f))
@@ -81,22 +85,28 @@ def main() -> None:
     words = []
     for i, w in enumerate(base):
         words.append([w[:-1] + "q", w[:-1], w + "q", w][i % 4])
+    if max_edits >= 2:  # double typos only the 2-edit contract matches
+        words += [w[:-2] + "qq" for w in base[:4]]
     words.append("zzzzzzzzq")
 
     # warm both paths once (session/code init), then time
-    fuzzy_term_ids(idx, words[:2], fuzzy_path=fpath)
+    fuzzy_term_ids(idx, words[:2], fuzzy_path=fpath, max_edits=max_edits)
     t0 = time.time()
-    probe = fuzzy_term_ids(idx, words, fuzzy_path=fpath)
+    probe = fuzzy_term_ids(idx, words, fuzzy_path=fpath,
+                           max_edits=max_edits)
     t_probe = time.time() - t0
 
-    fuzzy_term_ids(idx, words[:2], fuzzy_path="/tmp/does_not_exist_x")
+    fuzzy_term_ids(idx, words[:2], fuzzy_path="/tmp/does_not_exist_x",
+                   max_edits=max_edits)
     t0 = time.time()
-    scan = fuzzy_term_ids(idx, words, fuzzy_path="/tmp/does_not_exist_x")
+    scan = fuzzy_term_ids(idx, words, fuzzy_path="/tmp/does_not_exist_x",
+                          max_edits=max_edits)
     t_scan = time.time() - t0
 
     assert probe == scan, "probe expansions != levenshtein-scan expansions"
     print(json.dumps({
         "n_terms": n_terms, "n_words": len(words),
+        "max_edits": max_edits,
         "delete_table_rows": n_keys, "delete_table_bytes": tbl_bytes,
         "delete_table_files": n_files,
         "build_table_s": round(t_build, 2),

@@ -388,3 +388,97 @@ def test_search_regexp_prefix_pushdown(spark, sidx):
             ._jdf.queryExecution().executedPlan().toString())
     assert "StartsWith" in plan and "PushedFilters" in plan
 
+
+
+def test_lev_le_banded_matches_bruteforce():
+    """_lev_le (banded DP) == full-DP levenshtein <= k on random pairs,
+    k in {1, 2, 3}, including equal/empty/length-skewed words."""
+    import itertools
+    import random
+
+    from dint_spark.search import _lev_le
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    rng = random.Random(5)
+    alpha = "abcde"
+    words = ["", "a", "ab"] + ["".join(rng.choice(alpha)
+                               for _ in range(rng.randint(1, 9)))
+                               for _ in range(60)]
+    for a, b in itertools.product(words, repeat=2):
+        for k in (1, 2, 3):
+            assert _lev_le(a, b, k) == (lev(a, b) <= k), (a, b, k)
+
+
+def test_symspell_delete2_completeness():
+    """The SymSpell law the delete-2 probe relies on: lev(a,b) <= 2
+    implies the deletes<=2 key sets intersect (random word pairs)."""
+    import random
+
+    from dint_spark.search import _delete_keys, _lev_le
+
+    rng = random.Random(11)
+    alpha = "abcd"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+             for _ in range(300)]
+    checked = 0
+    for a in words[:80]:
+        for b in words:
+            if _lev_le(a, b, 2):
+                assert set(_delete_keys(a, 2)) & set(_delete_keys(b, 2)), \
+                    (a, b)
+                checked += 1
+    assert checked > 100  # the law was actually exercised
+
+
+def test_fuzzy2_table_probe_equals_levenshtein_scan(spark, sidx, tmp_path):
+    """max_edits=2: delete-2-table probe + banded verify == distributed
+    levenshtein<=2 vocab scan, for expansion AND the spelling suggester
+    ranking (dist asc, df desc, term asc)."""
+    import pyspark.sql.functions as F
+
+    from dint_spark.search import (build_fuzzy_table, fuzzy_term_ids,
+                                   suggest_spelling)
+
+    path = str(tmp_path / "fz2")
+    build_fuzzy_table(spark, sidx, path=path, max_edits=2)
+    words = ["w0000", "w0015x", "zzzz", "customer", "w123"]
+    got = fuzzy_term_ids(sidx, words, max_terms=1000, fuzzy_path=path,
+                         max_edits=2)
+    vocab = sidx.vocab().toPandas()
+    import numpy as np
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    for w, ids in zip(words, got):
+        want = sorted(int(t) for t, term in zip(vocab.term_id, vocab.term)
+                      if lev(term, w) <= 2)
+        assert ids == want, w
+    # suggester ranking vs brute force, incl. dist=2 rows
+    res = suggest_spelling(spark, sidx, words, n=8, fuzzy_path=path,
+                           max_edits=2).toPandas()
+    for qid, w in enumerate(words):
+        cands = sorted(
+            (lev(term, w), -int(df), term, int(tid))
+            for term, df, tid in zip(vocab.term, vocab.df, vocab.term_id)
+            if lev(term, w) <= 2)[:8]
+        rows = res[res.query_id == qid].sort_values("rank")
+        assert [(int(d), t) for d, _, t, _ in cands] == \
+            list(zip(rows.dist, rows.term)), w
+    assert (res.dist == 2).any()  # the new distance class is exercised
