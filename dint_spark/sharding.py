@@ -167,6 +167,7 @@ def append_docs(
     sidx: ShardedIndex,
     new_pages: DataFrame,
     config: IndexConfig | None = None,
+    extra_manifest: dict | None = None,
 ) -> ShardedIndex:
     """Incrementally ADD documents to a sharded index: the new docs become
     one new epoch shard; nothing already built is rewritten except the
@@ -207,6 +208,10 @@ def append_docs(
     Re-running after a SUCCESSFUL append with the same batch appends it
     again (standard append semantics) — dedup/idempotency across calls is
     the caller's contract, e.g. keying batches by crawl snapshot.
+    ``extra_manifest`` entries merge into the SAME atomic manifest commit
+    as the append itself — what streaming.stream_ingest_epochs uses to
+    record the micro-batch id exactly-once (marker and epoch can never
+    disagree).
     """
     man = dict(sidx.manifest)
     n_old = int(man["num_docs"])
@@ -291,6 +296,8 @@ def append_docs(
     man["vocab_file"] = vocab_file
     man.setdefault("appends", []).append(
         {"shard": k, "num_docs": n_new, "sum_len": s_new})
+    if extra_manifest:
+        man.update(extra_manifest)
     man_path = os.path.join(sidx.dir, SHARD_MANIFEST)
     tmp = man_path + ".tmp"
     with open(tmp, "w") as f:

@@ -158,6 +158,101 @@ def compact_incremental(
     return idx
 
 
+def stream_ingest_epochs(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    config: IndexConfig | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingestion UNIFIED with the epoch maintenance lifecycle
+    (round-3 follow-up): every micro-batch of pages commits as ONE epoch
+    shard through sharding.append_docs — the exact append path batch
+    callers use, with its verified cross-epoch BM25 exactness — so a
+    stream-built index IS a batch-appended index, bit-identical per
+    batch boundary (pinned by tests/test_streaming.py). The first batch
+    bootstraps a single-shard index via build_sharded_index; readers can
+    query the index under ``work_dir``/index between micro-batches (the
+    manifest commit is atomic).
+
+    Exactly-once: the streaming checkpoint fixes micro-batch ids, and
+    append_docs records ``stream_last_batch`` inside its OWN atomic
+    manifest commit (extra_manifest) — a foreachBatch retry of an
+    already-committed batch id is a no-op, so a crash between epoch
+    commit and checkpoint ack cannot double-append. Returns the final
+    ShardedIndex (availableNow mode) or the streaming query handle.
+
+    This supersedes the staged-batch + merge path (stream_ingest /
+    compact_incremental, kept for the full-rebuild compaction story):
+    one lifecycle — append epochs, tombstone deletes, compact — now
+    serves batch and streaming identically (README "Maintenance").
+    """
+    from dint_spark.corpus import PAGES_SCHEMA
+    from dint_spark.sharding import (SHARD_MANIFEST, ShardedIndex,
+                                     append_docs, build_sharded_index)
+
+    os.makedirs(work_dir, exist_ok=True)
+    idx_dir = os.path.join(work_dir, "index")
+    cfg = config or IndexConfig(input_tag="stream-epochs")
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def _write_marker(batch_id: int) -> None:
+        man_path = os.path.join(idx_dir, SHARD_MANIFEST)
+        with open(man_path) as f:
+            man = json.load(f)
+        man["stream_last_batch"] = int(batch_id)
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, man_path)
+
+    # the bootstrap's build + marker write are two steps; the pending
+    # sentinel distinguishes a crashed bootstrap (same batch replays ->
+    # just finish the marker) from an ADOPTED pre-existing batch index
+    # (first streamed batch must append)
+    pending = os.path.join(work_dir, "bootstrap_pending")
+
+    def sink(batch_df, batch_id: int) -> None:
+        man_path = os.path.join(idx_dir, SHARD_MANIFEST)
+        if not os.path.exists(man_path):
+            with open(pending, "w") as f:
+                f.write(str(int(batch_id)))
+            build_sharded_index(spark, batch_df, idx_dir, num_shards=1,
+                                config=cfg)
+            _write_marker(batch_id)
+            os.remove(pending)
+            return
+        sidx = ShardedIndex(spark, idx_dir)
+        if "stream_last_batch" not in sidx.manifest and \
+                os.path.exists(pending):
+            # crashed bootstrap: the index was built from THIS batch
+            # (build_sharded_index is itself resumable); finish the marker
+            build_sharded_index(spark, batch_df, idx_dir, num_shards=1,
+                                config=cfg)
+            _write_marker(batch_id)
+            os.remove(pending)
+            return
+        if int(batch_id) <= int(sidx.manifest.get("stream_last_batch", -1)):
+            return  # retried batch: epoch already committed atomically
+        append_docs(spark, sidx, batch_df, config=cfg,
+                    extra_manifest={"stream_last_batch": int(batch_id)})
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation",
+                      os.path.join(work_dir, "checkpoint")))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return ShardedIndex(spark, idx_dir)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # stream_sessionize — custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
