@@ -854,6 +854,112 @@ ORDER BY 1, 2
 """
 
 
+# multi-term highlight workload: distinct-term queries of mixed
+# selectivity (head pairs, a mid trio, a tail pair)
+HL_SPECS: list[list[int]] = [[0, 3], [1, 2, 5], [7, 30], [0, 1, 3]]
+HL_K = 5
+HL_WIDTH = 8
+
+
+def _entry_search_highlight(spark, sf_dir):
+    """Multi-term best-fragment highlighting (the Lucene unified
+    highlighter contract, r3 VERDICT item 8): BM25 top-5 per query
+    (quantized-integer rank), then per hit the 8-token window covering
+    the most DISTINCT query terms (ties: occurrences, then start) from
+    the POSITIONAL index, sliced JVM-side from the source documents
+    (queries.run_highlight_queries)."""
+    from dint_spark.queries import run_highlight_queries
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    return (run_highlight_queries(
+        spark, idx, _documents(spark, sf_dir), HL_SPECS, k=HL_K,
+        width=HL_WIDTH).orderBy("query_id", "rank"))
+
+
+def _highlight_sql() -> str:
+    qvals = ", ".join(f"({qi}, {t}, 1)" for qi, ts in enumerate(HL_SPECS)
+                      for t in ts)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_ord
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks_ord GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         avg(len) AS avg_len FROM dl
+),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+qs(query_id, term_id, qf) AS (VALUES {qvals}),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         sum(
+           qs.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM qs
+  JOIN vocab v ON v.term_id = qs.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, rank, doc_id, score_q FROM (
+    SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY floor(score * 1e9) DESC, doc_id ASC)::INT AS rank
+    FROM scored
+  ) WHERE rank <= {HL_K}
+),
+occ AS (
+  SELECT c.query_id, c.doc_id, t.pos, v.term_id
+  FROM cand c
+  JOIN qs q ON q.query_id = c.query_id
+  JOIN vocab v ON v.term_id = q.term_id
+  JOIN toks_ord t ON t.doc_id = c.doc_id AND t.term = v.term
+),
+win AS (
+  SELECT o1.query_id, o1.doc_id, o1.pos AS start,
+         count(DISTINCT o2.term_id) AS n_terms, count(*) AS n_hits
+  FROM occ o1
+  JOIN occ o2 ON o2.query_id = o1.query_id AND o2.doc_id = o1.doc_id
+             AND o2.pos >= o1.pos AND o2.pos < o1.pos + {HL_WIDTH}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, start, n_terms, n_hits FROM (
+    SELECT query_id, doc_id, start, n_terms, n_hits,
+           row_number() OVER (PARTITION BY query_id, doc_id
+             ORDER BY n_terms DESC, n_hits DESC, start ASC) AS bn
+    FROM win
+  ) WHERE bn = 1
+)
+SELECT c.query_id, c.rank, c.doc_id, c.score_q, b.start,
+       b.n_terms::INT AS n_terms, b.n_hits::INT AS n_hits,
+       (SELECT string_agg(t.term, ' ' ORDER BY t.pos) FROM toks_ord t
+        WHERE t.doc_id = b.doc_id AND t.pos >= b.start
+          AND t.pos < b.start + {HL_WIDTH}) AS snippet
+FROM cand c JOIN best b ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+ORDER BY 1, 2
+"""
+
+
 def _get_deleted_index(spark, sf_dir):
     """Base-config index with doc_id % 7 == 3 tombstoned. delete_docs is
     idempotent, so re-entering on the cached index appends nothing."""
@@ -1053,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_merged": _entry_bm25_merged,
         "bm25_after_compact": _entry_bm25_after_compact,
         "kwic_snippets": _entry_kwic_snippets,
+        "search_highlight": _entry_search_highlight,
         "search_rank_eval": _entry_search_rank_eval,
     }
     from dint_spark.ops import entries as ops_entries
@@ -3432,6 +3539,7 @@ FROM tf GROUP BY term ORDER BY term
         # compacted: every CTE over the surviving corpus, ids re-ranked
         "bm25_after_compact": _topk_or_sql(prelude=_PRELUDE_LIVE),
         "kwic_snippets": _KWIC_SQL,
+        "search_highlight": _highlight_sql(),
     }
     from dint_spark.ops import entries as ops_entries
 

@@ -34,7 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2479,6 +2479,147 @@ def run_kwic_queries(spark: SparkSession, index, docs: DataFrame,
         F.concat_ws(" ", F.slice(
             "tokens", lo, F.col("pos") + 1 + width - lo + 1)).alias("snippet"),
     )
+
+
+HIGHLIGHT_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("start", T.LongType(), False),
+    T.StructField("n_terms", T.IntegerType(), False),
+    T.StructField("n_hits", T.IntegerType(), False),
+])
+
+
+def run_highlight_queries(spark: SparkSession, index, docs: DataFrame,
+                          queries: list, k: int = 10, width: int = 8,
+                          algo: str = "block_max_wand_vec",
+                          dtype: str = "float64",
+                          quant: float = 1e9) -> DataFrame:
+    """Multi-term best-fragment highlighting — the Lucene (unified)
+    highlighter contract generalizing run_kwic_queries from
+    first-occurrence-of-one-term to best-window-of-a-query: per query,
+    retrieve the top-``k`` docs (BM25, floor(score*quant) integer
+    selection — the paging/bool reproducibility contract), then for each
+    hit pick the ``width``-token window covering the MOST DISTINCT query
+    terms (ties: most total occurrences, then smallest start). Candidate
+    windows anchor at query-term occurrences [p, p+width) — the optimal
+    window is always anchored at one, so the scan is exact.
+
+    Returns (query_id, rank, doc_id, score_q, start, n_terms, n_hits,
+    snippet), one row per hit. Plan shape: retrieval is the standard
+    kernel; the occurrence pass rides the phrase path's pruned positional
+    scan with one applyInPandas group per query (the per-term decode LRU
+    amortizes head terms), restricted to the |Q| x k candidate docs
+    BEFORE any window work — at any corpus size the window scan touches
+    only result-page docs, the cost class of rendering the page. The
+    snippet slice is JVM-side on the hit-joined documents stream (no
+    text enters Python). No reference counterpart (the reference stops
+    at ranked retrieval); Lucene parity scope."""
+    from dint_spark.tokenizer import tokenize
+
+    if not getattr(index, "has_positions", False):
+        raise ValueError("run_highlight_queries requires an index built "
+                         "with IndexConfig(positions=True)")
+    # ---- retrieval: quantized-integer top-k (fetch deep, re-rank) ----------
+    raw = run_queries(spark, index, queries, algo=algo, k=max(10 * k, k),
+                      dtype=dtype)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    cand = (raw.withColumn(
+                "score_q", F.floor(F.col("score") * quant).cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "score_q"))
+    cand_rows = cand.collect()  # |Q| x k rows — driver-tiny by contract
+    cand_map: dict[int, np.ndarray] = {}
+    for r in cand_rows:
+        cand_map.setdefault(int(r["query_id"]), []).append(int(r["doc_id"]))
+    cand_map = {q: np.sort(np.asarray(d, dtype=np.int64))
+                for q, d in cand_map.items()}
+
+    # ---- occurrences of the query's DISTINCT terms in candidate docs -------
+    qt_rows = sorted({(qid, int(t)) for qid, ts in enumerate(queries)
+                      for t in ts})
+    local_terms = sorted({t for _, t in qt_rows})
+    qdf = spark.createDataFrame(
+        qt_rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term_id", T.LongType(), False),
+        ]))
+    segs = _pruned_segments(index, qdf, local_terms).select(
+        "term_id", "seg_id", "n", "block_maxs", "endpoints", "freq_offsets",
+        "payload", "pos_payload", "pos_endpoints")
+    joined = qdf.join(segs, "term_id").repartition(
+        spark.sparkContext.defaultParallelism * 2, "query_id")
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+    cand_bc = spark.sparkContext.broadcast(cand_map)
+    W = int(width)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "doc_id", "start", "n_terms", "n_hits"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cdocs = cand_bc.value.get(qid)
+        if cdocs is None or not len(cdocs):
+            return pd.DataFrame(columns=cols)
+        key_parts, term_parts = [], []
+        for tid, sub in pdf.groupby("term_id"):
+            keys = _term_occurrence_keys(
+                sub.drop_duplicates(subset=["seg_id"]),
+                docs_dict_bc.value, freqs_dict_bc.value, pos_dict_bc.value)
+            if not len(keys):
+                continue
+            # keep only candidate docs: each doc's keys are one
+            # contiguous sorted run [doc<<32, (doc+1)<<32)
+            lo = np.searchsorted(keys, cdocs.astype(np.uint64) << _POS_SHIFT)
+            hi = np.searchsorted(
+                keys, (cdocs + 1).astype(np.uint64) << _POS_SHIFT)
+            take = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi)]) \
+                if len(cdocs) else np.empty(0, dtype=np.int64)
+            if not len(take):
+                continue
+            key_parts.append(keys[take])
+            term_parts.append(np.full(len(take), int(tid), dtype=np.int64))
+        if not key_parts:
+            return pd.DataFrame(columns=cols)
+        keys = np.concatenate(key_parts)
+        terms_l = np.concatenate(term_parts)
+        order = np.argsort(keys, kind="stable")
+        keys, terms_l = keys[order], terms_l[order]
+        d = (keys >> _POS_SHIFT).astype(np.int64)
+        p = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        out = []
+        doc_starts = np.r_[0, np.flatnonzero(np.diff(d)) + 1, len(d)]
+        for s, e in zip(doc_starts[:-1], doc_starts[1:]):
+            pos, tl = p[s:e], terms_l[s:e]
+            ends = np.searchsorted(pos, pos + W)
+            best = (-1, -1, 1)
+            for i in range(len(pos)):
+                j = int(ends[i])
+                nt = len(set(tl[i:j].tolist()))
+                score = (nt, j - i, -int(pos[i]))
+                if score > best:
+                    best = score
+            out.append((qid, int(d[s]), -best[2], best[0], best[1]))
+        return pd.DataFrame(out, columns=cols)
+
+    hl = joined.groupBy("query_id").applyInPandas(run_one, HIGHLIGHT_SCHEMA)
+    hit_docs = tokenize(
+        hl.join(cand, ["query_id", "doc_id"])
+          .join(docs.select("doc_id", "text"), "doc_id"))
+    return hit_docs.select(
+        "query_id", "rank", "doc_id", "score_q", "start",
+        "n_terms", "n_hits",
+        F.concat_ws(" ", F.slice("tokens", F.col("start") + 1, W))
+        .alias("snippet"))
 
 
 def run_phrase_queries(spark: SparkSession, index, phrases: list,
