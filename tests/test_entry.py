@@ -91,10 +91,13 @@ def test_every_query_has_oracle_or_is_declared(entry_mod):
 
 
 @pytest.mark.parametrize("name", SUBSET)
-def test_gate_subset_sf0001(spark, entry_mod, name):
+def test_gate_subset_sf0001(spark, entry_mod, name, monkeypatch):
     if not os.path.isdir(SF):
         pytest.skip("driver testdata missing")
     con = duck_con(SF)
+    # data-dependent oracles (suggest_phrase's injected qlp VALUES)
+    # must generate against THIS test's corpus, not the driver's sf0.01
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF)
     r = compare_entry(spark, con, name, entry_mod.queries()[name],
                       entry_mod.oracle_sql()[name], SF)
     assert r["cols_match"], (r["spark_cols"], r["duck_cols"])
