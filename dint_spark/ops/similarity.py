@@ -414,11 +414,142 @@ def _ivf_search(eqs: DataFrame, cents, nprobe: int = NPROBE) -> DataFrame:
     )
 
 
+def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
+                        oversample: float = 2.0,
+                        lloyd_iters: int = 5) -> DataFrame:
+    """Deterministic k-means|| (scalable k-means++, Bahmani et al.
+    VLDB'12) initialization for the IVF coarse quantizer — the
+    10^9-vector init path: instead of nlist SEQUENTIAL k-means++ draws
+    (nlist cluster-wide round trips), each of ``rounds`` passes samples
+    ~oversample*nlist candidates IN PARALLEL with probability
+    proportional to each vector's distance to the current candidate
+    set; the ~rounds*oversample*nlist surviving candidates, weighted by
+    how many vectors they attract, then reduce to exactly ``nlist``
+    centroids with weighted k-means++ + Lloyd DRIVER-SIDE (the
+    candidate set is tiny by construction — never the corpus).
+
+    Determinism (the oracle-less gate contract): the paper's uniform
+    variate is xxhash64(vec_id)/2^31 — data-determined, so the same
+    corpus always yields the same candidates — and the driver-side
+    reduction runs a fixed-seed generator over cent_id-sorted inputs.
+    Distance is quantized cosine distance (1e6 - cos_q), the same
+    metric the downstream assignment uses.
+
+    Scale shape per round: one broadcast nested loop over the candidate
+    set (map-side), one partially-aggregated max per vector (the
+    _assign_cells exchange bound: ~n slim rows), one scalar sum, one
+    collect of ~oversample*nlist candidate rows. No window, never an
+    n x nlist shuffle, nothing corpus-sized on the driver.
+    """
+    import numpy as np
+
+    spark = eqs.sparkSession
+    Q = 1_000_000
+
+    def _cdf(rs):
+        return spark.createDataFrame(
+            [(int(r["cent_id"]), list(r["c_eq"]), int(r["c_n2"]))
+             for r in rs],
+            "cent_id long, c_eq array<long>, c_n2 long")
+
+    rows = (eqs.orderBy("vec_id").limit(1)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("eq").alias("c_eq"),
+                    F.col("n2").alias("c_n2")).collect())
+    ell = float(oversample) * nlist
+    for _ in range(rounds):
+        mind = (_scored_cents(eqs, F.broadcast(_cdf(rows)), "eq", "n2")
+                .groupBy("vec_id")
+                .agg((F.lit(Q) - F.max("__cos_q")).alias("d2"),
+                     F.first("eq").alias("eq"),
+                     F.first("n2").alias("n2")))
+        tot = mind.agg(
+            F.sum(F.col("d2").cast("double")).alias("s")).collect()[0]["s"]
+        if not tot:
+            break  # every vector coincides with a candidate
+        u = (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1 << 31))
+             .cast("double") / float(1 << 31))
+        picked = (mind.where(u < F.lit(ell) * F.col("d2").cast("double")
+                             / F.lit(float(tot)))
+                  .select(F.col("vec_id").alias("cent_id"),
+                          F.col("eq").alias("c_eq"),
+                          F.col("n2").alias("c_n2")).collect())
+        seen = {int(r["cent_id"]) for r in rows}
+        rows += sorted((r for r in picked
+                        if int(r["cent_id"]) not in seen),
+                       key=lambda r: int(r["cent_id"]))
+    # ---- weights: how many vectors each candidate attracts ----------------
+    rows = sorted(rows, key=lambda r: int(r["cent_id"]))
+    wrows = (_assign_cells(eqs, F.broadcast(_cdf(rows)),
+                           "vec_id", "eq", "n2")
+             .groupBy("cell").count().collect())
+    wmap = {int(r["cell"]): int(r["count"]) for r in wrows}
+    C = np.array([[int(x) for x in r["c_eq"]] for r in rows],
+                 dtype=np.float64)
+    w = np.array([wmap.get(int(r["cent_id"]), 0) for r in rows],
+                 dtype=np.float64)
+    keep = w > 0
+    C, w = C[keep], w[keep]
+    if len(C) <= nlist:
+        return _cdf([r for r, kp in zip(rows, keep) if kp] or rows)
+    # ---- driver-side weighted k-means++ then weighted Lloyd ---------------
+    rng = np.random.default_rng(0)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    centers = [int(np.argmax(w))]
+    d2 = 1.0 - Cn @ Cn[centers[0]]
+    while len(centers) < nlist:
+        p = w * np.maximum(d2, 0.0)
+        s = p.sum()
+        if s <= 0:
+            extra = [int(i) for i in np.argsort(-w)
+                     if int(i) not in set(centers)]
+            centers += extra[: nlist - len(centers)]
+            break
+        nxt = int(rng.choice(len(C), p=p / s))
+        if nxt not in centers:
+            centers.append(nxt)
+        d2 = np.minimum(d2, 1.0 - Cn @ Cn[nxt])
+    M = C[np.asarray(centers[:nlist])].copy()
+    for _ in range(lloyd_iters):
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(Cn @ Mn.T, axis=1)
+        for j in range(len(M)):
+            sel = a == j
+            if w[sel].sum() > 0:
+                M[j] = (C[sel] * w[sel, None]).sum(0) / w[sel].sum()
+    M = np.floor(M).astype(np.int64)
+    return _cdf([
+        {"cent_id": j, "c_eq": [int(x) for x in M[j]],
+         "c_n2": int((M[j].astype(np.float64) ** 2).sum())}
+        for j in range(len(M))])
+
+
+def ivf_seed_centroids(eqs: DataFrame, cent_mod: int = CENT_MOD,
+                       init: str = "mod") -> DataFrame:
+    """The coarse quantizer's INITIAL centroid table: ``init="mod"`` is
+    the deterministic modulo seed (nlist ~ n/cent_mod rows, zero extra
+    passes); ``init="kmeans_par"`` runs the k-means|| parallel sampler
+    (ivf_init_kmeans_par) at the same nlist — the 10^9-vector init that
+    replaces nlist sequential k-means++ draws with a few
+    whole-corpus-parallel rounds."""
+    if init == "kmeans_par":
+        nlist = max(1, eqs.where(F.col("vec_id") % cent_mod == 1).count())
+        return ivf_init_kmeans_par(eqs, nlist)
+    return eqs.where(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("eq").alias("c_eq"),
+        F.col("n2").alias("c_n2"),
+    )
+
+
 def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
-                        cent_mod: int = CENT_MOD) -> DataFrame:
+                        cent_mod: int = CENT_MOD,
+                        init: str = "mod") -> DataFrame:
     """Lloyd (k-means) refinement of the IVF coarse quantizer.
 
-    Starts from the deterministic modulo seeds and runs ``iters`` rounds
+    Starts from deterministic seeds (``init``: modulo sample, or the
+    k-means|| parallel-sampling init — ivf_seed_centroids) and runs
+    ``iters`` rounds
     of (assign -> per-cell mean). Every shape is already proven in this
     file at scale: assignment is the broadcast-score + map-side max_by
     argmax of _assign_cells (ONE shuffle of n rows per round), and the
@@ -439,11 +570,7 @@ def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
     assignment of the full corpus stays exact either way.
     """
     spark = eqs.sparkSession
-    cents = eqs.where(F.col("vec_id") % cent_mod == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("eq").alias("c_eq"),
-        F.col("n2").alias("c_n2"),
-    )
+    cents = ivf_seed_centroids(eqs, cent_mod=cent_mod, init=init)
     avgs = [F.avg(F.element_at("eq", d + 1)).alias(f"m{d}")
             for d in range(DIM)]
     new_eq = F.array(*[F.floor(F.col(f"m{d}")).cast("long")
@@ -468,7 +595,7 @@ def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
 
 
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str,
-                         iters: int = 2) -> DataFrame:
+                         iters: int = 2, init: str = "mod") -> DataFrame:
     """ann_ivf_topk with k-means-refined centroids (ivf_train_centroids).
 
     Same probe/re-rank plan as ann_ivf_topk; only the centroid table
@@ -478,7 +605,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str,
     strictly above the static-quantizer floor on a clustered fixture, and
     determinism across runs)."""
     eqs = _emb_q(spark, sf_dir).cache()
-    cents = F.broadcast(ivf_train_centroids(eqs, iters=iters))
+    cents = F.broadcast(ivf_train_centroids(eqs, iters=iters, init=init))
     return _ivf_search(eqs, cents)
 
 

@@ -67,3 +67,21 @@ def _topk_sets_rows(rows) -> dict:
     for r in rows:
         out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
     return out
+
+
+def test_kmeans_par_init_beats_static_and_is_deterministic(spark, tmp_path):
+    """The k-means|| parallel-sampling init (the 10^9-vector path —
+    replaces nlist sequential k-means++ draws with a few whole-corpus
+    rounds): on the clustered fixture, trained recall from the
+    kmeans_par init must beat the static quantizer and be deterministic
+    across runs (hash-variate sampling + fixed-seed driver reduction)."""
+    sf = _write_clustered_embeddings(spark, tmp_path)
+    exact = _topk_sets(ann_cosine_topk(spark, sf))
+    static = _recall(_topk_sets(ann_ivf_topk(spark, sf)), exact)
+    t1 = ann_ivf_trained_topk(spark, sf, init="kmeans_par").collect()
+    trained = _recall(_topk_sets_rows(t1), exact)
+    assert trained > static, (trained, static)
+    assert trained >= 0.95
+    t2 = ann_ivf_trained_topk(spark, sf, init="kmeans_par").collect()
+    assert sorted(map(tuple, t1), key=lambda t: t[:2]) == sorted(
+        map(tuple, t2), key=lambda t: t[:2])
