@@ -385,3 +385,45 @@ def test_phrase_ranked_scores_and_served_path(spark, pos_index):
     bf = fs.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert af.equals(bf)
     srv.close()
+
+
+def test_highlight_window_law_bruteforce(spark, tmp_path):
+    """run_highlight_queries' chosen window must be THE optimum over all
+    anchored windows by (distinct terms desc, hits desc, start asc), and
+    the snippet must be the exact token slice — verified against a pure
+    pandas brute force over the tokenized corpus."""
+    import re
+
+    import numpy as np
+
+    from dint_spark.corpus import generate_pages
+    from dint_spark.index import IndexConfig, build_index
+    from dint_spark.queries import run_highlight_queries
+
+    pages = generate_pages(spark, 150, seed=55)
+    d = str(tmp_path / "hl")
+    idx = build_index(spark, pages, d, IndexConfig(
+        num_buckets=2, input_tag="hl150", positions=True))
+    docs = (pages.toPandas().sort_values("url").reset_index(drop=True)
+            .reset_index().rename(columns={"index": "doc_id"}))
+    sdocs = spark.createDataFrame(docs[["doc_id", "text"]])
+    vocab = idx.vocab().toPandas().sort_values("term_id")
+    W = 6
+    specs = [[0, 1], [2, 5, 9], [3], [0, 2, 4, 8]]
+    res = (run_highlight_queries(spark, idx, sdocs, specs, k=5, width=W)
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    assert len(res)
+    id2t = dict(zip(vocab.term_id.astype(int), vocab.term))
+    toks_by_doc = {int(r.doc_id): [t for t in re.split(
+        "[^0-9a-z]+", r.text.lower()) if t] for r in docs.itertuples()}
+    for r in res.itertuples():
+        toks = toks_by_doc[int(r.doc_id)]
+        qterms = {id2t[t] for t in specs[int(r.query_id)]}
+        occ = [i for i, t in enumerate(toks) if t in qterms]
+        assert occ, "a BM25 hit must contain a query term"
+        best = max(
+            ((len({toks[j] for j in occ if p <= j < p + W}),
+              sum(1 for j in occ if p <= j < p + W), -p) for p in occ))
+        assert (int(r.n_terms), int(r.n_hits), -int(r.start)) == best, r
+        assert r.snippet == " ".join(toks[int(r.start):int(r.start) + W])
