@@ -1120,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_extended_stats": _entry_search_extended_stats,
         "search_percentiles": _entry_search_percentiles,
         "search_boosted": _entry_search_boosted,
+        "search_decay": _entry_search_decay,
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
@@ -2014,6 +2015,26 @@ def _entry_search_boosted(spark, sf_dir):
     return run_boosted_queries(spark, idx, QUERY_SPECS, vals,
                                factor=BOOST_FACTOR, k=TOPK,
                                dtype="float64")
+
+
+DECAY_ORIGIN = 300   # n_chars sweet spot (corpus spans ~48..558)
+DECAY_SCALE = 150
+DECAY_RATE = 0.5
+
+
+def _entry_search_decay(spark, sf_dir):
+    """ES function_score GAUSS decay on n_chars (the recency/
+    geo-proximity shape): BM25 * exp(-(|n_chars-300|)^2 * ln(2)/150^2),
+    so the multiplier halves at distance 150 from the origin; missing
+    values neutral (facets.run_decay_queries)."""
+    from dint_spark.facets import build_doc_values, run_decay_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_decay_queries(spark, idx, QUERY_SPECS, vals,
+                             origin=DECAY_ORIGIN, scale=DECAY_SCALE,
+                             decay=DECAY_RATE, k=TOPK, dtype="float64")
 
 
 def _rank_eval_oracle() -> str:
@@ -3020,6 +3041,31 @@ ORDER BY 1, 2
 )
 
 
+def _decay_sql() -> str:
+    # lam computed HERE with numpy so the literal in the SQL is the
+    # bit-identical double the kernel uses (both sides then call their
+    # own exp — the same cross-engine libm convention as the ln-based
+    # BM25 oracles)
+    import numpy as np
+    lam = repr(float(-np.log(DECAY_RATE) / (DECAY_SCALE ** 2)))
+    m = (f"(CASE WHEN d.n_chars IS NULL THEN 1.0 "
+         f"ELSE exp(-((abs(d.n_chars - {DECAY_ORIGIN}))^2) * {lam}) END)")
+    return (
+        _PRELUDE + _SCORED + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT s.query_id, s.doc_id,
+         floor(s.score * {m} * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY floor(s.score * {m} * 1e9) DESC, s.doc_id ASC
+         )::INT AS rank
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
 def _multi_match_sql() -> str:
     """Oracle for multi_match best_fields: per-field tf/len/df/avg CTEs
     (title = first MM_TITLE_N tokens, body = rest), per-field BM25,
@@ -3490,6 +3536,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_extended_stats": _XSTATS_SQL,
         "search_percentiles": _PCT_SQL,
         "search_boosted": _BOOSTED_SQL,
+        "search_decay": _decay_sql(),
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),

@@ -785,6 +785,54 @@ def run_boosted_queries(
     value lookup in-kernel; the i64 doc-values sidecar ships once per
     worker. Only |queries| x k rows leave. Returns
     (query_id, rank, doc_id, score_q)."""
+    fac = float(factor)
+
+    def mult_fn(v: np.ndarray) -> np.ndarray:
+        return np.log1p(fac * v.astype(np.float64))
+
+    return _function_score_queries(spark, index, queries, values, mult_fn,
+                                   k=k, dtype=dtype, quant=quant,
+                                   doc_filter=doc_filter)
+
+
+def run_decay_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    origin: float, scale: float, decay: float = 0.5, offset: float = 0.0,
+    k: int = 10, dtype: str = "float64", quant: float = 1e9,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """ES ``function_score`` GAUSS decay (the recency/geo-proximity
+    shape): every matched doc's BM25 score is multiplied by
+    exp(-max(0, |value - origin| - offset)^2 / (2 sigma^2)) with
+    sigma^2 = -scale^2 / (2 ln(decay)) — so the multiplier is exactly
+    ``decay`` at distance ``scale`` past the offset, the documented ES
+    parameterization. Missing-value docs take the NEUTRAL multiplier
+    1.0 (the ES ``missing`` default). Same kernel as
+    run_boosted_queries; only the vectorized multiplier differs."""
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    lam = -np.log(decay) / (float(scale) ** 2)  # 1/(2 sigma^2)
+    org, off = float(origin), float(offset)
+
+    def mult_fn(v: np.ndarray) -> np.ndarray:
+        d = np.maximum(np.abs(v.astype(np.float64) - org) - off, 0.0)
+        return np.exp(-(d * d) * lam)
+
+    return _function_score_queries(spark, index, queries, values, mult_fn,
+                                   k=k, dtype=dtype, quant=quant,
+                                   doc_filter=doc_filter)
+
+
+def _function_score_queries(
+    spark: SparkSession, index, queries, values: np.ndarray, mult_fn,
+    k: int = 10, dtype: str = "float64", quant: float = 1e9,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """Shared function-score kernel: one exact BM25 pass over the full
+    match set (queries.matched_scores), one vectorized doc-value lookup,
+    ``mult_fn(values) -> multipliers`` applied in-kernel (missing values
+    always map to the neutral 1.0 BEFORE mult_fn sees them), quantized
+    integer selection. Only |queries| x k rows leave the workers."""
     from dint_spark.queries import kernel_query_join, matched_scores
 
     num_docs = index.num_docs
@@ -802,7 +850,6 @@ def run_boosted_queries(
     tomb_bc = _live_bc(spark, index, doc_filter)
     vals_bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(values, dtype=np.int64))
-    fac = float(factor)
     joined = kernel_query_join(spark, index, queries)
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -818,8 +865,10 @@ def run_boosted_queries(
         if not len(docs):
             return pd.DataFrame(columns=cols)
         v = vals_bc.value[docs]
-        mult = np.where(v == _DV_MISSING, 1.0,
-                        np.log1p(fac * v.astype(np.float64)))
+        mult = np.ones(len(v), dtype=np.float64)
+        valued = v != _DV_MISSING
+        if valued.any():  # mult_fn never sees the missing sentinel
+            mult[valued] = mult_fn(v[valued])
         sq = np.floor(scores.astype(np.float64) * mult
                       * quant).astype(np.int64)
         if len(docs) > 4 * k and k > 0:
