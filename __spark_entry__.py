@@ -1161,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_compact": _entry_bm25_after_compact,
         "kwic_snippets": _entry_kwic_snippets,
         "search_highlight": _entry_search_highlight,
+        "search_span_near": _entry_search_span_near,
         "search_rank_eval": _entry_search_rank_eval,
     }
     from dint_spark.ops import entries as ops_entries
@@ -1347,6 +1348,75 @@ occ AS (
 )
 SELECT phrase_id, doc_id, count(*)::BIGINT AS phrase_tf
 FROM occ GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# span_near workload: ordered pairs both ways, trigrams, a rare tail pair
+SPAN_SPECS: list[list[int]] = [[0, 1], [1, 0], [2, 5, 9], [0, 3, 7],
+                               [30, 29]]
+SPAN_SLOP = 3
+
+
+def _entry_search_span_near(spark, sf_dir):
+    """ES span_near (in_order: true, slop) over single-term clauses:
+    docs where all terms appear in order with total intervening slack
+    <= 3, with the greedy-minimal span count per doc — between exact
+    phrase and bag-of-words (queries.run_span_near_queries)."""
+    from dint_spark.queries import run_span_near_queries
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    return (run_span_near_queries(spark, idx, SPAN_SPECS, slop=SPAN_SLOP)
+            .orderBy("query_id", "doc_id"))
+
+
+def _span_near_sql() -> str:
+    """Oracle: per query, chain each occurrence of term 1 to the
+    EARLIEST occurrence of each next term strictly after the previous
+    (min-aggregate per chain prefix — the greedy-minimal completion),
+    then keep chains with end - start - (k-1) <= slop and count per
+    doc. Token ordinals from the positional prelude."""
+    parts = []
+    for qid, terms in enumerate(SPAN_SPECS):
+        k = len(terms)
+        prev = (f"(SELECT doc_id, pos AS p1 FROM occ "
+                f"WHERE term_id = {terms[0]})")
+        for i, t in enumerate(terms[1:], start=2):
+            cols = ", ".join(f"c.p{j}" for j in range(1, i))
+            prev = (f"(SELECT c.doc_id, {cols}, min(o.pos) AS p{i} "
+                    f"FROM {prev} c JOIN occ o ON o.doc_id = c.doc_id "
+                    f"AND o.term_id = {t} AND o.pos > c.p{i - 1} "
+                    f"GROUP BY c.doc_id, {cols})")
+        parts.append(
+            f"SELECT {qid} AS query_id, doc_id, count(*)::BIGINT AS "
+            f"n_spans FROM {prev} "
+            f"WHERE p{k} - p1 - {k - 1} <= {SPAN_SLOP} GROUP BY 2")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_ord GROUP BY 1, 2),
+vocab AS (
+  SELECT term,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+occ AS (
+  SELECT t.doc_id, t.pos, v.term_id
+  FROM toks_ord t JOIN vocab v ON v.term = t.term
+  WHERE v.term_id IN ({", ".join(str(t) for ts in SPAN_SPECS
+                                 for t in ts)})
+)
+{" UNION ALL ".join(parts)}
+ORDER BY 1, 2
 """
 
 
@@ -3587,6 +3657,7 @@ FROM tf GROUP BY term ORDER BY term
         "bm25_after_compact": _topk_or_sql(prelude=_PRELUDE_LIVE),
         "kwic_snippets": _KWIC_SQL,
         "search_highlight": _highlight_sql(),
+        "search_span_near": _span_near_sql(),
     }
     from dint_spark.ops import entries as ops_entries
 

@@ -2622,6 +2622,112 @@ def run_highlight_queries(spark: SparkSession, index, docs: DataFrame,
         .alias("snippet"))
 
 
+def span_near_kernel(term_keys: list[np.ndarray], slop: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered span matching with slop (the ES/Lucene ``span_near``
+    in_order=true contract over single-term clauses): a span starts at
+    an occurrence p of term 1 and GREEDILY chains to the earliest
+    occurrence of each next term strictly after the previous one; the
+    start matches iff the chain stays in the doc and its total
+    intervening slack (end - start - (k-1)) is <= ``slop``. Greedy
+    minimal ends make the match set well-defined and deterministic
+    (the earliest completion minimizes the slack, so greedy is exact).
+
+    term_keys[i]: term i's sorted (doc<<32|pos) occurrence keys. Each
+    chain step is ONE searchsorted over the next term's keys — no
+    per-doc loops; slop never escapes the doc because positions are
+    < 2^32. Returns (doc_ids, span_counts) over matching docs."""
+    K0 = term_keys[0]
+    K = K0
+    ok = np.ones(len(K0), dtype=bool)
+    for nxt in term_keys[1:]:
+        idx = np.searchsorted(nxt, K, side="right")
+        valid = idx < len(nxt)
+        ok &= valid
+        K = nxt[np.minimum(idx, len(nxt) - 1)]
+    k = len(term_keys)
+    same_doc = (K >> _POS_SHIFT) == (K0 >> _POS_SHIFT)
+    slack = (K & np.uint64(0xFFFFFFFF)).astype(np.int64) \
+        - (K0 & np.uint64(0xFFFFFFFF)).astype(np.int64) - (k - 1)
+    hit = ok & same_doc & (slack <= slop)
+    docs = (K0[hit] >> _POS_SHIFT).astype(np.int64)
+    d, c = np.unique(docs, return_counts=True)
+    return d, c.astype(np.int64)
+
+
+def run_span_near_queries(spark: SparkSession, index, phrases: list,
+                          slop: int = 2,
+                          doc_filter: DocMask | None = None) -> DataFrame:
+    """Distributed ordered span_near retrieval over a positional index
+    (the ES ``span_near`` query with ``in_order: true`` over single-term
+    clauses — between exact phrase (slop=0 on consecutive terms is
+    stricter: it also forbids gaps INSIDE the window) and bag-of-words).
+
+    ``phrases``: term_id sequences. Returns (query_id, doc_id, n_spans)
+    for every doc containing all terms in order within total slack
+    ``slop`` (span_near_kernel). Plan shape identical to
+    run_phrase_queries: pruned positional scan, one applyInPandas group
+    per query, the worker decode LRU shared with phrase/KWIC/highlight;
+    only matching (doc, count) rows leave the workers."""
+    if not getattr(index, "has_positions", False):
+        raise ValueError("run_span_near_queries requires an index built "
+                         "with IndexConfig(positions=True)")
+    qt_rows = sorted({(qid, int(t)) for qid, ts in enumerate(phrases)
+                      for t in ts})
+    local_terms = sorted({t for _, t in qt_rows})
+    qdf = spark.createDataFrame(
+        qt_rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term_id", T.LongType(), False),
+        ]))
+    segs = _pruned_segments(index, qdf, local_terms).select(
+        "term_id", "seg_id", "n", "block_maxs", "endpoints", "freq_offsets",
+        "payload", "pos_payload", "pos_endpoints")
+    joined = qdf.join(segs, "term_id").repartition(
+        spark.sparkContext.defaultParallelism * 2, "query_id")
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    pos_dict_bc = spark.sparkContext.broadcast(index.pos_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    phrase_bc = spark.sparkContext.broadcast(
+        {qid: [int(t) for t in ts] for qid, ts in enumerate(phrases)})
+    sl = int(slop)
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_spans", T.LongType(), False),
+    ])
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "doc_id", "n_spans"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        seq = phrase_bc.value[qid]
+        by_term = {int(t): sub for t, sub in pdf.groupby("term_id")}
+        term_keys = []
+        for t in seq:
+            sub = by_term.get(int(t))
+            if sub is None:
+                return pd.DataFrame(columns=cols)  # absent term: no doc
+            term_keys.append(_term_occurrence_keys(
+                sub.drop_duplicates(subset=["seg_id"]),
+                docs_dict_bc.value, freqs_dict_bc.value,
+                pos_dict_bc.value))
+        if any(not len(k) for k in term_keys):
+            return pd.DataFrame(columns=cols)
+        d, c = span_near_kernel(term_keys, sl)
+        if tomb_bc is not None and len(d):
+            keep = tomb_bc.value.mask[d]
+            d, c = d[keep], c[keep]
+        return pd.DataFrame({"query_id": qid, "doc_id": d, "n_spans": c})
+
+    return joined.groupBy("query_id").applyInPandas(run_one, schema)
+
+
 def run_phrase_queries(spark: SparkSession, index, phrases: list,
                        doc_filter: DocMask | None = None) -> DataFrame:
     """Distributed exact-phrase retrieval over a positional index.

@@ -427,3 +427,51 @@ def test_highlight_window_law_bruteforce(spark, tmp_path):
               sum(1 for j in occ if p <= j < p + W), -p) for p in occ))
         assert (int(r.n_terms), int(r.n_hits), -int(r.start)) == best, r
         assert r.snippet == " ".join(toks[int(r.start):int(r.start) + W])
+
+
+def test_span_near_kernel_matches_bruteforce():
+    """span_near_kernel (greedy minimal ordered chains with slop) ==
+    a per-occurrence python brute force over random position sets,
+    including repeated terms and multi-doc keys."""
+    import numpy as np
+
+    from dint_spark.queries import span_near_kernel, _POS_SHIFT
+
+    rng = np.random.default_rng(3)
+    for trial in range(60):
+        k = int(rng.integers(2, 5))
+        slop = int(rng.integers(0, 5))
+        n_docs = int(rng.integers(1, 6))
+        occ = []  # per term: sorted (doc<<32|pos) keys
+        posmap = []
+        for _ in range(k):
+            keys = []
+            for d in range(n_docs):
+                ps = np.unique(rng.integers(0, 40,
+                                            size=rng.integers(0, 8)))
+                keys += [(d << 32) | int(p) for p in ps]
+            occ.append(np.array(sorted(keys), dtype=np.uint64))
+            posmap.append({d: sorted(int(kk & 0xFFFFFFFF)
+                                     for kk in keys if kk >> 32 == d)
+                           for d in range(n_docs)})
+        if any(not len(o) for o in occ):
+            continue
+        got_d, got_c = span_near_kernel(occ, slop)
+        got = dict(zip(got_d.tolist(), got_c.tolist()))
+        want: dict = {}
+        for d in range(n_docs):
+            cnt = 0
+            for p1 in posmap[0].get(d, []):
+                prev = p1
+                okc = True
+                for t in range(1, k):
+                    nxt = [q for q in posmap[t].get(d, []) if q > prev]
+                    if not nxt:
+                        okc = False
+                        break
+                    prev = nxt[0]
+                if okc and prev - p1 - (k - 1) <= slop:
+                    cnt += 1
+            if cnt:
+                want[d] = cnt
+        assert got == want, (trial, k, slop, got, want)
