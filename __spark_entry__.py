@@ -1121,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_percentiles": _entry_search_percentiles,
         "search_boosted": _entry_search_boosted,
         "search_decay": _entry_search_decay,
+        "search_cardinality": _entry_search_cardinality,
+        "search_terms_set": _entry_search_terms_set,
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
@@ -2085,6 +2087,87 @@ def _entry_search_boosted(spark, sf_dir):
     return run_boosted_queries(spark, idx, QUERY_SPECS, vals,
                                factor=BOOST_FACTOR, k=TOPK,
                                dtype="float64")
+
+
+def _entry_search_cardinality(spark, sf_dir):
+    """ES ``cardinality`` aggregation over the FULL match set, EXACT
+    (the corpus-level mergeable-HLL path is events_cardinality): per
+    AND query, matched-doc count + distinct n_chars values among
+    matched docs (facets.run_cardinality_queries)."""
+    from dint_spark.facets import build_doc_values, run_cardinality_queries
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_cardinality_queries(spark, idx, FACET_SPECS, vals,
+                                   mode="and")
+
+
+def _cardinality_sql() -> str:
+    # _FACET_MATCHED is defined later in the module; resolve at call time
+    return _FACET_MATCHED + """
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       count(DISTINCT d.n_chars)::BIGINT AS n_distinct
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# terms_set workload: 3-4 distinct terms per query; the per-doc required
+# count is the derived field n_chars % 3 + 1 (1..3 — the
+# minimum_should_match_field contract with a field that actually varies)
+TERMS_SET_SPECS: list[list[int]] = [[0, 1, 3], [2, 5, 7, 9], [1, 30, 4],
+                                    [0, 2, 6, 11]]
+
+
+def _entry_search_terms_set(spark, sf_dir):
+    """ES ``terms_set`` query (minimum_should_match_field): a doc
+    matches when it contains at least REQUIRED(doc) of the query's
+    terms, REQUIRED = n_chars % 3 + 1 per doc; score = BM25 over the
+    matched terms, quantized rank (bool_query.run_terms_set_queries)."""
+    from dint_spark.bool_query import run_terms_set_queries
+    from dint_spark.facets import build_doc_values
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir).withColumn(
+            "req", F.pmod("n_chars", F.lit(3)) + 1),
+        idx.num_docs, "req")
+    return run_terms_set_queries(spark, idx, TERMS_SET_SPECS, vals,
+                                 k=TOPK, dtype="float64")
+
+
+def _terms_set_sql() -> str:
+    vals = ", ".join(f"({qi}, {t})" for qi, ts in enumerate(TERMS_SET_SPECS)
+                     for t in sorted(set(ts)))
+    return (_PRELUDE + f"""
+, tsq(query_id, term_id) AS (VALUES {vals}),
+m AS (
+  SELECT q.query_id, tf.doc_id, count(*) AS mc,
+         sum(
+           greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM tsq q
+  JOIN vocab v ON v.term_id = q.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT m.query_id, m.doc_id,
+         floor(m.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY floor(m.score * 1e9) DESC, m.doc_id ASC
+         )::INT AS rank
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE m.mc >= (d.n_chars % 3) + 1
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
 
 
 DECAY_ORIGIN = 300   # n_chars sweet spot (corpus spans ~48..558)
@@ -3607,6 +3690,8 @@ FROM tf GROUP BY term ORDER BY term
         "search_percentiles": _PCT_SQL,
         "search_boosted": _BOOSTED_SQL,
         "search_decay": _decay_sql(),
+        "search_cardinality": _cardinality_sql(),
+        "search_terms_set": _terms_set_sql(),
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),

@@ -184,3 +184,94 @@ def run_bool_queries(
         })
 
     return joined.groupBy("query_id").applyInPandas(run_one, BOOL_SCHEMA)
+
+
+def run_terms_set_queries(
+    spark: SparkSession, index, specs: list, values, k: int = 10,
+    dtype: str = "float64", quant: float = 1e9,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """The ES ``terms_set`` query: a doc matches when it contains at
+    least REQUIRED(doc) of the spec's terms, where the required count
+    comes from a PER-DOC numeric field (``minimum_should_match_field``)
+    — the per-doc generalization of bool minimum_should_match. Docs
+    whose required value is missing or < 1, or exceeds the number of
+    terms they match, never match (a required count above the spec's
+    term count is unsatisfiable — ES's documented behavior). The score
+    is the BM25 sum over the doc's matched terms (each distinct term
+    once), selected in floor(score*quant) integer space.
+
+    Kernel shape: identical to run_bool_queries (decode once, one
+    compacted scoring pass, one vectorized membership count over the
+    match union) plus one doc-values lookup for the per-doc threshold;
+    the i64 sidecar ships once per worker like norm_lens. Returns
+    (query_id, rank, doc_id, score_q)."""
+    import numpy as np
+
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    rows = [(qid, int(t), 1) for qid, ts in enumerate(specs)
+            for t in sorted(set(int(x) for x in ts))]
+    local_terms = sorted({t for _, t, _ in rows})
+    qterms = spark.createDataFrame(
+        rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term_id", T.LongType(), False),
+            T.StructField("qf", T.LongType(), False),
+        ]))
+    DT = np.float32 if dtype == "float32" else np.float64
+    norms = index.norm_lens if dtype == "float32" else index.norm_lens64
+    norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                              lambda: norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "doc_id", "score_q"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs, DT)
+        live = tomb_bc.value if tomb_bc is not None else None
+        pos_lists = []
+        for c in cursors:
+            docs, freqs = c.decode_all()
+            pos_lists.append((c, docs, freqs))
+        if not pos_lists:
+            return pd.DataFrame(columns=cols)
+        union, scores = _compacted_scores(pos_lists, norm_bc.value, DT,
+                                          live)
+        mc = np.zeros(len(union), dtype=np.int64)
+        for _, d, _ in pos_lists:
+            if live is not None:
+                d = d[live.mask[d]]
+            mc[np.searchsorted(union, d)] += 1
+        req = vals_bc.value[union]
+        ok = (req >= 1) & (mc >= req)
+        docs, sq = union[ok], np.floor(
+            scores[ok].astype(np.float64) * quant).astype(np.int64)
+        if len(docs) > 4 * k and k > 0:
+            thr = -np.partition(-sq, k - 1)[k - 1]
+            sel = np.flatnonzero(sq >= thr)
+            docs, sq = docs[sel], sq[sel]
+        order = np.lexsort((docs, -sq))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": docs[order].astype(np.int64),
+            "score_q": sq[order],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one, BOOL_SCHEMA)

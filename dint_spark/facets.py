@@ -674,6 +674,63 @@ def run_stats_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, out_schema)
 
 
+CARD_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("n_docs", T.LongType(), False),
+    T.StructField("n_distinct", T.LongType(), False),
+])
+
+
+def run_cardinality_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    mode: str = "and", doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """The ES ``cardinality`` aggregation over the FULL match set,
+    EXACT (unlike ES's default HLL approximation — exactness is what
+    lets the SQL oracle gate it; the corpus-level mergeable-HLL path
+    lives in ops.events.events_cardinality): per query, the matched-doc
+    count and the number of DISTINCT doc values among matched docs that
+    carry one. One np.unique over the matched ids' values in-kernel;
+    ONE row per query leaves the worker. Missing-value docs count in
+    ``n_docs`` but contribute no value (ES missing semantics)."""
+    from dint_spark.queries import kernel_query_join
+
+    num_docs = index.num_docs
+    if len(values) != num_docs:
+        raise ValueError(
+            f"values cover {len(values)} docs, index has {num_docs}")
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    vals_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(values, dtype=np.int64))
+    fn = boolean_and if mode == "and" else boolean_or
+    joined = kernel_query_join(spark, index, queries)
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "n_docs", "n_distinct"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs,
+                                merge_chunks=(mode == "and"))
+        docs = np.asarray(
+            fn(cursors, num_docs,
+               live=tomb_bc.value if tomb_bc is not None else None),
+            dtype=np.int64)
+        if not len(docs):
+            return pd.DataFrame(columns=cols)
+        v = vals_bc.value[docs]
+        v = v[v != _DV_MISSING]
+        return pd.DataFrame({"query_id": [qid], "n_docs": [len(docs)],
+                             "n_distinct": [len(np.unique(v))]})
+
+    return joined.groupBy("query_id").applyInPandas(run_one, CARD_SCHEMA)
+
+
 def run_keyword_sorted_queries(
     spark: SparkSession, index, queries, facets: DocFacets,
     k: int = 10, mode: str = "and", descending: bool = False,
