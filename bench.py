@@ -410,7 +410,10 @@ def main() -> None:
                      "search_stats", "search_explain", "search_analyzed",
                      "search_inner_hits", "search_regexp",
                      "search_percentiles", "suggest_complete",
-                     "search_boosted"):
+                     "search_boosted", "search_decay",
+                     "search_terms_set", "search_cardinality",
+                     "suggest_spelling2", "search_span_near",
+                     "search_highlight"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(
