@@ -565,6 +565,139 @@ SELECT query_id, rank, doc_id, score_q FROM (
 """).df()
     check_df("search_bool_dsl_1m", eng_bd, ora_bd)
 
+    # -- span_near at 1M (ordered slop chains, exact checksum) --------------
+    t_step = time.time()
+    from dint_spark.queries import run_span_near_queries
+    # reuse the phrase workload's corpus-drawn word pairs + the head
+    # bigram, as ordered pairs with slop 3 (plus one reversed pair)
+    span_specs = [[tidmap[p[0]], tidmap[p[1]]] for p in phrases[:4]]
+    span_specs.append(list(reversed(span_specs[0])))
+    SLOP = 3
+    eng_sp = _spark_cksum(
+        run_span_near_queries(spark, pos_idx, span_specs, slop=SLOP),
+        "query_id", "doc_id", "n_spans")
+    sp_terms = sorted({t for s in span_specs for t in s})
+    # term_id -> term string via the engine vocab (ids match the oracle
+    # vocab by the postings_build_1m check)
+    id2t = {int(r["term_id"]): r["term"] for r in
+            pos_idx.vocab().where(
+                F.col("term_id").isin(sp_terms)).collect()}
+    sp_parts = []
+    for qid, (t1, t2) in enumerate(span_specs):
+        sp_parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_spans FROM (
+  SELECT c.doc_id, c.p1, min(o.pos) AS p2
+  FROM (SELECT doc_id, pos AS p1 FROM spocc
+        WHERE term = '{id2t[t1]}') c
+  JOIN spocc o ON o.doc_id = c.doc_id AND o.term = '{id2t[t2]}'
+            AND o.pos > c.p1
+  GROUP BY c.doc_id, c.p1
+) WHERE p2 - p1 - 1 <= {SLOP} GROUP BY 2""")
+    ora_sp_row = con.sql(f"""
+WITH toks_ne AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(text), '[^0-9a-z]+') AS l
+          FROM ids)
+  ) WHERE term <> ''
+),
+toks_pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM toks_ne
+),
+spocc AS (SELECT * FROM toks_pos WHERE term IN (
+  {", ".join(sorted({repr(id2t[t]) for t in sp_terms}))})),
+res AS ({" UNION ALL ".join(sp_parts)})
+SELECT {_cksum_exprs('query_id', 'doc_id', 'n_spans')} FROM res
+""").df().iloc[0]
+    check("span_near_1m", eng_sp, {k: int(ora_sp_row[k]) for k in eng_sp})
+
+    # -- highlight at 1M (best-fragment law on the result page) -------------
+    t_step = time.time()
+    from dint_spark.queries import run_highlight_queries
+    hl_specs = [[0, 3], [1, 2, 5], [7, 30]]
+    HLK, HLW = 5, 8
+    eng_hl = (run_highlight_queries(
+        spark, pos_idx, docs_sp, hl_specs, k=HLK, width=HLW)
+        .toPandas().sort_values(["query_id", "rank"])
+        .reset_index(drop=True))
+    hq_vals = ", ".join(f"({qi}, {t}, 1)" for qi, ts in enumerate(hl_specs)
+                        for t in ts)
+    ora_hl = con.sql(prelude + f"""
+, hq(query_id, term_id, qf) AS (VALUES {hq_vals}),
+hscored AS (
+  SELECT hq.query_id, tf.doc_id,
+         sum(
+           hq.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM hq
+  JOIN vocab v ON v.term_id = hq.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+hcand AS (
+  SELECT query_id, rank, doc_id, score_q FROM (
+    SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY floor(score * 1e9) DESC, doc_id ASC)::INT AS rank
+    FROM hscored
+  ) WHERE rank <= {HLK}
+),
+toks_ne AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord
+    FROM (SELECT i.doc_id,
+                 string_split_regex(lower(i.text), '[^0-9a-z]+') AS l
+          FROM ids i
+          WHERE i.doc_id IN (SELECT doc_id FROM hcand))
+  ) WHERE term <> ''
+),
+toks_pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM toks_ne
+),
+hocc AS (
+  SELECT c.query_id, c.doc_id, t.pos, v.term_id
+  FROM hcand c
+  JOIN hq q ON q.query_id = c.query_id
+  JOIN vocab v ON v.term_id = q.term_id
+  JOIN toks_pos t ON t.doc_id = c.doc_id AND t.term = v.term
+),
+hwin AS (
+  SELECT o1.query_id, o1.doc_id, o1.pos AS start,
+         count(DISTINCT o2.term_id) AS n_terms, count(*) AS n_hits
+  FROM hocc o1
+  JOIN hocc o2 ON o2.query_id = o1.query_id AND o2.doc_id = o1.doc_id
+             AND o2.pos >= o1.pos AND o2.pos < o1.pos + {HLW}
+  GROUP BY 1, 2, 3
+),
+hbest AS (
+  SELECT query_id, doc_id, start, n_terms, n_hits FROM (
+    SELECT query_id, doc_id, start, n_terms, n_hits,
+           row_number() OVER (PARTITION BY query_id, doc_id
+             ORDER BY n_terms DESC, n_hits DESC, start ASC) AS bn
+    FROM hwin
+  ) WHERE bn = 1
+)
+SELECT c.query_id, c.rank, c.doc_id, c.score_q, b.start,
+       b.n_terms::INT AS n_terms, b.n_hits::INT AS n_hits,
+       (SELECT string_agg(t.term, ' ' ORDER BY t.pos) FROM toks_pos t
+        WHERE t.doc_id = b.doc_id AND t.pos >= b.start
+          AND t.pos < b.start + {HLW}) AS snippet
+FROM hcand c JOIN hbest b ON b.query_id = c.query_id
+                         AND b.doc_id = c.doc_id
+ORDER BY 1, 2
+""").df()
+    check_df("search_highlight_1m", eng_hl, ora_hl)
+
     # -- dedup_minhash on a 100k subset with injected near-dups --------------
     t_step = time.time()
     if not os.path.exists(os.path.join(DOCS, "documents.parquet")):
