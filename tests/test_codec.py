@@ -470,3 +470,29 @@ def test_long_lists_batch_matches_per_list(multi):
     docs_c2, f2, offs2 = decode_long_lists_batch(
         payloads, ns, bmaxs, endps, foffs, dd, None)
     assert f2 is None and np.array_equal(docs_c2, docs_c)
+
+
+def test_long_lists_batch_all_exception_path():
+    """Empty dictionary => every full-block int is an escape/exception:
+    the cross-list batch must still be byte-identical to per-list decode
+    (the B14 all-exception path, batch form), including values above
+    2^16 (3-slot escapes)."""
+    from dint_spark.dint.codec import decode_long_lists_batch
+
+    rng = np.random.default_rng(13)
+    empty = DintDictionary.build([])
+    lists = []
+    for n in (256, 300, 512, 700):
+        universe = n * 600  # big gaps: many 2- and 3-slot escapes
+        docs = np.sort(rng.choice(universe, size=n,
+                                  replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 90000, size=n).astype(np.int64)
+        payload, bmax, endp, foff = encode_list(docs, freqs, empty, empty)
+        lists.append((n, docs, freqs, payload, bmax, endp, foff))
+    docs_c, freqs_c, offs = decode_long_lists_batch(
+        [l[3] for l in lists], np.array([l[0] for l in lists]),
+        [l[4] for l in lists], [l[5] for l in lists],
+        [l[6] for l in lists], empty, empty)
+    for i, (n, docs, freqs, *_rest) in enumerate(lists):
+        assert np.array_equal(docs_c[offs[i]:offs[i + 1]], docs)
+        assert np.array_equal(freqs_c[offs[i]:offs[i + 1]], freqs)
