@@ -1164,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": _entry_kwic_snippets,
         "search_highlight": _entry_search_highlight,
         "search_span_near": _entry_search_span_near,
+        "search_span_unordered": _entry_search_span_unordered,
         "search_rank_eval": _entry_search_rank_eval,
     }
     from dint_spark.ops import entries as ops_entries
@@ -1392,6 +1393,74 @@ def _span_near_sql() -> str:
             f"SELECT {qid} AS query_id, doc_id, count(*)::BIGINT AS "
             f"n_spans FROM {prev} "
             f"WHERE p{k} - p1 - {k - 1} <= {SPAN_SLOP} GROUP BY 2")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord FROM raw
+),
+toks_ord AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok0 WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_ord GROUP BY 1, 2),
+vocab AS (
+  SELECT term,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS term_id
+  FROM tf GROUP BY term
+),
+occ AS (
+  SELECT t.doc_id, t.pos, v.term_id
+  FROM toks_ord t JOIN vocab v ON v.term = t.term
+  WHERE v.term_id IN ({", ".join(str(t) for ts in SPAN_SPECS
+                                 for t in ts)})
+)
+{" UNION ALL ".join(parts)}
+ORDER BY 1, 2
+"""
+
+
+def _entry_search_span_unordered(spark, sf_dir):
+    """ES span_near with in_order: false — per query-term occurrence,
+    the minimal enclosing window of ALL (distinct) terms in any order;
+    a start matches when that window's slack <= 3
+    (queries.run_span_near_queries in_order=False)."""
+    from dint_spark.queries import run_span_near_queries
+
+    idx = _get_variant_index(spark, sf_dir, {"positions": True}, "pos")
+    return (run_span_near_queries(spark, idx, SPAN_SPECS, slop=SPAN_SLOP,
+                                  in_order=False)
+            .orderBy("query_id", "doc_id"))
+
+
+def _span_unordered_sql() -> str:
+    """Oracle: per start (any query-term occurrence), each term's first
+    occurrence at-or-after the start via a correlated min; keep starts
+    where every term exists downstream and max(ends) - start - (k-1)
+    <= slop; count per doc."""
+    parts = []
+    for qid, terms in enumerate(SPAN_SPECS):
+        ts = sorted(set(terms))
+        k = len(ts)
+        e_cols = ", ".join(
+            f"(SELECT min(o.pos) FROM occ o WHERE o.doc_id = st.doc_id "
+            f"AND o.term_id = {t} AND o.pos >= st.pos) AS e{i}"
+            for i, t in enumerate(ts))
+        not_null = " AND ".join(f"e{i} IS NOT NULL" for i in range(k))
+        gmax = (f"greatest({', '.join(f'e{i}' for i in range(k))})"
+                if k > 1 else "e0")
+        in_list = ", ".join(str(t) for t in ts)
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(*)::BIGINT AS n_spans
+FROM (
+  SELECT st.doc_id, st.pos AS p0, {e_cols}
+  FROM (SELECT DISTINCT doc_id, pos FROM occ
+        WHERE term_id IN ({in_list})) st
+) WHERE {not_null} AND {gmax} - p0 - {k - 1} <= {SPAN_SLOP}
+GROUP BY 2""")
     return f"""
 WITH raw AS (
   SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z]+') AS l
@@ -3743,6 +3812,7 @@ FROM tf GROUP BY term ORDER BY term
         "kwic_snippets": _KWIC_SQL,
         "search_highlight": _highlight_sql(),
         "search_span_near": _span_near_sql(),
+        "search_span_unordered": _span_unordered_sql(),
     }
     from dint_spark.ops import entries as ops_entries
 

@@ -2655,20 +2655,55 @@ def span_near_kernel(term_keys: list[np.ndarray], slop: int
     return d, c.astype(np.int64)
 
 
+def span_near_unordered_kernel(term_keys: list[np.ndarray], slop: int
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """UNORDERED span matching with slop (ES ``span_near`` with
+    ``in_order: false`` over single-term clauses): a span starts at ANY
+    query-term occurrence p; its minimal enclosing window is
+    [p, max_t(first occurrence of term t at pos >= p)], and the start
+    matches iff every term occurs at or after p in the doc and the
+    window's slack (end - p - (k-1)) is <= ``slop``. Per-start minimal
+    windows make the count well-defined and deterministic. One
+    searchsorted per term over the start union — no per-doc loops.
+    Returns (doc_ids, span_counts)."""
+    starts = term_keys[0] if len(term_keys) == 1 else np.unique(
+        np.concatenate(term_keys))
+    end = starts
+    ok = np.ones(len(starts), dtype=bool)
+    for keys in term_keys:
+        idx = np.searchsorted(keys, starts, side="left")
+        valid = idx < len(keys)
+        ok &= valid
+        e = keys[np.minimum(idx, len(keys) - 1)]
+        # the term's first occurrence >= start must be in the SAME doc
+        ok &= (e >> _POS_SHIFT) == (starts >> _POS_SHIFT)
+        end = np.maximum(end, e)
+    k = len(term_keys)
+    slack = (end & np.uint64(0xFFFFFFFF)).astype(np.int64) \
+        - (starts & np.uint64(0xFFFFFFFF)).astype(np.int64) - (k - 1)
+    hit = ok & (slack <= slop)
+    docs = (starts[hit] >> _POS_SHIFT).astype(np.int64)
+    d, c = np.unique(docs, return_counts=True)
+    return d, c.astype(np.int64)
+
+
 def run_span_near_queries(spark: SparkSession, index, phrases: list,
-                          slop: int = 2,
+                          slop: int = 2, in_order: bool = True,
                           doc_filter: DocMask | None = None) -> DataFrame:
-    """Distributed ordered span_near retrieval over a positional index
-    (the ES ``span_near`` query with ``in_order: true`` over single-term
-    clauses — between exact phrase (slop=0 on consecutive terms is
-    stricter: it also forbids gaps INSIDE the window) and bag-of-words).
+    """Distributed span_near retrieval over a positional index (the ES
+    ``span_near`` query over single-term clauses — between exact phrase
+    (slop=0 on consecutive terms is stricter: it also forbids gaps
+    INSIDE the window) and bag-of-words). ``in_order=True`` chains
+    greedily in phrase order (span_near_kernel); ``in_order=False``
+    takes the minimal enclosing window per start over any order
+    (span_near_unordered_kernel).
 
     ``phrases``: term_id sequences. Returns (query_id, doc_id, n_spans)
-    for every doc containing all terms in order within total slack
-    ``slop`` (span_near_kernel). Plan shape identical to
-    run_phrase_queries: pruned positional scan, one applyInPandas group
-    per query, the worker decode LRU shared with phrase/KWIC/highlight;
-    only matching (doc, count) rows leave the workers."""
+    for every doc containing all terms within total slack ``slop``.
+    Plan shape identical to run_phrase_queries: pruned positional scan,
+    one applyInPandas group per query, the worker decode LRU shared
+    with phrase/KWIC/highlight; only matching (doc, count) rows leave
+    the workers."""
     if not getattr(index, "has_positions", False):
         raise ValueError("run_span_near_queries requires an index built "
                          "with IndexConfig(positions=True)")
@@ -2701,12 +2736,18 @@ def run_span_near_queries(spark: SparkSession, index, phrases: list,
         T.StructField("n_spans", T.LongType(), False),
     ])
 
+    ordered = bool(in_order)
+
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "doc_id", "n_spans"]
         if not len(pdf):
             return pd.DataFrame(columns=cols)
         qid = int(pdf["query_id"].iloc[0])
         seq = phrase_bc.value[qid]
+        if not ordered:
+            # unordered windows cover DISTINCT terms (a repeat adds no
+            # constraint under per-start minimal enclosing windows)
+            seq = sorted(set(seq))
         by_term = {int(t): sub for t, sub in pdf.groupby("term_id")}
         term_keys = []
         for t in seq:
@@ -2719,7 +2760,8 @@ def run_span_near_queries(spark: SparkSession, index, phrases: list,
                 pos_dict_bc.value))
         if any(not len(k) for k in term_keys):
             return pd.DataFrame(columns=cols)
-        d, c = span_near_kernel(term_keys, sl)
+        kern = span_near_kernel if ordered else span_near_unordered_kernel
+        d, c = kern(term_keys, sl)
         if tomb_bc is not None and len(d):
             keep = tomb_bc.value.mask[d]
             d, c = d[keep], c[keep]

@@ -475,3 +475,51 @@ def test_span_near_kernel_matches_bruteforce():
             if cnt:
                 want[d] = cnt
         assert got == want, (trial, k, slop, got, want)
+
+
+def test_span_near_unordered_kernel_matches_bruteforce():
+    """span_near_unordered_kernel (per-start minimal enclosing window,
+    any order) == a python brute force over random position sets."""
+    import numpy as np
+
+    from dint_spark.queries import span_near_unordered_kernel
+
+    rng = np.random.default_rng(9)
+    for trial in range(60):
+        k = int(rng.integers(1, 5))
+        slop = int(rng.integers(0, 6))
+        n_docs = int(rng.integers(1, 5))
+        occ, posmap = [], []
+        for _ in range(k):
+            keys = []
+            for d in range(n_docs):
+                ps = np.unique(rng.integers(0, 30,
+                                            size=rng.integers(0, 7)))
+                keys += [(d << 32) | int(p) for p in ps]
+            occ.append(np.array(sorted(keys), dtype=np.uint64))
+            posmap.append({d: sorted(int(kk & 0xFFFFFFFF)
+                                     for kk in keys if kk >> 32 == d)
+                           for d in range(n_docs)})
+        if any(not len(o) for o in occ):
+            continue
+        got_d, got_c = span_near_unordered_kernel(occ, slop)
+        got = dict(zip(got_d.tolist(), got_c.tolist()))
+        want: dict = {}
+        for d in range(n_docs):
+            starts = sorted({p for t in range(k)
+                             for p in posmap[t].get(d, [])})
+            cnt = 0
+            for p0 in starts:
+                ends = []
+                okc = True
+                for t in range(k):
+                    nxt = [q for q in posmap[t].get(d, []) if q >= p0]
+                    if not nxt:
+                        okc = False
+                        break
+                    ends.append(nxt[0])
+                if okc and max(ends) - p0 - (k - 1) <= slop:
+                    cnt += 1
+            if cnt:
+                want[d] = cnt
+        assert got == want, (trial, k, slop, got, want)
