@@ -1123,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_decay": _entry_search_decay,
         "search_cardinality": _entry_search_cardinality,
         "search_terms_set": _entry_search_terms_set,
+        "search_boosting": _entry_search_boosting,
+        "search_pinned": _entry_search_pinned,
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
@@ -2234,6 +2236,144 @@ SELECT query_id, rank, doc_id, score_q FROM (
          )::INT AS rank
   FROM m JOIN documents d ON d.doc_id = m.doc_id
   WHERE m.mc >= (d.n_chars % 3) + 1
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+# pinned-query workload: (organic terms, pinned doc ids) — pins that
+# also rank organically (dedup), no pins, and pins on a tail query
+PINNED_SPECS: list[tuple] = [([0, 3], [1, 0]), ([1, 2], []),
+                             ([2], [7, 3, 11])]
+
+
+def _entry_search_pinned(spark, sf_dir):
+    """ES ``pinned`` query: promoted doc ids first in their given order
+    (synthetic 2^62-ladder score channel), then organic BM25 results
+    excluding the pinned ids (search.search_pinned)."""
+    from dint_spark.search import search_pinned
+
+    idx = _get_index(spark, sf_dir)
+    return search_pinned(spark, idx, PINNED_SPECS, k=TOPK)
+
+
+def _pinned_sql() -> str:
+    from collections import Counter
+
+    from dint_spark.search import PINNED_BASE
+
+    pos_r, pin_r = [], []
+    for qid, (terms, pins) in enumerate(PINNED_SPECS):
+        qf = Counter(int(t) for t in terms)
+        pos_r += [f"({qid}, {t}, {c})" for t, c in sorted(qf.items())]
+        pin_r += [f"({qid}, {i}, {int(d)})" for i, d in enumerate(pins)]
+    pins_v = ", ".join(pin_r) if pin_r else "(-1, -1, -1)"
+    return (_PRELUDE + f"""
+, pq(query_id, term_id, qf) AS (VALUES {", ".join(pos_r)}),
+pins(query_id, pidx, doc_id) AS (VALUES {pins_v}),
+pscored AS (
+  SELECT pq.query_id, tf.doc_id,
+         sum(
+           pq.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM pq
+  JOIN vocab v ON v.term_id = pq.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+org AS (
+  SELECT s.query_id, s.doc_id, floor(s.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY floor(s.score * 1e9) DESC, s.doc_id ASC) AS orank
+  FROM pscored s
+  WHERE NOT EXISTS (SELECT 1 FROM pins p
+                    WHERE p.query_id = s.query_id
+                      AND p.doc_id = s.doc_id)
+),
+npins AS (SELECT query_id, count(*) AS n FROM pins GROUP BY 1),
+allr AS (
+  SELECT query_id, pidx + 1 AS rank, doc_id,
+         {PINNED_BASE} - pidx AS score_q
+  FROM pins WHERE query_id >= 0
+  UNION ALL
+  SELECT o.query_id, o.orank + coalesce(np.n, 0) AS rank, o.doc_id,
+         o.score_q
+  FROM org o LEFT JOIN npins np ON np.query_id = o.query_id
+)
+SELECT query_id, rank::INT AS rank, doc_id, score_q
+FROM allr WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+# boosting-query workload: (positive, negative) term-id pairs — a
+# demotion that bites, a multi-term negative, no negative, and
+# positive==negative (everything demoted, order preserved)
+BOOSTING_SPECS: list[tuple] = [([0, 3], [1]), ([1, 2], [5, 7]),
+                               ([2], []), ([0], [0])]
+NEGATIVE_BOOST = 0.25  # binary-exact
+
+
+def _entry_search_boosting(spark, sf_dir):
+    """ES ``boosting`` query: positive-clause BM25 ranking with docs
+    matching ANY negative term DEMOTED by x0.25 (kept in the result
+    set — exclusion is must_not's job). bool_query.run_boosting_queries."""
+    from dint_spark.bool_query import run_boosting_queries
+
+    idx = _get_index(spark, sf_dir)
+    return run_boosting_queries(spark, idx, BOOSTING_SPECS,
+                                negative_boost=NEGATIVE_BOOST, k=TOPK,
+                                dtype="float64")
+
+
+def _boosting_sql() -> str:
+    from collections import Counter
+
+    pos_r, neg_r = [], []
+    for qid, (pos, neg) in enumerate(BOOSTING_SPECS):
+        qf = Counter(int(t) for t in pos)
+        pos_r += [f"({qid}, {t}, {c})" for t, c in sorted(qf.items())]
+        neg_r += [f"({qid}, {t})" for t in sorted(set(neg))]
+    negs = ", ".join(neg_r) if neg_r else "(-1, -1)"
+    return (_PRELUDE + f"""
+, bq_pos(query_id, term_id, qf) AS (VALUES {", ".join(pos_r)}),
+bq_neg(query_id, term_id) AS (VALUES {negs}),
+pscored AS (
+  SELECT p.query_id, tf.doc_id,
+         sum(
+           p.qf * greatest(1e-6, ln((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * (1 + 1.2)
+           * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * (dl.len / s.avg_len))))
+         ) AS score
+  FROM bq_pos p
+  JOIN vocab v ON v.term_id = p.term_id
+  JOIN tf ON tf.term = v.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+demoted AS (
+  SELECT ps.query_id, ps.doc_id,
+         ps.score * (CASE WHEN EXISTS (
+           SELECT 1 FROM bq_neg q
+           JOIN vocab v2 ON v2.term_id = q.term_id
+           JOIN tf t2 ON t2.term = v2.term AND t2.doc_id = ps.doc_id
+           WHERE q.query_id = ps.query_id)
+           THEN {NEGATIVE_BOOST} ELSE 1.0 END) AS score
+  FROM pscored ps
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, floor(score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY floor(score * 1e9) DESC, doc_id ASC
+         )::INT AS rank
+  FROM demoted
 ) WHERE rank <= {TOPK}
 ORDER BY 1, 2
 """)
@@ -3761,6 +3901,8 @@ FROM tf GROUP BY term ORDER BY term
         "search_decay": _decay_sql(),
         "search_cardinality": _cardinality_sql(),
         "search_terms_set": _terms_set_sql(),
+        "search_boosting": _boosting_sql(),
+        "search_pinned": _pinned_sql(),
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),

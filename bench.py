@@ -413,7 +413,7 @@ def main() -> None:
                      "search_boosted", "search_decay",
                      "search_terms_set", "search_cardinality",
                      "suggest_spelling2", "search_span_near",
-                     "search_span_unordered",
+                     "search_span_unordered", "search_boosting", "search_pinned",
                      "search_highlight"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)

@@ -186,6 +186,99 @@ def run_bool_queries(
     return joined.groupBy("query_id").applyInPandas(run_one, BOOL_SCHEMA)
 
 
+def run_boosting_queries(
+    spark: SparkSession, index, specs: list, negative_boost: float = 0.25,
+    k: int = 10, dtype: str = "float64", quant: float = 1e9,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """The ES ``boosting`` query: docs are retrieved and scored by the
+    POSITIVE clause (BM25 over its term multiset — ranked-OR semantics),
+    and any doc also matching the NEGATIVE clause (containing ANY of its
+    terms) keeps its place in the result set but with its score
+    multiplied by ``negative_boost`` — demotion, not exclusion (that is
+    must_not's job). ``specs``: (positive_terms, negative_terms) pairs.
+    Selection in floor(score*quant) integer space.
+
+    Kernel shape: the bool kernel's decode + compacted scoring pass for
+    the positive terms; negative lists decode docs-only and mark the
+    union via one concatenate + isin — their frequencies never decode
+    (the lazy-freqs contract). Returns (query_id, rank, doc_id,
+    score_q)."""
+    import numpy as np
+
+    nb = float(negative_boost)
+    rows = []
+    neg_map = {}
+    for qid, (pos, neg) in enumerate(specs):
+        qf = Counter(int(t) for t in pos)
+        for t in set(int(x) for x in neg) - set(qf):
+            qf[t] = 1  # decoded for the mark, never scored
+        rows += [(qid, int(t), int(c)) for t, c in sorted(qf.items())]
+        neg_map[qid] = (frozenset(int(t) for t in pos),
+                        frozenset(int(t) for t in neg))
+    local_terms = sorted({t for _, t, _ in rows})
+    qterms = spark.createDataFrame(
+        rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("term_id", T.LongType(), False),
+            T.StructField("qf", T.LongType(), False),
+        ]))
+    num_docs = index.num_docs
+    DT = np.float32 if dtype == "float32" else np.float64
+    norms = index.norm_lens if dtype == "float32" else index.norm_lens64
+    norm_bc = shared_index_bc(spark, index, f"norms-{dtype}",
+                              lambda: norms)
+    docs_dict_bc = shared_index_bc(spark, index, "docs_dict",
+                                   lambda: index.docs_dict)
+    freqs_dict_bc = shared_index_bc(spark, index, "freqs_dict",
+                                    lambda: index.freqs_dict)
+    tomb_bc = _live_bc(spark, index, doc_filter)
+    clause_bc = spark.sparkContext.broadcast(neg_map)
+    joined = qterms.join(
+        _pruned_segments(index, qterms, local_terms).select(*_BM25_SEG_COLS),
+        "term_id")
+
+    def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "doc_id", "score_q"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        qid = int(pdf["query_id"].iloc[0])
+        pos, neg = clause_bc.value[qid]
+        cursors = build_cursors(pdf, docs_dict_bc.value,
+                                freqs_dict_bc.value, num_docs, DT)
+        live = tomb_bc.value if tomb_bc is not None else None
+        pos_lists, neg_docs = [], []
+        for c in cursors:
+            if c.term_id in pos:
+                docs, freqs = c.decode_all()
+                pos_lists.append((c, docs, freqs))
+            if c.term_id in neg:
+                neg_docs.append(c.decode_all()[0])
+        if not pos_lists:
+            return pd.DataFrame(columns=cols)
+        union, scores = _compacted_scores(pos_lists, norm_bc.value, DT,
+                                          live)
+        mult = np.ones(len(union), dtype=np.float64)
+        if neg_docs:
+            mult[np.isin(union, np.concatenate(neg_docs))] = nb
+        sq = np.floor(scores.astype(np.float64) * mult
+                      * quant).astype(np.int64)
+        if len(union) > 4 * k and k > 0:
+            thr = -np.partition(-sq, k - 1)[k - 1]
+            sel = np.flatnonzero(sq >= thr)
+            union, sq = union[sel], sq[sel]
+        order = np.lexsort((union, -sq))[:k]
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": union[order].astype(np.int64),
+            "score_q": sq[order],
+        })
+
+    return joined.groupBy("query_id").applyInPandas(run_one, BOOL_SCHEMA)
+
+
 def run_terms_set_queries(
     spark: SparkSession, index, specs: list, values, k: int = 10,
     dtype: str = "float64", quant: float = 1e9,

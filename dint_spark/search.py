@@ -22,6 +22,8 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -601,6 +603,58 @@ def search_query_string(spark: SparkSession, index, queries: list[str],
     return (res.withColumnRenamed("query_id", "local_id")
             .join(F.broadcast(remap), "local_id")
             .select("query_id", "rank", "doc_id", "score_q"))
+
+
+PINNED_BASE = 1 << 62  # pinned-slot score channel, above any quantized BM25
+
+
+def search_pinned(spark: SparkSession, index, specs: list,
+                  k: int = 10, algo: str = "block_max_wand_vec",
+                  quant: float = 1e9) -> DataFrame:
+    """The ES ``pinned`` query: per query, the promoted doc ids come
+    FIRST in their given order (whether or not they match the organic
+    query — the ES contract), then the organic BM25 results excluding
+    the pinned ids fill the remaining slots. ``specs``: (term_ids,
+    pinned_doc_ids) pairs. Pinned rows carry score_q = 2^62 - position
+    (a synthetic channel above any quantized BM25 score, mirroring
+    Lucene's pinned float ladder); organic rows the usual
+    floor(score*quant). Returns (query_id, rank, doc_id, score_q).
+
+    Scale shape: organic retrieval is the standard kernel fetching
+    k + |pins| deep; the pin overlay is |queries| x k driver-side rank
+    arithmetic — the result-page cost class."""
+    from dint_spark.queries import run_queries
+
+    max_pins = max((len(p) for _, p in specs), default=0)
+    raw = run_queries(spark, index, [list(t) for t, _ in specs],
+                      algo=algo, k=k + max_pins, dtype="float64")
+    organic: dict[int, list] = {}
+    for r in raw.collect():
+        organic.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]),
+             int(np.floor(float(r["score"]) * quant))))
+    rows = []
+    for qid, (_, pins) in enumerate(specs):
+        pins = [int(d) for d in pins]
+        out = [(d, PINNED_BASE - i) for i, d in enumerate(pins)]
+        seen = set(pins)
+        for d, sq in sorted(organic.get(qid, []),
+                            key=lambda t: (-t[1], t[0])):
+            if d in seen:
+                continue
+            out.append((d, sq))
+            if len(out) >= k:
+                break
+        rows += [(qid, rank, d, sq)
+                 for rank, (d, sq) in enumerate(out[:k], 1)]
+    return spark.createDataFrame(
+        rows,
+        schema=T.StructType([
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score_q", T.LongType(), False),
+        ]))
 
 
 PHRASE_LM_SCALE = 1 << 24   # unigram logprob quantum (ln * scale, floored)
