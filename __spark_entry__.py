@@ -2241,6 +2241,44 @@ ORDER BY 1, 2
 """)
 
 
+RF_BOOST = 2.0    # rank_feature saturation params, binary-exact
+RF_PIVOT = 256.0
+
+
+def _entry_search_rank_feature(spark, sf_dir):
+    """ES ``rank_feature`` (saturation): BM25 + 2 * v/(v + 256) with
+    v = n_chars — the additive static-signal channel (pagerank/quality
+    features); missing values add 0
+    (facets.run_rank_feature_queries)."""
+    from dint_spark.facets import (build_doc_values,
+                                   run_rank_feature_queries)
+
+    idx = _get_index(spark, sf_dir)
+    vals = build_doc_values(
+        spark, _documents(spark, sf_dir), idx.num_docs, "n_chars")
+    return run_rank_feature_queries(spark, idx, QUERY_SPECS, vals,
+                                    boost=RF_BOOST, pivot=RF_PIVOT,
+                                    k=TOPK, dtype="float64")
+
+
+def _rank_feature_sql() -> str:
+    m = (f"(CASE WHEN d.n_chars IS NULL THEN 0.0 "
+         f"ELSE {RF_BOOST} * (d.n_chars / (d.n_chars + {RF_PIVOT})) END)")
+    return (_PRELUDE + _SCORED + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT s.query_id, s.doc_id,
+         floor((s.score + {m}) * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY floor((s.score + {m}) * 1e9) DESC, s.doc_id ASC
+         )::INT AS rank
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
 # pinned-query workload: (organic terms, pinned doc ids) — pins that
 # also rank organically (dedup), no pins, and pins on a tail query
 PINNED_SPECS: list[tuple] = [([0, 3], [1, 0]), ([1, 2], []),

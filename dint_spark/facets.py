@@ -880,16 +880,43 @@ def run_decay_queries(
                                    doc_filter=doc_filter)
 
 
+def run_rank_feature_queries(
+    spark: SparkSession, index, queries, values: np.ndarray,
+    boost: float = 1.0, pivot: float = 128.0, k: int = 10,
+    dtype: str = "float64", quant: float = 1e9,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """The ES ``rank_feature`` query with the ``saturation`` function:
+    every matched doc's score becomes BM25 + boost * v/(v + pivot) — an
+    ADDITIVE static-signal contribution (pagerank/url-length/quality
+    features), unlike function_score's multiplicative shapes. The
+    saturation reaches 0.5 exactly at v == pivot (the ES contract);
+    missing-value docs add 0 and rank by BM25 alone. Same kernel as
+    the boost/decay scorers."""
+    b, p = float(boost), float(pivot)
+
+    def add_fn(v: np.ndarray) -> np.ndarray:
+        vv = v.astype(np.float64)
+        return b * (vv / (vv + p))
+
+    return _function_score_queries(spark, index, queries, values,
+                                   mult_fn=None, add_fn=add_fn, k=k,
+                                   dtype=dtype, quant=quant,
+                                   doc_filter=doc_filter)
+
+
 def _function_score_queries(
-    spark: SparkSession, index, queries, values: np.ndarray, mult_fn,
+    spark: SparkSession, index, queries, values: np.ndarray,
+    mult_fn=None, add_fn=None,
     k: int = 10, dtype: str = "float64", quant: float = 1e9,
     doc_filter: DocMask | None = None,
 ) -> DataFrame:
     """Shared function-score kernel: one exact BM25 pass over the full
     match set (queries.matched_scores), one vectorized doc-value lookup,
-    ``mult_fn(values) -> multipliers`` applied in-kernel (missing values
-    always map to the neutral 1.0 BEFORE mult_fn sees them), quantized
-    integer selection. Only |queries| x k rows leave the workers."""
+    then score * mult_fn(values) + add_fn(values) applied in-kernel
+    (missing values always take the neutral multiplier 1.0 / addend 0.0
+    — neither fn ever sees the sentinel), quantized integer selection.
+    Only |queries| x k rows leave the workers."""
     from dint_spark.queries import kernel_query_join, matched_scores
 
     num_docs = index.num_docs
@@ -923,10 +950,14 @@ def _function_score_queries(
             return pd.DataFrame(columns=cols)
         v = vals_bc.value[docs]
         mult = np.ones(len(v), dtype=np.float64)
+        add = np.zeros(len(v), dtype=np.float64)
         valued = v != _DV_MISSING
-        if valued.any():  # mult_fn never sees the missing sentinel
-            mult[valued] = mult_fn(v[valued])
-        sq = np.floor(scores.astype(np.float64) * mult
+        if valued.any():  # the fns never see the missing sentinel
+            if mult_fn is not None:
+                mult[valued] = mult_fn(v[valued])
+            if add_fn is not None:
+                add[valued] = add_fn(v[valued])
+        sq = np.floor((scores.astype(np.float64) * mult + add)
                       * quant).astype(np.int64)
         if len(docs) > 4 * k and k > 0:
             thr = -np.partition(-sq, k - 1)[k - 1]
