@@ -1125,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_terms_set": _entry_search_terms_set,
         "search_boosting": _entry_search_boosting,
         "search_pinned": _entry_search_pinned,
+        "search_rank_feature": _entry_search_rank_feature,
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
@@ -3941,6 +3942,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_terms_set": _terms_set_sql(),
         "search_boosting": _boosting_sql(),
         "search_pinned": _pinned_sql(),
+        "search_rank_feature": _rank_feature_sql(),
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),

@@ -200,10 +200,10 @@ def run_boosting_queries(
     Selection in floor(score*quant) integer space.
 
     Kernel shape: the bool kernel's decode + compacted scoring pass for
-    the positive terms; negative lists decode docs-only and mark the
-    union via one concatenate + isin — their frequencies never decode
-    (the lazy-freqs contract). Returns (query_id, rank, doc_id,
-    score_q)."""
+    the positive terms; negative lists mark the union via one
+    concatenate + isin over their doc ids (decoded through the worker
+    LRU's fused-lane pass — both streams decode together, only the doc
+    lane is consumed). Returns (query_id, rank, doc_id, score_q)."""
     import numpy as np
 
     nb = float(negative_boost)
