@@ -243,6 +243,18 @@ class DintDictionary:
         h.update(self.sizes[: self.num_used].tobytes())
         return h.hexdigest()[:16]
 
+    def cache_token(self) -> str:
+        """content_hash memoized per (worker) object. Decode caches key by
+        payload bytes, and a DINT payload is dictionary CODES: two docid
+        shards routinely emit byte-identical codewords that decode to
+        different postings under their own learned dictionaries, so every
+        payload-keyed cache must also key by dictionary content."""
+        tok = getattr(self, "_cache_token", None)
+        if tok is None:
+            tok = self.content_hash()
+            self._cache_token = tok
+        return tok
+
     # -- block codec hooks (dispatched from codec.encode_block/decode_block) -
     def encode_full_block(self, vals: np.ndarray, optimal: bool = True) -> bytes:
         from dint_spark.dint.codec import encode_block_dint
@@ -558,6 +570,14 @@ class MultiDictionary:
             h.update(d.content_hash().encode())
         h.update(bytes(self.class_map))
         return h.hexdigest()[:16]
+
+    def cache_token(self) -> str:
+        """See DintDictionary.cache_token — same contract."""
+        tok = getattr(self, "_cache_token", None)
+        if tok is None:
+            tok = self.content_hash()
+            self._cache_token = tok
+        return tok
 
 
 def load_dictionary(data: bytes):

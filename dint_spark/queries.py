@@ -211,11 +211,15 @@ class ArrayCursor:
 # Worker-process-level LRU of fully-decoded posting lists. Zipfian query
 # logs hit the same head terms constantly; decoding each list once per
 # *worker* instead of once per *query* is the single biggest q/s lever.
-# Keyed by a FULL-payload digest (term_id, n, len, hash of all bytes):
-# freqs live in the payload too, so two lists with identical docids but
-# different freqs — or a rebuilt index on a never-expiring worker
-# (idleTimeoutSeconds=0) — cannot alias. Bounded so a 1000-executor
-# deployment holds just its hot set per worker.
+# Keyed by (term_id, n, len, hash of all payload bytes) PLUS the decode
+# dictionaries' content tokens: a DINT payload is dictionary codes, and
+# two docid shards served by the same worker routinely emit byte-identical
+# codewords that decode to different postings under their own learned
+# dictionaries (found by the 4-shard gate: two shards' single-codeword
+# lists for one term aliased and cross-served each other's postings).
+# The payload hash alone still separates rebuilt indexes and freq-variant
+# lists. Bounded so a 1000-executor deployment holds just its hot set per
+# worker.
 _LIST_CACHE: OrderedDict = OrderedDict()
 _LIST_CACHE_BYTES = 0
 _LIST_CACHE_CAP = int(os.environ.get("DINT_SPARK_DECODE_CACHE_MB", "256")) * 2**20
@@ -395,9 +399,17 @@ def _live_bc(spark, index, doc_filter: DocMask | None):
     return spark.sparkContext.broadcast(doc_filter)
 
 
+def _dict_token(d) -> str:
+    """Content token of a decode dictionary (memoized on the object);
+    '' for absent dictionaries."""
+    tok = getattr(d, "cache_token", None)
+    return tok() if tok is not None else ""
+
+
 def _cache_key(c: "Cursor") -> tuple:
     if c._ckey is None:
-        c._ckey = (c.term_id, c.n, len(c.payload), hash(c.payload))
+        c._ckey = (c.term_id, c.n, len(c.payload), hash(c.payload),
+                   _dict_token(c.docs_dict), _dict_token(c.freqs_dict))
     return c._ckey
 
 
@@ -2254,7 +2266,8 @@ def _seg_occurrence_keys(term_id: int, seg_id: int, n: int, payload,
                                        gaps_to_positions)
 
     ckey = (int(term_id), int(seg_id), int(n),
-            len(pos_payload), hash(bytes(pos_payload)))
+            len(pos_payload), hash(bytes(pos_payload)),
+            _dict_token(docs_dict), _dict_token(pos_dict))
     hit = _POS_CACHE.get(ckey)
     if hit is not None:
         _POS_CACHE.move_to_end(ckey)

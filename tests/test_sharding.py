@@ -135,3 +135,31 @@ def test_sharded_deletes_match_unsharded(spark, pair):
              ["query_id", "rank"])
     assert len(a) and not (a.doc_id % 5 == 0).any()
     assert a.equals(b)
+
+
+def test_decode_cache_keys_by_dictionary_content():
+    """Regression (found by the 4M/4-shard gate): two shards' payloads for
+    one term can be byte-identical dictionary CODES — e.g. both encode a
+    single-posting list as the same one-codeword byte — that decode to
+    different postings under each shard's learned dictionary. The worker
+    decode LRU must key by dictionary content, not payload bytes alone,
+    or one shard's pinned server cross-serves another shard's postings."""
+    import numpy as np
+
+    from dint_spark.dint.codec import encode_list
+    from dint_spark.queries import Cursor, _cache_key, _cached_full_decode
+    from fixtures import build_dicts
+
+    d1, f1 = build_dicts({0: (np.array([1803]), np.array([1]))})
+    d2, f2 = build_dicts({0: (np.array([801]), np.array([1]))})
+    p1, bm1, ep1, fo1 = encode_list(np.array([1803]), np.array([1]), d1, f1)
+    p2, bm2, ep2, fo2 = encode_list(np.array([801]), np.array([1]), d2, f2)
+    assert p1 == p2, "fixture must reproduce the byte-identical payloads"
+
+    c1 = Cursor(1, bm1, ep1, fo1, p1, 5000, d1, f1, term_id=42)
+    c2 = Cursor(1, bm2, ep2, fo2, p2, 5000, d2, f2, term_id=42)
+    assert _cache_key(c1) != _cache_key(c2)
+    docs1, _ = _cached_full_decode(c1)   # populate the LRU
+    docs2, _ = _cached_full_decode(c2)   # must NOT alias c1's entry
+    assert docs1.tolist() == [1803]
+    assert docs2.tolist() == [801]
