@@ -1126,6 +1126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boosting": _entry_search_boosting,
         "search_pinned": _entry_search_pinned,
         "search_rank_feature": _entry_search_rank_feature,
+        "search_geo_bbox": _entry_search_geo_bbox,
+        "search_geo_distance": _entry_search_geo_distance,
+        "search_geo_radius": _entry_search_geo_radius,
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
@@ -2275,6 +2278,157 @@ SELECT query_id, rank, doc_id, score_q FROM (
          )::INT AS rank
   FROM scored s
   JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+# --- geo search: synthetic fixed-point geo_points derived from doc_id
+# (1e-7 deg, every 13th doc missing), identical integer arithmetic on
+# both sides; box crosses the antimeridian; ordinates per dint_spark.geo
+GEO_ORIGIN = (12.5, 42.25)          # (lat, lon) degrees
+GEO_RADIUS_M = 3_000_000.0          # geo_distance filter radius
+GEO_BOX = (-450_000_000, 1_500_000_000, 450_000_000, -1_500_000_000)
+#          south          west (150E)    north         east (-150 = 150W)
+
+
+def _geo_coord_exprs():
+    miss = F.col("doc_id") % 13 == 7
+    lat = (F.col("doc_id") * 2654435761 + 1013904223) % 1800000001 \
+        - 900000000
+    lon = (F.col("doc_id") * 1103515245 + 12345) % 3600000001 - 1800000000
+    return (F.when(miss, F.lit(None)).otherwise(lat).cast("long"),
+            F.when(miss, F.lit(None)).otherwise(lon).cast("long"))
+
+
+def _geo_values(spark, sf_dir, idx):
+    from dint_spark.geo import build_geo_values
+
+    lat_c, lon_c = _geo_coord_exprs()
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", lat_c.alias("lat_q"), lon_c.alias("lon_q"))
+    return build_geo_values(spark, docs, idx.num_docs, "lat_q", "lon_q")
+
+
+_GEO_CTE = """
+, geo AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 7 THEN NULL
+              ELSE (doc_id * 2654435761 + 1013904223) % 1800000001
+                   - 900000000 END AS lat_q,
+         CASE WHEN doc_id % 13 = 7 THEN NULL
+              ELSE (doc_id * 1103515245 + 12345) % 3600000001
+                   - 1800000000 END AS lon_q
+  FROM documents
+)
+"""
+
+
+def _entry_search_geo_bbox(spark, sf_dir):
+    """ES ``geo_bounding_box`` filter: the box (crossing the
+    antimeridian: west 150E, east 150W) packs into a DocMask over the
+    fixed-point geo_point sidecars, then standard filtered BM25 with
+    corpus-wide statistics (dint_spark/geo.py geo_bbox_mask; the
+    Lucene filter/liveDocs pattern)."""
+    from dint_spark.geo import geo_bbox_mask
+
+    idx = _get_index(spark, sf_dir)
+    lat, lon = _geo_values(spark, sf_dir, idx)
+    dm = geo_bbox_mask(lat, lon, *GEO_BOX)
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand_vec",
+                      k=100, dtype="float64", doc_filter=dm)
+    return _rank_quantized(raw)
+
+
+def _geo_bbox_sql() -> str:
+    s, w, n, e = GEO_BOX
+    wrap = (f"(g.lon_q >= {w} AND g.lon_q <= {e})" if w <= e
+            else f"(g.lon_q >= {w} OR g.lon_q <= {e})")
+    return (_PRELUDE + _SCORED + _GEO_CTE + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT sc.query_id, sc.doc_id,
+         floor(sc.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY floor(sc.score * 1e9) DESC, sc.doc_id ASC
+         )::INT AS rank
+  FROM scored sc
+  JOIN geo g ON g.doc_id = sc.doc_id
+  WHERE g.lat_q IS NOT NULL
+    AND g.lat_q >= {s} AND g.lat_q <= {n} AND {wrap}
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+def _entry_search_geo_distance(spark, sf_dir):
+    """ES ``sort: [{{_geo_distance}}]``: boolean AND match + top-k by
+    (great-circle distance to the origin asc, doc_id asc) through the
+    sort-by-field kernel over the i64 haversine ordinate (strictly
+    monotone in distance; dint_spark/geo.py run_geo_distance_sorted).
+    Missing geo_points never rank."""
+    from dint_spark.geo import run_geo_distance_sorted
+
+    idx = _get_index(spark, sf_dir)
+    lat, lon = _geo_values(spark, sf_dir, idx)
+    res = run_geo_distance_sorted(spark, idx, FACET_SPECS, lat, lon,
+                                  GEO_ORIGIN[0], GEO_ORIGIN[1],
+                                  k=SORT_FIELD_K, mode="and")
+    return res.select("query_id", "rank", "doc_id",
+                      F.col("val").alias("dist_q"))
+
+
+def _geo_distance_sql() -> str:
+    from dint_spark.geo import geo_ordinate_sql
+
+    ord_sql = geo_ordinate_sql("g.lat_q", "g.lon_q", *GEO_ORIGIN)
+    return (_FACET_MATCHED + _GEO_CTE + f"""
+SELECT query_id, rank, doc_id, dist_q FROM (
+  SELECT m.query_id, m.doc_id, {ord_sql} AS dist_q,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY {ord_sql} ASC, m.doc_id ASC
+         )::INT AS rank
+  FROM matched m
+  JOIN geo g ON g.doc_id = m.doc_id
+  WHERE g.lat_q IS NOT NULL
+) WHERE rank <= {SORT_FIELD_K}
+ORDER BY 1, 2
+""")
+
+
+def _entry_search_geo_radius(spark, sf_dir):
+    """ES ``geo_distance`` filter: docs within GEO_RADIUS_M meters of
+    the origin (inclusive), thresholded on the haversine ordinate —
+    monotonicity makes the integer comparison exact — then filtered
+    BM25 (dint_spark/geo.py geo_distance_mask)."""
+    from dint_spark.geo import geo_distance_mask
+
+    idx = _get_index(spark, sf_dir)
+    lat, lon = _geo_values(spark, sf_dir, idx)
+    dm = geo_distance_mask(lat, lon, GEO_ORIGIN[0], GEO_ORIGIN[1],
+                           GEO_RADIUS_M)
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand_vec",
+                      k=100, dtype="float64", doc_filter=dm)
+    return _rank_quantized(raw)
+
+
+def _geo_radius_sql() -> str:
+    from dint_spark.geo import distance_threshold_ordinate, geo_ordinate_sql
+
+    thr = distance_threshold_ordinate(GEO_RADIUS_M)
+    ord_sql = geo_ordinate_sql("g.lat_q", "g.lon_q", *GEO_ORIGIN)
+    return (_PRELUDE + _SCORED + _GEO_CTE + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT sc.query_id, sc.doc_id,
+         floor(sc.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY floor(sc.score * 1e9) DESC, sc.doc_id ASC
+         )::INT AS rank
+  FROM scored sc
+  JOIN geo g ON g.doc_id = sc.doc_id
+  WHERE g.lat_q IS NOT NULL AND {ord_sql} <= {thr}
 ) WHERE rank <= {TOPK}
 ORDER BY 1, 2
 """)
@@ -3943,6 +4097,9 @@ FROM tf GROUP BY term ORDER BY term
         "search_boosting": _boosting_sql(),
         "search_pinned": _pinned_sql(),
         "search_rank_feature": _rank_feature_sql(),
+        "search_geo_bbox": _geo_bbox_sql(),
+        "search_geo_distance": _geo_distance_sql(),
+        "search_geo_radius": _geo_radius_sql(),
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),
