@@ -1129,6 +1129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_geo_bbox": _entry_search_geo_bbox,
         "search_geo_distance": _entry_search_geo_distance,
         "search_geo_radius": _entry_search_geo_radius,
+        "search_nested_sum": lambda s, d: _entry_search_nested(s, d, "sum", 1),
+        "search_nested_max": lambda s, d: _entry_search_nested(
+            s, d, "max", NESTED_MINC),
+        "search_has_parent": _entry_search_has_parent,
         "percolate_docs": _entry_percolate,
         "search_explain": _entry_search_explain,
         "search_analyzed": _entry_search_analyzed,
@@ -2429,6 +2433,115 @@ SELECT query_id, rank, doc_id, score_q FROM (
   FROM scored sc
   JOIN geo g ON g.doc_id = sc.doc_id
   WHERE g.lat_q IS NOT NULL AND {ord_sql} <= {thr}
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+
+# --- nested / parent-child: block-join parents (parent = doc_id DIV
+# PARENT_BLOCK, every 29th child an orphan), rollup per dint_spark.nested
+PARENT_BLOCK = 4
+NESTED_MINC = 2
+
+
+def _parent_ords(spark, sf_dir, idx):
+    from dint_spark.facets import build_doc_values
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 29 == 11, F.lit(None))
+        .otherwise(F.expr(f"doc_id DIV {PARENT_BLOCK}"))
+        .cast("long").alias("parent"))
+    return build_doc_values(spark, docs, idx.num_docs, "parent")
+
+
+_PARENT_CTE = f"""
+, par AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 29 = 11 THEN NULL
+              ELSE doc_id // {PARENT_BLOCK} END AS parent
+  FROM documents
+)
+"""
+
+
+def _entry_search_nested(spark, sf_dir, score_mode, min_children):
+    """ES ``nested``/``has_child``: child-level BM25 over the full match
+    set, quantized child scores rolled up per block-join parent (parent
+    ordinal sidecar), min_children floor, top-k parents
+    (dint_spark/nested.py run_nested_queries)."""
+    from dint_spark.nested import run_nested_queries
+
+    idx = _get_index(spark, sf_dir)
+    ords = _parent_ords(spark, sf_dir, idx)
+    return run_nested_queries(spark, idx, QUERY_SPECS, ords,
+                              score_mode=score_mode,
+                              min_children=min_children, k=TOPK)
+
+
+def _nested_sql(score_mode: str, min_children: int) -> str:
+    agg = {"sum": "sum(floor(sc.score * 1e9)::BIGINT)",
+           "max": "max(floor(sc.score * 1e9)::BIGINT)",
+           "min": "min(floor(sc.score * 1e9)::BIGINT)",
+           "avg": "sum(floor(sc.score * 1e9)::BIGINT) // count(*)",
+           }[score_mode]
+    return (_PRELUDE + _SCORED + _PARENT_CTE + f"""
+, rolled AS (
+  SELECT sc.query_id, p.parent AS parent_id,
+         ({agg})::BIGINT AS score_q,
+         count(*)::BIGINT AS n_children
+  FROM scored sc
+  JOIN par p ON p.doc_id = sc.doc_id
+  WHERE p.parent IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, parent_id, score_q, n_children FROM (
+  SELECT query_id, parent_id, score_q, n_children,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_q DESC, parent_id ASC
+         )::INT AS rank
+  FROM rolled WHERE n_children >= {min_children}
+) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+HAS_PARENT_MODS = (0, 2)  # parent_id % 5 in (0, 2) is the parent predicate
+
+
+def _entry_search_has_parent(spark, sf_dir):
+    """ES ``has_parent``: a parent-level predicate lifts to a child
+    DocMask via one parent-ordinal lookup (orphans never match), then
+    standard filtered BM25 over the children
+    (dint_spark/nested.py children_of_parents_mask)."""
+    from dint_spark.nested import children_of_parents_mask
+
+    idx = _get_index(spark, sf_dir)
+    ords = _parent_ords(spark, sf_dir, idx)
+    import numpy as np
+
+    dm = children_of_parents_mask(
+        ords, lambda p: np.isin(p % 5, np.array(HAS_PARENT_MODS)))
+    raw = run_queries(spark, idx, QUERY_SPECS, algo="block_max_wand_vec",
+                      k=100, dtype="float64", doc_filter=dm)
+    return _rank_quantized(raw)
+
+
+def _has_parent_sql() -> str:
+    mods = ", ".join(map(str, HAS_PARENT_MODS))
+    return (_PRELUDE + _SCORED + _PARENT_CTE + f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT sc.query_id, sc.doc_id,
+         floor(sc.score * 1e9)::BIGINT AS score_q,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY floor(sc.score * 1e9) DESC, sc.doc_id ASC
+         )::INT AS rank
+  FROM scored sc
+  JOIN par p ON p.doc_id = sc.doc_id
+  WHERE p.parent IS NOT NULL AND p.parent % 5 IN ({mods})
 ) WHERE rank <= {TOPK}
 ORDER BY 1, 2
 """)
@@ -4100,6 +4213,9 @@ FROM tf GROUP BY term ORDER BY term
         "search_geo_bbox": _geo_bbox_sql(),
         "search_geo_distance": _geo_distance_sql(),
         "search_geo_radius": _geo_radius_sql(),
+        "search_nested_sum": _nested_sql("sum", 1),
+        "search_nested_max": _nested_sql("max", NESTED_MINC),
+        "search_has_parent": _has_parent_sql(),
         "percolate_docs": _percolate_sql(),
         "search_explain": _EXPLAIN_SQL,
         "search_analyzed": _analyzed_sql(),
