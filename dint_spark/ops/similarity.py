@@ -399,7 +399,17 @@ def _ivf_search(eqs: DataFrame, cents, nprobe: int = NPROBE) -> DataFrame:
     )
     probes = _probe_cells(qs, cents, "query_id", "q_eq", "q_n2",
                           ["query_id", "q_eq", "q_n2"], nprobe)
-    cand = assigned.join(F.broadcast(probes), "cell")
+    return _ivf_rerank(assigned, probes, k=TOPK)
+
+
+def _ivf_rerank(assigned: DataFrame, probes: DataFrame,
+                k: int = TOPK) -> DataFrame:
+    """Exact quantized-cosine re-rank of the probed cells' candidates —
+    the shared tail of every IVF search variant. ``assigned``:
+    (vec_id, eq, n2, cell); ``probes``: (query_id, q_eq, q_n2, cell)."""
+    cand = assigned.join(
+        F.broadcast(probes.select("query_id", "q_eq", "q_n2", "cell")),
+        "cell")
     cos = F.col("dot") / F.sqrt(
         F.col("q_n2").cast("double") * F.col("n2").cast("double")
     )
@@ -408,10 +418,190 @@ def _ivf_search(eqs: DataFrame, cents, nprobe: int = NPROBE) -> DataFrame:
         cand.withColumn("dot", _dot(F.col("q_eq"), F.col("eq")))
         .withColumn("cos_q", q6(cos))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOPK)
+        .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "vec_id", "cos_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# BLAS-batched kernels: the 10^6+-vector path. The JVM expression forms
+# above evaluate O(DIM) per (vector, centroid) ROW — right for
+# gate-scale nlist, but at n=10^6, nlist~10^3 the crossJoin explodes to
+# 10^9 rows of per-row array folds. These variants keep the SAME plan
+# shape (broadcast centroids, partitioned corpus, no shuffle before the
+# argmax) but evaluate each Arrow batch as ONE float64 matmul
+# (B x DIM) @ (DIM x nlist) — exact, because every eq component is
+# |x| <= 2^20, so dots (<= 64 * 2^40 ~ 7e13) and all partial sums stay
+# below 2^53: the float64 matmul result equals the int64 dot bit-for-bit,
+# and cos/q6 replay the JVM ops IEEE-identically (equality-pinned in
+# tests/test_ann_blas.py).
+# ---------------------------------------------------------------------------
+
+def _collect_cents(cents: DataFrame):
+    """Centroid table -> (ids asc, C float64 matrix, sqrt-ready n2)."""
+    import numpy as np
+
+    pdf = cents.select("cent_id", "c_eq", "c_n2").toPandas()
+    pdf = pdf.sort_values("cent_id").reset_index(drop=True)
+    ids = pdf["cent_id"].to_numpy().astype(np.int64)
+    C = np.stack(pdf["c_eq"].to_numpy()).astype(np.float64)
+    cn2 = pdf["c_n2"].to_numpy().astype(np.float64)
+    return ids, C, cn2
+
+
+def assign_cells_blas(eqs: DataFrame, cents: DataFrame) -> DataFrame:
+    """_assign_cells, one matmul per Arrow batch. Tie-break parity: the
+    centroid matrix is cent_id-ascending and np.argmax takes the FIRST
+    max, which is exactly max_by(struct(cos_q, -cent_id)) — highest
+    quantized cosine, then lowest cent_id."""
+    import numpy as np
+    import pandas as pd
+
+    spark = eqs.sparkSession
+    ids, C, cn2 = _collect_cents(cents)
+    bc = spark.sparkContext.broadcast((ids, C.T.copy(), cn2))
+
+    def run(batches):
+        cid, CT, cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["eq"].to_numpy()).astype(np.float64)
+            n2 = pdf["n2"].to_numpy().astype(np.float64)
+            cos = (V @ CT) / np.sqrt(n2[:, None] * cn[None, :])
+            cq = np.floor(cos * 1000000.0)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "eq": pdf["eq"],
+                "n2": pdf["n2"],
+                "cell": cid[np.argmax(cq, axis=1)],
+            })
+
+    return eqs.select("vec_id", "eq", "n2").mapInPandas(
+        run, "vec_id long, eq array<long>, n2 long, cell long")
+
+
+def probe_cells_blas(qs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """_probe_cells with the probe rank kept (``pr`` 1..n): top-n cells
+    per query by (cos_q desc, cent_id asc). One matmul for the whole
+    (tiny) query side."""
+    import numpy as np
+    import pandas as pd
+
+    ids, C, cn2 = _collect_cents(cents)
+    qpdf = qs.select("query_id", "q_eq", "q_n2").toPandas()
+    if not len(qpdf):
+        return qs.sparkSession.createDataFrame(
+            [], "query_id long, q_eq array<long>, q_n2 long, "
+                "cell long, pr int")
+    Q = np.stack(qpdf["q_eq"].to_numpy()).astype(np.float64)
+    qn2 = qpdf["q_n2"].to_numpy().astype(np.float64)
+    cq = np.floor((Q @ C.T) / np.sqrt(qn2[:, None] * cn2[None, :])
+                  * 1000000.0)
+    rows = []
+    n = min(n, len(ids))
+    for i in range(len(qpdf)):
+        order = np.lexsort((ids, -cq[i]))[:n]
+        for pr, j in enumerate(order, 1):
+            rows.append((int(qpdf["query_id"].iloc[i]),
+                         [int(x) for x in qpdf["q_eq"].iloc[i]],
+                         int(qpdf["q_n2"].iloc[i]), int(ids[j]), pr))
+    return qs.sparkSession.createDataFrame(
+        rows, "query_id long, q_eq array<long>, q_n2 long, "
+              "cell long, pr int")
+
+
+def exact_topk_blas(eqs: DataFrame, query_mod: int = QUERY_MOD,
+                    k: int = TOPK) -> DataFrame:
+    """Brute-force cosine top-k for the sampled queries, matmul-batched:
+    each corpus Arrow batch emits only its batch-local top-k per query,
+    then one window pass takes the global top-k — |queries| x k rows per
+    batch leave the workers, never the n x |queries| score matrix."""
+    import numpy as np
+    import pandas as pd
+
+    spark = eqs.sparkSession
+    qpdf = eqs.where(F.col("vec_id") % query_mod == 0).select(
+        "vec_id", "eq", "n2").toPandas()
+    Q = np.stack(qpdf["eq"].to_numpy()).astype(np.float64)
+    qn2 = qpdf["n2"].to_numpy().astype(np.float64)
+    qids = qpdf["vec_id"].to_numpy().astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, Q.T.copy(), qn2))
+
+    def run(batches):
+        qi, QT, qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["eq"].to_numpy()).astype(np.float64)
+            n2 = pdf["n2"].to_numpy().astype(np.float64)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            cq = np.floor((V @ QT) / np.sqrt(n2[:, None] * qn[None, :])
+                          * 1000000.0).astype(np.int64)
+            kk = min(k, len(vid))
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(qi)):  # per query: batch-local top-k
+                col = cq[:, j]
+                sel = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk \
+                    else np.arange(len(col))
+                out_q.append(np.full(len(sel), qi[j], dtype=np.int64))
+                out_v.append(vid[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cos_q": np.concatenate(out_c),
+            })
+
+    part = eqs.select("vec_id", "eq", "n2").mapInPandas(
+        run, "query_id long, vec_id long, cos_q long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("vec_id"))
+    return (part.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "vec_id", "cos_q"))
+
+
+def ivf_auto_nprobe(spark: SparkSession, eqs: DataFrame, cents: DataFrame,
+                    target_recall: float = 0.9, query_mod: int = QUERY_MOD,
+                    k: int = TOPK, max_nprobe: int = 32):
+    """Pick the smallest nprobe whose recall@k against the exact
+    brute-force baseline meets ``target_recall`` on the deterministic
+    query sample. ONE assignment pass and ONE max_nprobe probe pass are
+    paid; each candidate nprobe is evaluated by filtering the kept probe
+    rank — no re-assignment per point on the curve. Returns
+    (chosen_nprobe_or_None, curve) where curve rows are
+    {nprobe, recall_mean, recall_p10}."""
+    import numpy as np
+
+    exact = exact_topk_blas(eqs, query_mod=query_mod, k=k).toPandas()
+    truth = exact.groupby("query_id")["vec_id"].apply(set)
+    assigned = assign_cells_blas(eqs, cents).cache()
+    qs = eqs.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"))
+    probes = probe_cells_blas(qs, cents, max_nprobe).cache()
+    curve, chosen = [], None
+    p = 1
+    while p <= max_nprobe:
+        got = _ivf_rerank(assigned, probes.where(F.col("pr") <= p),
+                          k=k).toPandas()
+        ap = got.groupby("query_id")["vec_id"].apply(set)
+        per_q = np.array([
+            len(ap.get(qid, set()) & t) / min(k, len(t))
+            for qid, t in truth.items()])
+        row = {"nprobe": p, "recall_mean": round(float(per_q.mean()), 4),
+               "recall_p10": round(float(np.percentile(per_q, 10)), 4)}
+        curve.append(row)
+        if chosen is None and row["recall_mean"] >= target_recall:
+            chosen = p
+            break
+        p *= 2
+    assigned.unpersist()
+    probes.unpersist()
+    return chosen, curve
 
 
 def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
@@ -525,7 +715,8 @@ def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
 
 
 def ivf_seed_centroids(eqs: DataFrame, cent_mod: int = CENT_MOD,
-                       init: str = "mod") -> DataFrame:
+                       init: str = "mod",
+                       nlist: int | None = None) -> DataFrame:
     """The coarse quantizer's INITIAL centroid table: ``init="mod"`` is
     the deterministic modulo seed (nlist ~ n/cent_mod rows, zero extra
     passes); ``init="kmeans_par"`` runs the k-means|| parallel sampler
@@ -533,7 +724,13 @@ def ivf_seed_centroids(eqs: DataFrame, cent_mod: int = CENT_MOD,
     replaces nlist sequential k-means++ draws with a few
     whole-corpus-parallel rounds."""
     if init == "kmeans_par":
-        nlist = max(1, eqs.where(F.col("vec_id") % cent_mod == 1).count())
+        # an explicit nlist matters when eqs is itself a modulo SAMPLE:
+        # vec_id % cent_mod == 1 can be unsatisfiable on a sample whose
+        # own modulus shares a factor with cent_mod (nlist would quietly
+        # collapse to 1)
+        if nlist is None:
+            nlist = max(1, eqs.where(
+                F.col("vec_id") % cent_mod == 1).count())
         return ivf_init_kmeans_par(eqs, nlist)
     return eqs.where(F.col("vec_id") % cent_mod == 1).select(
         F.col("vec_id").alias("cent_id"),
@@ -544,7 +741,9 @@ def ivf_seed_centroids(eqs: DataFrame, cent_mod: int = CENT_MOD,
 
 def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
                         cent_mod: int = CENT_MOD,
-                        init: str = "mod") -> DataFrame:
+                        init: str = "mod",
+                        assign: str = "jvm",
+                        nlist: int | None = None) -> DataFrame:
     """Lloyd (k-means) refinement of the IVF coarse quantizer.
 
     Starts from deterministic seeds (``init``: modulo sample, or the
@@ -570,14 +769,19 @@ def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
     assignment of the full corpus stays exact either way.
     """
     spark = eqs.sparkSession
-    cents = ivf_seed_centroids(eqs, cent_mod=cent_mod, init=init)
+    cents = ivf_seed_centroids(eqs, cent_mod=cent_mod, init=init,
+                               nlist=nlist)
     avgs = [F.avg(F.element_at("eq", d + 1)).alias(f"m{d}")
             for d in range(DIM)]
     new_eq = F.array(*[F.floor(F.col(f"m{d}")).cast("long")
                        for d in range(DIM)])
     for _ in range(iters):
-        assigned = _assign_cells(eqs, F.broadcast(cents),
-                                 "vec_id", "eq", "n2")
+        # assign="blas": argmax-identical matmul batches (assign_cells_blas)
+        # — the form that holds at n x nlist ~ 10^9 scored pairs, where
+        # the per-row JVM array fold is the bottleneck
+        assigned = (assign_cells_blas(eqs, cents) if assign == "blas"
+                    else _assign_cells(eqs, F.broadcast(cents),
+                                       "vec_id", "eq", "n2"))
         means = assigned.groupBy("cell").agg(*avgs)
         nxt = means.select(
             F.col("cell").alias("cent_id"), new_eq.alias("c_eq")

@@ -733,6 +733,86 @@ ORDER BY 1, 2
     print(("PASS " if ok else "FAIL ") + "dedup_minhash_1m",
           results["dedup_minhash_1m"], flush=True)
 
+    # ======================================================================
+    # round-4 VERDICT item 7: the three most state-heavy mining/feedback
+    # ops, value-verified at 1M (their row-exact evidence stopped at
+    # sf0.01). Workloads and oracle SQL come from the driver contract
+    # (__spark_entry__) so the 1M check replays EXACTLY the gated logic.
+    # ======================================================================
+    import __spark_entry__ as E
+
+    def rank_quant_pdf(raw, topk):
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("score_q"), F.asc("doc_id"))
+        return (
+            raw.withColumn("score_q",
+                           F.floor(F.col("score") * 1e9).cast("long"))
+            .withColumn("qrank", F.row_number().over(wq))
+            .where(F.col("qrank") <= topk)
+            .select("query_id", F.col("qrank").cast("int").alias("rank"),
+                    "doc_id", "score_q")
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # -- significant_terms at 1M (JLH over ~400k-doc foregrounds) -----------
+    t_step = time.time()
+    from dint_spark.mining import significant_terms
+    eng_sig = significant_terms(
+        spark, idx, E.SIG_SPECS, docs_sp, k=E.SIG_TOPK
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert E._SIG_SQL.startswith(E._PRELUDE)
+    ora_sig = con.sql(prelude + E._SIG_SQL[len(E._PRELUDE):]).df()
+    check_df("significant_terms_1m", eng_sig, ora_sig)
+
+    # -- RM3 pseudo-relevance feedback at 1M --------------------------------
+    t_step = time.time()
+    from dint_spark.search import rm3_search
+    raw_rm3 = rm3_search(
+        spark, idx, E.QUERY_SPECS, docs_sp, fb_docs=E.RM3_FB_DOCS,
+        fb_terms=E.RM3_FB_TERMS, orig_weight=E.RM3_A, k=100,
+        algo="block_max_wand", dtype="float64")
+    eng_rm3 = rank_quant_pdf(raw_rm3, E.TOPK)
+    rm3_body = E._rm3_sql()
+    assert rm3_body.startswith(E._PRELUDE)
+    rm3_body = rm3_body[len(E._PRELUDE):]
+    # the sf oracle streams toks2 (every doc's tokens); at 1M tokenize
+    # ONLY the feedback candidates — identical rows, 1e5x less work
+    rm3_body = rm3_body.replace(
+        """ftoks AS (
+  SELECT c.query_id, c.doc_id, t.term
+  FROM cands c JOIN toks2 t ON t.doc_id = c.doc_id
+),""",
+        """fd AS (SELECT DISTINCT doc_id FROM cands),
+ft0 AS (
+  SELECT i.doc_id,
+         unnest(string_split_regex(lower(i.text), '[^0-9a-z]+')) AS term
+  FROM ids i JOIN fd ON fd.doc_id = i.doc_id
+),
+ftoks AS (
+  SELECT c.query_id, c.doc_id, t.term
+  FROM cands c JOIN (SELECT doc_id, term FROM ft0 WHERE term <> '') t
+    ON t.doc_id = c.doc_id
+),""")
+    assert "toks2" not in rm3_body, "feedback tokenization not restricted"
+    ora_rm3 = con.sql(prelude + rm3_body).df()
+    check_df("search_rm3_1m", eng_rm3, ora_rm3,
+             {"n_queries": len(E.QUERY_SPECS)})
+
+    # -- percolation at 1M (corpus-sized result -> order-free checksum) -----
+    t_step = time.time()
+    from dint_spark.percolate import percolate, register_queries
+    reg = register_queries(spark, E.PERC_QUERIES)
+    eng_pc = percolate(docs_sp, reg)
+    eng_pck = _spark_cksum(
+        eng_pc.select("query_id", "doc_id", F.lit(0).alias("z")),
+        "query_id", "doc_id", "z")
+    con.sql("CREATE OR REPLACE VIEW documents AS "
+            "SELECT doc_id, text FROM ids")
+    ora_pck_row = con.sql(
+        f"SELECT {_cksum_exprs('query_id', 'doc_id', '0')} "
+        f"FROM ({E._percolate_sql()}) p").df().iloc[0]
+    check("percolate_docs_1m", eng_pck,
+          {k: int(ora_pck_row[k]) for k in eng_pck})
+
     results["total_s"] = round(time.time() - t_all, 1)
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, default=str)
