@@ -1017,11 +1017,19 @@ def _decode_codes(codes: np.ndarray, n: int, table2d: np.ndarray,
     cw_mask = (out_w[:k] > 0) & (codes[:k] >= RESERVED)
     cw = np.flatnonzero(cw_mask)
     if len(cw):
+        # grouped by entry size: each group is ONE contiguous (len, s)
+        # row-gather + ONE scatter — vs the old 16-wide masked form,
+        # whose (k, 16) gather + boolean compress + int64 flat index
+        # moved ~3x the bytes per decoded int (round-5 decode item)
         dsz = out_w[cw]
-        gathered = table2d[codes[cw]]  # (k, 16)
-        colmask = np.arange(MAX_ENTRY_SIZE)[None, :] < dsz[:, None]
-        flat = (offs[cw][:, None] + np.arange(MAX_ENTRY_SIZE)[None, :])[colmask]
-        out[flat] = gathered[colmask]
+        for s in np.unique(dsz):
+            sel = cw[dsz == s]
+            s = int(s)
+            if s == 1:
+                out[offs[sel]] = table2d[codes[sel], 0]
+            else:
+                idx2 = offs[sel][:, None] + np.arange(s)
+                out[idx2.reshape(-1)] = table2d[codes[sel], :s].ravel()
 
     slots = k
     if real is not None:
@@ -1525,8 +1533,11 @@ def decode_long_lists_batch(payloads: list, ns: np.ndarray,
     4-8 blocks, and LOSES ~0.7x for multi-thousand-posting lists (whose
     per-list cross-BLOCK pass already amortizes overhead, and the giant
     2D gather/scatter temps only add memory traffic). Lists with
-    n >= CROSS_LIST_MAX_N therefore keep the per-list decode_list_bulk
-    path, written into the same output arrays.
+    n >= CROSS_LIST_MAX_N therefore decode their FULL blocks through the
+    per-list cross-block pass — but their BIC tails join the SAME
+    lockstep batch DFS as every other list (round-5: the per-list tail
+    previously fell back to the recursive-python bic_decode, which
+    profiled as ~40% of the whole batch wall).
 
     Returns (docs_concat, freqs_concat|None, offsets) with lists in
     input order, byte-identical to per-list decode_list_bulk calls.
@@ -1541,30 +1552,7 @@ def decode_long_lists_batch(payloads: list, ns: np.ndarray,
     freqs_out = (np.empty(total, dtype=np.int64)
                  if freqs_dict is not None else None)
 
-    huge = np.flatnonzero(ns >= CROSS_LIST_MAX_N)
-    for i in huge:
-        i = int(i)
-        d, f = decode_list_bulk(
-            payloads[i], int(ns[i]),
-            np.asarray(block_maxs_l[i], dtype=np.int64),
-            np.asarray(endpoints_l[i], dtype=np.int64),
-            np.asarray(freq_offsets_l[i], dtype=np.int64),
-            docs_dict, freqs_dict)
-        docs_out[offsets[i]:offsets[i + 1]] = d
-        if freqs_out is not None:
-            freqs_out[offsets[i]:offsets[i + 1]] = f
-    if len(huge) == L:
-        return docs_out, freqs_out, offsets
-    keep = ns < CROSS_LIST_MAX_N
-    sel = np.flatnonzero(keep)
-    payloads = [payloads[int(i)] for i in sel]
-    endpoints_l = [endpoints_l[int(i)] for i in sel]
-    freq_offsets_l = [freq_offsets_l[int(i)] for i in sel]
-    block_maxs_l = [block_maxs_l[int(i)] for i in sel]
-    out_off = offsets[:-1][keep]   # output base per kept list
-    ns = ns[keep]
-    L = len(sel)
-
+    # bookkeeping over ALL lists (both size classes share the tail DFS)
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=L)
     pbase = np.zeros(L, dtype=np.int64)
     np.cumsum(lens[:-1], out=pbase[1:])
@@ -1582,12 +1570,31 @@ def decode_long_lists_batch(payloads: list, ns: np.ndarray,
         [np.asarray(f, dtype=np.int64) for f in freq_offsets_l])
     bm_flat = np.concatenate(
         [np.asarray(b, dtype=np.int64) for b in block_maxs_l])
+    out_off = offsets[:-1]
+    small = ns < CROSS_LIST_MAX_N
 
-    # ---- ALL full blocks of ALL lists: one decode per stream -------------
-    NBf = int(nf.sum())
+    # ---- huge lists' FULL blocks: per-list cross-block pass --------------
+    for i in np.flatnonzero(~small):
+        i = int(i)
+        nfi = int(nf[i])
+        if not nfi:
+            continue
+        d, f = decode_blocks_bulk(
+            payloads[i], int(ns[i]),
+            np.asarray(block_maxs_l[i], dtype=np.int64),
+            np.asarray(endpoints_l[i], dtype=np.int64),
+            np.asarray(freq_offsets_l[i], dtype=np.int64),
+            np.arange(nfi), docs_dict, freqs_dict)
+        docs_out[offsets[i]:offsets[i] + nfi * BLOCK_SIZE] = d
+        if freqs_out is not None:
+            freqs_out[offsets[i]:offsets[i] + nfi * BLOCK_SIZE] = f
+
+    # ---- small lists' full blocks: ONE cross-list decode per stream ------
+    nf_s = np.where(small, nf, 0)
+    NBf = int(nf_s.sum())
     if NBf:
-        li = np.repeat(np.arange(L), nf)
-        bi = np.arange(NBf) - np.repeat(np.cumsum(nf) - nf, nf)
+        li = np.repeat(np.arange(L), nf_s)
+        bi = np.arange(NBf) - np.repeat(np.cumsum(nf_s) - nf_s, nf_s)
         fi = eoff[li] + bi
         doc_starts = pbase[li] + ep_flat[fi]
         doc_ends = pbase[li] + fo_flat[fi]
@@ -1608,7 +1615,7 @@ def decode_long_lists_batch(payloads: list, ns: np.ndarray,
                                     BLOCK_SIZE)
             freqs_out[scatter] = fvals.astype(np.int64).ravel() + 1
 
-    # ---- ALL BIC tail blocks: lockstep batch DFS -------------------------
+    # ---- ALL BIC tail blocks (both size classes): lockstep batch DFS -----
     tl = np.flatnonzero(tail_n > 0)
     if len(tl):
         m = tail_n[tl]

@@ -108,11 +108,15 @@ def main() -> None:
     out_json = os.path.join(REPO, "full_gate_multishard_result.json")
     PAGES = f"/tmp/gatems_pages_{num_docs}.parquet"
     SIDX = f"/tmp/gatems_sidx_{num_docs}_{num_shards}"
-    MONO = f"/tmp/gatems_mono_{num_docs}"
+    # the monolithic build carries num_docs per bucket task where each
+    # docid shard carries num_docs/num_shards — scale its bucket count so
+    # per-bucket encode state stays in the executor heap at 4M docs
+    mono_buckets = max(8, 8 * (num_docs // 1_000_000))
+    MONO = f"/tmp/gatems_mono_{num_docs}_b{mono_buckets}"
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     n_cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-    master = (f"local-cluster[{min(2, n_cpus // 8)},8,16384]"
+    master = (f"local-cluster[{min(2, n_cpus // 8)},8,24576]"
               if n_cpus >= 16 else f"local[{n_cpus}]")
     spark = get_spark("full_gate_multishard", master=master,
                       shuffle_partitions=max(32, n_cpus))
@@ -153,10 +157,13 @@ def main() -> None:
     results["shard_num_docs"] = [s.num_docs for s in sidx.shards]
 
     t0 = time.time()
-    if not os.path.exists(os.path.join(MONO, "manifest.json")):
-        shutil.rmtree(MONO, ignore_errors=True)
-        build_index(spark, pages, MONO, cfg)
-        results["mono_build_s"] = round(time.time() - t0, 1)
+    # build_index is resumable (per-bucket checkpoints): an interrupted
+    # prior run leaves a manifest without the final "meta" step, so always
+    # route through the builder — complete indexes no-op
+    build_index(spark, pages, MONO,
+                IndexConfig(num_buckets=mono_buckets,
+                            input_tag="gatems-mono"))
+    results["mono_build_s"] = round(time.time() - t0, 1)
     mono = load_index(spark, MONO)
 
     # -- DuckDB oracle: identical tokenize + url-rank ids + vocab rank ------
