@@ -414,7 +414,10 @@ def main() -> None:
                      "search_terms_set", "search_cardinality",
                      "suggest_spelling2", "search_span_near",
                      "search_span_unordered", "search_boosting", "search_pinned",
-                     "search_highlight"):
+                     "search_highlight", "search_rank_feature",
+                     "search_geo_bbox", "search_geo_distance",
+                     "search_geo_radius", "search_nested_sum",
+                     "search_nested_max", "search_has_parent"):
             fn = _eq[name]
             fn(spark, sf_dir).count()  # warmup (plans + sidecars)
             timings[name] = min(
