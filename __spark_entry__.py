@@ -1163,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prefix": _entry_search_prefix,
         "search_fuzzy": _entry_search_fuzzy,
         "search_regexp": _entry_search_regexp,
+        "search_regexp_trigram": _entry_search_regexp_trigram,
         "suggest_complete": _entry_suggest_complete,
         "suggest_phrase": _entry_suggest_phrase,
         "proximity_within": _entry_proximity_within,
@@ -1641,9 +1642,31 @@ def _entry_search_regexp(spark, sf_dir):
     return _rank_quantized(raw)
 
 
-def _regex_scored() -> str:
+# prefix-free shapes the trigram side index exists for (.*tion has no
+# pushable prefix), plus a class+run pattern, a fallback (top-level |),
+# and a no-match — the pruned path must equal the full-scan path exactly
+REGEX_TRI_SPECS = [".*tch", "[fh]il*ter", "jo.n|hash", "sc.n", "zzz+q"]
+
+
+def _entry_search_regexp_trigram(spark, sf_dir):
+    """Regexp search through the trigram->term side index
+    (search.search_regexp_trigram, the public Code-Search technique):
+    REQUIRED trigrams extracted from each pattern prune the vocabulary
+    via a pushed IN scan + count-match aggregate BEFORE the full
+    pattern runs — the cost class the StartsWith pushdown cannot reach
+    (prefix-free patterns). Identical results to search_regexp by
+    construction; the oracle is the same full-vocabulary expansion."""
+    from dint_spark.search import search_regexp_trigram
+
+    idx = _get_index(spark, sf_dir)
+    raw = search_regexp_trigram(spark, idx, REGEX_TRI_SPECS, k=100,
+                                dtype="float64", max_terms=MAX_EXPAND)
+    return _rank_quantized(raw)
+
+
+def _regex_scored(specs=None) -> str:
     vals = ", ".join(f"({i}, '{p}')"
-                     for i, p in enumerate(REGEX_QUERY_SPECS))
+                     for i, p in enumerate(specs or REGEX_QUERY_SPECS))
     return f"""
 , qraw AS (SELECT * FROM (VALUES {vals}) AS t(query_id, qtext)),
 expand AS (
@@ -4249,6 +4272,8 @@ FROM tf GROUP BY term ORDER BY term
         "search_prefix": _topk_or_sql(scored=_prefix_scored()),
         "search_fuzzy": _topk_or_sql(scored=_fuzzy_scored()),
         "search_regexp": _topk_or_sql(scored=_regex_scored()),
+        "search_regexp_trigram": _topk_or_sql(
+            scored=_regex_scored(REGEX_TRI_SPECS)),
         "suggest_complete": _complete_sql(),
         "proximity_within": _PROX_SQL,
         # tombstoned: stats CTEs over the FULL corpus, candidates filtered

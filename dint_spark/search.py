@@ -186,6 +186,192 @@ def expand_regex(index, pattern: str, max_terms: int = 64) -> list[int]:
     return sorted(int(r["term_id"]) for r in rows)
 
 
+TRIGRAM_SIDECAR = "trigrams.parquet"
+
+
+def regex_required_trigrams(pattern: str) -> list[str]:
+    """Conservative REQUIRED-trigram extraction (the public Code-Search
+    technique — Cox, "Regular Expression Matching with a Trigram
+    Index"): every string that fullmatches ``pattern`` is guaranteed to
+    contain every returned trigram, so a trigram->terms side index can
+    prune the vocabulary BEFORE the full pattern runs — the missing
+    cost class for prefix-free patterns like ``.*tion``, where the
+    StartsWith pushdown (regex_literal_prefix) has nothing to push.
+
+    Atom-based scan: literal atoms extend the current mandatory run; an
+    optional/unknown atom (quantified literal, class, group, dot,
+    shorthand) breaks it; ``x+``/``x{m>=1,..}`` keeps x then breaks (x
+    appears, but repeats separate it from what follows); a TOP-LEVEL
+    ``|`` returns [] (branches share nothing guaranteed). Groups are
+    skipped wholesale — conservative, never wrong: a shorter run only
+    costs pruning selectivity, the caller always re-applies the full
+    pattern."""
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "|":
+            return []  # top-level alternation (groups are skipped below)
+        lit: str | None = None
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            lit = nxt if (nxt and not nxt.isalnum()) else None
+            i += 2
+        elif c == "[":
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+        elif c == "(":
+            depth, j, in_cls = 1, i + 1, False
+            while j < n and depth:
+                cj = pattern[j]
+                if cj == "\\":
+                    j += 2
+                    continue
+                if in_cls:
+                    in_cls = cj != "]"
+                elif cj == "[":
+                    in_cls = True
+                elif cj == "(":
+                    depth += 1
+                elif cj == ")":
+                    depth -= 1
+                j += 1
+            i = j
+        elif c in ".^$)":
+            i += 1
+        else:
+            lit = c
+            i += 1
+        # quantifier on the atom just consumed
+        optional = plus = False
+        q = pattern[i] if i < n else ""
+        if q == "*" or q == "?":  # NOT `in "*?"`: "" is in every string
+            optional = True
+            i += 1
+            if pattern[i:i + 1] == "?":
+                i += 1
+        elif q == "+":
+            plus = True
+            i += 1
+            if pattern[i:i + 1] == "?":
+                i += 1
+        elif q == "{":
+            j = pattern.find("}", i)
+            if j < 0:
+                flush()
+                i += 1
+                continue
+            mn = pattern[i + 1:j].split(",")[0]
+            if mn.isdigit() and int(mn) >= 1:
+                plus = True
+            else:
+                optional = True
+            i = j + 1
+            if pattern[i:i + 1] == "?":
+                i += 1
+        if lit is not None and not optional:
+            cur.append(lit)
+            if plus:
+                flush()
+        else:
+            flush()
+    flush()
+    tris = {r[j:j + 3] for r in runs if len(r) >= 3
+            for j in range(len(r) - 2)}
+    return sorted(tris)
+
+
+def build_trigram_index(spark: SparkSession, index) -> str:
+    """Materialize the trigram->term side index as a vocab sidecar
+    (<index>/trigrams.parquet, range-partitioned + sorted by tri so a
+    pushed IN filter prunes row groups). One distributed pass over the
+    vocabulary; rows are (tri, term_id), distinct per term. Vocabulary-
+    shaped (~avg_len-2 rows per term), never corpus-shaped."""
+    import os
+
+    out = os.path.join(index.dir, TRIGRAM_SIDECAR)
+    v = index.vocab().select("term_id", "term").where(F.length("term") >= 3)
+    tri = v.select(
+        "term_id",
+        F.explode(F.expr(
+            "array_distinct(transform(sequence(0, length(term) - 3), "
+            "i -> substring(term, i + 1, 3)))")).alias("tri"))
+    (tri.repartitionByRange(8, "tri")
+        .sortWithinPartitions("tri", "term_id")
+        .write.mode("overwrite").parquet(out))
+    return out
+
+
+def ensure_trigram_index(spark: SparkSession, index) -> str:
+    import os
+
+    out = os.path.join(index.dir, TRIGRAM_SIDECAR)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        build_trigram_index(spark, index)
+    return out
+
+
+def expand_regex_trigram(spark: SparkSession, index, pattern: str,
+                         max_terms: int = 64) -> list[int]:
+    """expand_regex through the trigram side index: candidates are the
+    terms containing EVERY required trigram (pushed IN scan + one
+    count-match aggregate — both vocabulary-shaped), then the full
+    pattern post-filters exactly like expand_regex, so the result is
+    identical by construction. Falls back to expand_regex when the
+    pattern guarantees no trigram (e.g. top-level alternation) or the
+    sidecar is absent."""
+    import os
+
+    tris = regex_required_trigrams(pattern)
+    path = os.path.join(index.dir, TRIGRAM_SIDECAR)
+    if not tris or not os.path.exists(path):
+        return expand_regex(index, pattern, max_terms=max_terms)
+    t = spark.read.parquet(path).where(F.col("tri").isin(list(tris)))
+    cand = (t.groupBy("term_id").agg(F.count("*").alias("nt"))
+            .where(F.col("nt") == len(tris)).select("term_id"))
+    v = index.vocab().join(cand, "term_id")
+    pre = regex_literal_prefix(pattern)
+    if pre:
+        v = v.filter(F.col("term").startswith(pre))
+    rows = (v.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .select("term_id").collect())
+    return sorted(int(r["term_id"]) for r in rows)
+
+
+def search_regexp_trigram(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    algo: str = "block_max_wand_vec",
+    k: int = 10,
+    dtype: str = "float32",
+    max_terms: int = 64,
+    doc_filter: DocMask | None = None,
+) -> DataFrame:
+    """search_regexp with trigram-pruned expansion (identical results —
+    the side index only prunes the vocabulary scan)."""
+    ensure_trigram_index(spark, index)
+    specs = [expand_regex_trigram(spark, index, p, max_terms=max_terms)
+             for p in patterns]
+    return run_queries(spark, index, specs, algo=algo, k=k, dtype=dtype,
+                       doc_filter=doc_filter)
+
+
 def search_regexp(
     spark: SparkSession,
     index,

@@ -482,3 +482,61 @@ def test_fuzzy2_table_probe_equals_levenshtein_scan(spark, sidx, tmp_path):
         assert [(int(d), t) for d, _, t, _ in cands] == \
             list(zip(rows.dist, rows.term)), w
     assert (res.dist == 2).any()  # the new distance class is exercised
+
+
+def test_regex_required_trigrams_extraction():
+    """Conservative required-trigram law cases: literal runs survive,
+    quantified/optional atoms break runs, x+ keeps x then breaks,
+    groups/classes/dot are opaque, top-level | yields nothing, classes
+    and escapes never leak metachars."""
+    from dint_spark.search import regex_required_trigrams as rt
+
+    assert rt("ration") == ["ati", "ion", "rat", "tio"]
+    assert rt(".*tion") == ["ion", "tio"]
+    assert rt("[0-9]+ing") == ["ing"]
+    assert rt("un.*able") == ["abl", "ble"]        # "un" too short
+    assert rt("abc*def") == ["def"]                # c optional -> ab|def
+    assert rt("abcd*ef") == ["abc"]
+    assert rt("ab+cde") == ["cde"]                 # ab kept, run broken
+    assert rt("abc{2,}de") == ["abc"]              # {m>=1} like +
+    assert rt("abc{0,3}de") == []                  # abc? -> ab, de short
+    assert rt("(foo|bar)baz") == ["baz"]           # group opaque
+    assert rt("foo|bar") == []                     # top-level alternation
+    assert rt(r"a\.bcd") == ["a.b", ".bc", "bcd"] or \
+        rt(r"a\.bcd") == sorted(["a.b", ".bc", "bcd"])
+    assert rt(r"ab\dcd") == []                     # shorthand breaks
+    assert rt("a[bc]def") == ["def"]
+    assert rt("zz") == []                          # too short
+
+
+def test_expand_regex_trigram_equals_plain(spark, sidx):
+    """The trigram-pruned expansion is an OPTIMIZATION: identical term
+    sets to expand_regex for every pattern class — prefix-free, with
+    prefix, class+required-run, fallback (top-level |), and no-match —
+    and the sidecar build is idempotent."""
+    from dint_spark.search import (build_trigram_index, expand_regex,
+                                  expand_regex_trigram,
+                                  regex_required_trigrams)
+
+    build_trigram_index(spark, sidx)
+    pats = [".*0003", "w0001[0-4]", "w00002|w00003", "w0000.",
+            "[vw]0{3}1.", "zzz+x"]
+    for pat in pats:
+        want = expand_regex(sidx, pat, max_terms=64)
+        got = expand_regex_trigram(spark, sidx, pat, max_terms=64)
+        assert got == want, (pat, regex_required_trigrams(pat))
+    # caps apply identically through the pruned path
+    assert (expand_regex_trigram(spark, sidx, ".*0003", max_terms=3)
+            == expand_regex(sidx, ".*0003", max_terms=3))
+
+
+def test_search_regexp_trigram_equals_search_regexp(spark, sidx):
+    from dint_spark.search import search_regexp, search_regexp_trigram
+
+    pats = [".*0003", "w0000.", "w00011|w00012"]
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in search_regexp_trigram(spark, sidx, pats,
+                                          k=5).collect()}
+    want = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in search_regexp(spark, sidx, pats, k=5).collect()}
+    assert got == want
