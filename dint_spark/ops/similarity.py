@@ -606,7 +606,8 @@ def ivf_auto_nprobe(spark: SparkSession, eqs: DataFrame, cents: DataFrame,
 
 def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
                         oversample: float = 2.0,
-                        lloyd_iters: int = 5) -> DataFrame:
+                        lloyd_iters: int = 5,
+                        blas: bool = False) -> DataFrame:
     """Deterministic k-means|| (scalable k-means++, Bahmani et al.
     VLDB'12) initialization for the IVF coarse quantizer — the
     10^9-vector init path: instead of nlist SEQUENTIAL k-means++ draws
@@ -647,12 +648,49 @@ def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
                     F.col("eq").alias("c_eq"),
                     F.col("n2").alias("c_n2")).collect())
     ell = float(oversample) * nlist
+
+    def _mind_blas(cand_rows):
+        """The per-round min-distance pass as one matmul per Arrow batch
+        (``blas=True``): same quantized cosines as assign_cells_blas, so
+        d2 is int-identical to the JVM crossJoin+max form — but with NO
+        crossJoin rows and NO groupBy exchange (each batch emits its own
+        (vec_id, d2) directly), which is what survives n x candidates ~
+        10^9 scored pairs."""
+        import pandas as pd
+
+        CT = np.array([[int(x) for x in r["c_eq"]] for r in cand_rows],
+                      dtype=np.float64).T.copy()
+        cn2 = np.array([float(r["c_n2"]) for r in cand_rows])
+        bc = spark.sparkContext.broadcast((CT, cn2))
+
+        def run(batches):
+            ct, cn = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["eq"].to_numpy()).astype(np.float64)
+                n2v = pdf["n2"].to_numpy().astype(np.float64)
+                cq = np.floor((V @ ct) / np.sqrt(n2v[:, None] * cn[None, :])
+                              * 1000000.0)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "d2": (Q - cq.max(axis=1)).astype(np.int64),
+                    "eq": pdf["eq"],
+                    "n2": pdf["n2"],
+                })
+
+        return eqs.select("vec_id", "eq", "n2").mapInPandas(
+            run, "vec_id long, d2 long, eq array<long>, n2 long")
+
     for _ in range(rounds):
-        mind = (_scored_cents(eqs, F.broadcast(_cdf(rows)), "eq", "n2")
-                .groupBy("vec_id")
-                .agg((F.lit(Q) - F.max("__cos_q")).alias("d2"),
-                     F.first("eq").alias("eq"),
-                     F.first("n2").alias("n2")))
+        if blas:
+            mind = _mind_blas(rows)
+        else:
+            mind = (_scored_cents(eqs, F.broadcast(_cdf(rows)), "eq", "n2")
+                    .groupBy("vec_id")
+                    .agg((F.lit(Q) - F.max("__cos_q")).alias("d2"),
+                         F.first("eq").alias("eq"),
+                         F.first("n2").alias("n2")))
         tot = mind.agg(
             F.sum(F.col("d2").cast("double")).alias("s")).collect()[0]["s"]
         if not tot:
@@ -670,8 +708,9 @@ def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
                        key=lambda r: int(r["cent_id"]))
     # ---- weights: how many vectors each candidate attracts ----------------
     rows = sorted(rows, key=lambda r: int(r["cent_id"]))
-    wrows = (_assign_cells(eqs, F.broadcast(_cdf(rows)),
-                           "vec_id", "eq", "n2")
+    wrows = ((assign_cells_blas(eqs, _cdf(rows)) if blas else
+              _assign_cells(eqs, F.broadcast(_cdf(rows)),
+                            "vec_id", "eq", "n2"))
              .groupBy("cell").count().collect())
     wmap = {int(r["cell"]): int(r["count"]) for r in wrows}
     C = np.array([[int(x) for x in r["c_eq"]] for r in rows],
@@ -716,7 +755,8 @@ def ivf_init_kmeans_par(eqs: DataFrame, nlist: int, rounds: int = 3,
 
 def ivf_seed_centroids(eqs: DataFrame, cent_mod: int = CENT_MOD,
                        init: str = "mod",
-                       nlist: int | None = None) -> DataFrame:
+                       nlist: int | None = None,
+                       blas: bool = False) -> DataFrame:
     """The coarse quantizer's INITIAL centroid table: ``init="mod"`` is
     the deterministic modulo seed (nlist ~ n/cent_mod rows, zero extra
     passes); ``init="kmeans_par"`` runs the k-means|| parallel sampler
@@ -731,7 +771,7 @@ def ivf_seed_centroids(eqs: DataFrame, cent_mod: int = CENT_MOD,
         if nlist is None:
             nlist = max(1, eqs.where(
                 F.col("vec_id") % cent_mod == 1).count())
-        return ivf_init_kmeans_par(eqs, nlist)
+        return ivf_init_kmeans_par(eqs, nlist, blas=blas)
     return eqs.where(F.col("vec_id") % cent_mod == 1).select(
         F.col("vec_id").alias("cent_id"),
         F.col("eq").alias("c_eq"),
@@ -770,7 +810,7 @@ def ivf_train_centroids(eqs: DataFrame, iters: int = 2,
     """
     spark = eqs.sparkSession
     cents = ivf_seed_centroids(eqs, cent_mod=cent_mod, init=init,
-                               nlist=nlist)
+                               nlist=nlist, blas=(assign == "blas"))
     avgs = [F.avg(F.element_at("eq", d + 1)).alias(f"m{d}")
             for d in range(DIM)]
     new_eq = F.array(*[F.floor(F.col(f"m{d}")).cast("long")

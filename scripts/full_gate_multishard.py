@@ -259,9 +259,17 @@ FROM tf GROUP BY term""")
     check("postings_mono_ms", eng_mono, eng_sh)
 
     # -- sampled BM25: sharded fan-out == DuckDB == monolithic ---------------
+    # engine ranks by float64 and the oracle quantizes-then-ranks, so the
+    # engine runs with k=100 headroom and the compare re-quantizes (the
+    # driver-contract pattern); terms in the idf-floor regime (df close
+    # to N/2 -> idf == 1e-6) are excluded from the workload — their
+    # quantized tie plateaus span thousands of docs at 4M, more than any
+    # finite headroom (the first 4M run caught exactly this: score_q
+    # 2137 plateau, engine float-top-10 vs oracle lowest-doc_id ties)
     t_step = time.time()
     vocab_pdf = sidx.vocab().select("term_id", "df").toPandas()
-    queries = make_query_workload(vocab_pdf, N_QUERIES, 4242)
+    nondegen = vocab_pdf[vocab_pdf["df"] <= int(0.45 * sidx.num_docs)]
+    queries = make_query_workload(nondegen, N_QUERIES, 4242)
 
     def topk_pdf(raw):
         w = Window.partitionBy("query_id").orderBy(
@@ -277,7 +285,7 @@ FROM tf GROUP BY term""")
 
     t0 = time.time()
     eng_top = topk_pdf(run_queries_sharded(
-        spark, sidx, queries, algo="block_max_wand_vec", k=10,
+        spark, sidx, queries, algo="block_max_wand_vec", k=100,
         dtype="float64"))
     sharded_wall = round(time.time() - t0, 1)
     qvals = ", ".join(f"({qi}, {t}, 1)" for qi, ts in enumerate(queries)
@@ -316,7 +324,7 @@ ORDER BY query_id, rank
     t_step = time.time()
     t0 = time.time()
     mono_top = topk_pdf(run_queries(
-        spark, mono, queries, algo="block_max_wand_vec", k=10,
+        spark, mono, queries, algo="block_max_wand_vec", k=100,
         dtype="float64"))
     check_df("bm25_mono_vs_sharded_ms", mono_top, eng_top,
              {"mono_wall_s": round(time.time() - t0, 1)})
@@ -328,10 +336,10 @@ ORDER BY query_id, rank
     server = ShardedQueryServer(spark, sidx, terms=terms, dtype="float64",
                                 max_broadcast_bytes=1 << 31)
     pin_s = round(time.time() - t0, 1)
-    server.serve(queries, algo="block_max_wand_vec", k=10).count()  # warm
+    server.serve(queries, algo="block_max_wand_vec", k=100).count()  # warm
     t0 = time.time()
     srv_top = topk_pdf(server.serve(queries, algo="block_max_wand_vec",
-                                    k=10))
+                                    k=100))
     serve_wall = round(time.time() - t0, 2)
     check_df("serve_sharded_ms", srv_top, eng_top,
              {"pin_s": pin_s, "serve_wall_s": serve_wall,
@@ -343,7 +351,7 @@ ORDER BY query_id, rank
         F.col("id").alias("doc_id"))
     masks = build_doc_filters_sharded(spark, sidx, allowed)
     eng_filt = topk_pdf(run_queries_sharded(
-        spark, sidx, queries, algo="block_max_wand_vec", k=10,
+        spark, sidx, queries, algo="block_max_wand_vec", k=100,
         dtype="float64", doc_filters=masks))
     check_df("filter_sharded_ms", eng_filt,
              oracle_topk("tf.doc_id % 3 != 1"))
@@ -357,7 +365,7 @@ ORDER BY query_id, rank
     con.executemany("INSERT INTO dels VALUES (?)",
                     [(int(d),) for d in dels])
     eng_del = topk_pdf(run_queries_sharded(
-        spark, sidx, queries, algo="block_max_wand_vec", k=10,
+        spark, sidx, queries, algo="block_max_wand_vec", k=100,
         dtype="float64"))
     check_df("delete_sharded_ms", eng_del,
              oracle_topk("tf.doc_id NOT IN (SELECT doc_id FROM dels)"),

@@ -99,3 +99,45 @@ def test_auto_nprobe_on_clustered_fixture(spark, tmp_path):
     assert curve[-1]["nprobe"] == chosen
     for c in curve[:-1]:
         assert c["recall_mean"] < 0.8
+
+
+def test_kmeans_par_blas_rounds_match_jvm(spark, tmp_path):
+    """The BLAS min-distance pass is int-identical to the JVM
+    crossJoin+max form (same quantized cosine algebra), and the blas
+    k-means|| init is deterministic across runs."""
+    from test_ivf_trained import _write_clustered_embeddings
+
+    from dint_spark.ops.similarity import (_emb_q, _scored_cents,
+                                           ivf_init_kmeans_par)
+
+    sf = _write_clustered_embeddings(spark, tmp_path)
+    eqs = _emb_q(spark, sf).cache()
+    # d2 parity on one candidate set (the seed row, like round 1)
+    rows = (eqs.orderBy("vec_id").limit(3)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("eq").alias("c_eq"),
+                    F.col("n2").alias("c_n2")).collect())
+    cdf = spark.createDataFrame(
+        [(int(r["cent_id"]), [int(x) for x in r["c_eq"]], int(r["c_n2"]))
+         for r in rows], "cent_id long, c_eq array<long>, c_n2 long")
+    jvm = {r["vec_id"]: 1000000 - r["mx"] for r in
+           _scored_cents(eqs, F.broadcast(cdf), "eq", "n2")
+           .groupBy("vec_id").agg(F.max("__cos_q").alias("mx")).collect()}
+    import dint_spark.ops.similarity as S
+    import numpy as np
+
+    C = np.stack([np.array(r["c_eq"], dtype=np.float64) for r in rows])
+    cn2 = np.array([float(r["c_n2"]) for r in rows])
+    pdf = eqs.select("vec_id", "eq", "n2").toPandas()
+    V = np.stack(pdf["eq"].to_numpy()).astype(np.float64)
+    n2 = pdf["n2"].to_numpy().astype(np.float64)
+    cq = np.floor((V @ C.T) / np.sqrt(n2[:, None] * cn2[None, :])
+                  * 1000000.0)
+    blas = dict(zip(pdf["vec_id"], (1000000 - cq.max(axis=1)).astype(int)))
+    assert jvm == blas
+
+    a = ivf_init_kmeans_par(eqs, 40, blas=True).toPandas().sort_values(
+        "cent_id").reset_index(drop=True)
+    b = ivf_init_kmeans_par(eqs, 40, blas=True).toPandas().sort_values(
+        "cent_id").reset_index(drop=True)
+    assert len(a) == 40 and a.equals(b)
