@@ -798,18 +798,45 @@ ftoks AS (
              {"n_queries": len(E.QUERY_SPECS)})
 
     # -- percolation at 1M (corpus-sized result -> order-free checksum) -----
+    # the contract's PERC_QUERIES are sf-corpus English words; this corpus
+    # is synthetic, so register queries drawn from ITS vocabulary (two
+    # mid-df terms AND one head+tail pair per query — real containment
+    # sets, not empty-vs-empty)
     t_step = time.time()
     from dint_spark.percolate import percolate, register_queries
-    reg = register_queries(spark, E.PERC_QUERIES)
+    vt = vocab_pdf.sort_values("term_id").reset_index(drop=True)
+    terms_by_df = vt.sort_values("df", ascending=False)["term_id"]
+    id2term = dict(
+        spark.read.parquet(os.path.join(IDX, "vocab.parquet"))
+        .select("term_id", "term").toPandas().itertuples(index=False,
+                                                         name=None))
+    pick = [int(terms_by_df.iloc[i]) for i in
+            (0, 5, 200, 1000, 5000, len(terms_by_df) // 2)]
+    perc_queries = [f"{id2term[pick[0]]} {id2term[pick[2]]}",
+                    f"{id2term[pick[1]]} {id2term[pick[3]]}",
+                    f"{id2term[pick[4]]} {id2term[pick[5]]}",
+                    f"{id2term[pick[2]]} {id2term[pick[3]]} "
+                    f"{id2term[pick[4]]}"]
+    reg = register_queries(spark, perc_queries)
     eng_pc = percolate(docs_sp, reg)
     eng_pck = _spark_cksum(
         eng_pc.select("query_id", "doc_id", F.lit(0).alias("z")),
         "query_id", "doc_id", "z")
     con.sql("CREATE OR REPLACE VIEW documents AS "
             "SELECT doc_id, text FROM ids")
-    ora_pck_row = con.sql(
-        f"SELECT {_cksum_exprs('query_id', 'doc_id', '0')} "
-        f"FROM ({E._percolate_sql()}) p").df().iloc[0]
+    rows_pq = []
+    for qid, q in enumerate(perc_queries):
+        toks = sorted({t for t in q.lower().split() if t})
+        rows_pq += [f"({qid}, '{t}', {len(toks)})" for t in toks]
+    ora_pck_row = con.sql(f"""
+SELECT {_cksum_exprs('query_id', 'doc_id', '0')} FROM (
+  WITH dterms AS (SELECT DISTINCT doc_id, term FROM tf),
+  pq(query_id, term, n_terms) AS (VALUES {', '.join(rows_pq)})
+  SELECT pq.query_id, d.doc_id
+  FROM pq JOIN dterms d ON d.term = pq.term
+  GROUP BY 1, 2
+  HAVING count(*) = any_value(pq.n_terms)
+) p""").df().iloc[0]
     check("percolate_docs_1m", eng_pck,
           {k: int(ora_pck_row[k]) for k in eng_pck})
 
