@@ -832,7 +832,7 @@ ftoks AS (
 SELECT {_cksum_exprs('query_id', 'doc_id', '0')} FROM (
   WITH dterms AS (SELECT DISTINCT doc_id, term FROM tf),
   pq(query_id, term, n_terms) AS (VALUES {', '.join(rows_pq)})
-  SELECT pq.query_id, d.doc_id
+  SELECT pq.query_id::BIGINT AS query_id, d.doc_id
   FROM pq JOIN dterms d ON d.term = pq.term
   GROUP BY 1, 2
   HAVING count(*) = any_value(pq.n_terms)
