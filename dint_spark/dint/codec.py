@@ -86,8 +86,8 @@ class BitWriter:
                             low: int, high: int) -> None:
         """Recursive midpoint-first emission (depth is O(log n) because the
         ranges halve)."""
-        if n <= 0:
-            return
+        if n <= 0 or high == low:
+            return  # a pinned range emits zero bits for the whole subtree
         h = n // 2
         val = int(arr[begin + h])
         self.write_int(val - low, high - low + 1)
@@ -134,6 +134,9 @@ class BitReader:
     def read_interpolative(self, out: np.ndarray, begin: int, n: int,
                            low: int, high: int) -> None:
         if n <= 0:
+            return
+        if high == low:  # subtree collapse: zero bits, constant run
+            out[begin:begin + n] = low
             return
         h = n // 2
         val = self.read_int(high - low + 1) + low
@@ -273,8 +276,28 @@ def bic_decode_batch(buf: np.ndarray, bit_pos: np.ndarray, ns: np.ndarray,
         s = sp[idx] - 1
         begin, n, lo, hi = stf[:, idx * maxd + s]
         sp[idx] = s
-        h = n >> 1
         u = hi - lo + 1
+        # subtree collapse: u == 1 pins every value in the node to lo and
+        # the WHOLE subtree consumes zero bits (each descendant reads a
+        # 0-bit integer), so write the n-value run and push nothing —
+        # format-identical, but an all-constant lane (e.g. the tf==1
+        # freq stream of web text, sum == 0 at the root) resolves in ONE
+        # pop instead of 2n
+        u1 = u == 1
+        if u1.any():
+            cnt = n[u1]
+            starts = base[idx[u1]] + begin[u1]
+            tot = int(cnt.sum())
+            off = (np.repeat(starts - (np.cumsum(cnt) - cnt), cnt)
+                   + np.arange(tot))
+            out[off] = np.repeat(lo[u1], cnt)
+            k2 = ~u1
+            if not k2.any():
+                continue
+            idx = idx[k2]
+            begin, n, lo, hi, u = (begin[k2], n[k2], lo[k2], hi[k2],
+                                   u[k2])
+        h = n >> 1
         # b = msb(u): frexp exponent is exact for u < 2^53
         b = (np.frexp(u.astype(np.float64))[1] - 1).astype(np.int64)
         m = (np.int64(1) << (b + 1)) - u
