@@ -161,9 +161,18 @@ def main() -> None:
     res["train_s"] = round(time.time() - t0, 1)
     curve_for(cents, "ivf_trained")
 
-    # arm 2: k-means|| init on a deterministic 1/KPAR_SAMPLE_MOD
-    # subsample (the documented 10^9 recipe), Lloyd on the sample,
-    # full-corpus assignment exact
+    # arm 2: k-means|| init over the FULL 1M corpus (blas min-distance
+    # rounds — the 10^9-vector init path exercised at 10^6 for real),
+    # one Lloyd round, blas assignment end-to-end
+    t0 = time.time()
+    cents_kpf = S.ivf_train_centroids(
+        eqs, iters=1, init="kmeans_par", assign="blas", nlist=nlist)
+    res["kmeans_par_full_train_s"] = round(time.time() - t0, 1)
+    curve_for(cents_kpf, "ivf_kmeans_par_full")
+
+    # arm 3: the same init on a deterministic 1/KPAR_SAMPLE_MOD
+    # subsample (the documented beyond-memory recipe), Lloyd on the
+    # sample, full-corpus assignment exact
     t0 = time.time()
     sample = eqs.where(F.col("vec_id") % KPAR_SAMPLE_MOD == 0).cache()
     n_sample = sample.count()
@@ -174,7 +183,7 @@ def main() -> None:
     curve_for(cents_kp, "ivf_kmeans_par")
     sample.unpersist()
 
-    # arm 3: multi-probe LSH at the same query sample (QUERY_MOD override
+    # arm 4: multi-probe LSH at the same query sample (QUERY_MOD override
     # so the op's plan samples the 200 queries, not 20k)
     t0 = time.time()
     old_qm = S.QUERY_MOD
