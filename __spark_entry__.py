@@ -1129,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_geo_bbox": _entry_search_geo_bbox,
         "search_geo_distance": _entry_search_geo_distance,
         "search_geo_radius": _entry_search_geo_radius,
+        "search_geo_rings": _entry_search_geo_rings,
         "search_nested_sum": lambda s, d: _entry_search_nested(s, d, "sum", 1),
         "search_nested_max": lambda s, d: _entry_search_nested(
             s, d, "max", NESTED_MINC),
@@ -2566,6 +2567,61 @@ SELECT query_id, rank, doc_id, score_q FROM (
   JOIN par p ON p.doc_id = sc.doc_id
   WHERE p.parent IS NOT NULL AND p.parent % 5 IN ({mods})
 ) WHERE rank <= {TOPK}
+ORDER BY 1, 2
+""")
+
+
+GEO_RING_EDGES_M = (0.0, 1_000_000.0, 3_000_000.0, 8_000_000.0,
+                    21_000_000.0)
+
+
+def _geo_ring_ordinate_edges() -> list:
+    """Distance rings -> quantized-ordinate edges: ring i covers
+    distance (r_i, r_{i+1}] == ordinate [thr(r_i)+1, thr(r_{i+1})+1)
+    (with ring 0 starting at ordinate 0 so the origin itself buckets).
+    Monotonicity of the ordinate makes the integer bucketing exactly
+    the distance bucketing; both engines share these integer edges."""
+    from dint_spark.geo import distance_threshold_ordinate
+
+    return [0] + [distance_threshold_ordinate(m) + 1
+                  for m in GEO_RING_EDGES_M[1:]]
+
+
+def _entry_search_geo_rings(spark, sf_dir):
+    """ES ``geo_distance`` AGGREGATION (distance-ring buckets around an
+    origin): matched-doc counts per ring over the FULL match set,
+    riding the range-facet kernel over the haversine ordinate — the
+    same one-pass searchsorted+bincount as search_facets_range, zero
+    geometry joins. Missing geo_points bucket nowhere (ES missing
+    semantics)."""
+    from dint_spark.facets import run_range_facet_queries
+    from dint_spark.geo import haversine_ordinate
+
+    idx = _get_index(spark, sf_dir)
+    lat, lon = _geo_values(spark, sf_dir, idx)
+    ords = haversine_ordinate(lat, lon, *GEO_ORIGIN)
+    return run_range_facet_queries(spark, idx, FACET_SPECS, ords,
+                                   _geo_ring_ordinate_edges(), mode="and")
+
+
+def _geo_rings_sql() -> str:
+    from dint_spark.geo import geo_ordinate_sql
+
+    e = _geo_ring_ordinate_edges()
+    rb = ", ".join(f"({i}, {e[i]}, {e[i + 1]})"
+                   for i in range(len(e) - 1))
+    ord_sql = geo_ordinate_sql("g.lat_q", "g.lon_q", *GEO_ORIGIN)
+    return (_FACET_MATCHED + _GEO_CTE + f"""
+, rb(bucket, lo, hi) AS (VALUES {rb}),
+ov AS (
+  SELECT m.query_id, m.doc_id, {ord_sql} AS o
+  FROM matched m JOIN geo g ON g.doc_id = m.doc_id
+  WHERE g.lat_q IS NOT NULL
+)
+SELECT query_id, bucket::INT AS bucket, lo::BIGINT AS lo,
+       hi::BIGINT AS hi, count(*)::BIGINT AS n_docs
+FROM ov JOIN rb ON ov.o >= rb.lo AND ov.o < rb.hi
+GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2
 """)
 
@@ -4236,6 +4292,7 @@ FROM tf GROUP BY term ORDER BY term
         "search_geo_bbox": _geo_bbox_sql(),
         "search_geo_distance": _geo_distance_sql(),
         "search_geo_radius": _geo_radius_sql(),
+        "search_geo_rings": _geo_rings_sql(),
         "search_nested_sum": _nested_sql("sum", 1),
         "search_nested_max": _nested_sql("max", NESTED_MINC),
         "search_has_parent": _has_parent_sql(),

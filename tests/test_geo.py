@@ -164,3 +164,40 @@ def test_run_geo_distance_sorted_matches_brute(spark, sidx, docs_pdf, geo):
             for rank, (v, d) in enumerate(rows[:k], 1):
                 want[(qid, rank)] = (d, v)
         assert got == want, filt is None
+
+
+def test_geo_rings_bucketing_matches_brute(spark, sidx, docs_pdf, geo):
+    """Distance-ring aggregation == brute force: ordinate edges from
+    thresholds bucket exactly like true-distance rings (monotonicity),
+    missing geo_points bucket nowhere, empty rings are omitted."""
+    from dint_spark.facets import run_range_facet_queries
+    from dint_spark.geo import (distance_threshold_ordinate,
+                                haversine_ordinate)
+
+    lat, lon = geo
+    valid = lat != _DV_MISSING
+    olat, olon = 12.5, 42.25
+    o = haversine_ordinate(lat, lon, olat, olon)
+    rings_m = (0.0, 2_000_000.0, 6_000_000.0, 12_000_000.0, 21_000_000.0)
+    edges = [0] + [distance_threshold_ordinate(m) + 1 for m in rings_m[1:]]
+    vocab = _vocab_map(spark, sidx)
+    tm = _tok_matrix(docs_pdf, vocab)
+    specs = [[0], [1, 2], [38, 39]]
+    got = {
+        (r["query_id"], r["bucket"]): r["n_docs"]
+        for r in run_range_facet_queries(
+            spark, sidx, specs, o, edges, mode="and").collect()
+    }
+    want: dict = {}
+    for qid, terms in enumerate(specs):
+        for d, ts in enumerate(tm):
+            if not (set(terms) <= ts) or not valid[d]:
+                continue
+            dist = _dist_m(lat[d] / 1e7, lon[d] / 1e7, olat, olon)
+            for b in range(len(rings_m) - 1):
+                # ring b covers (rings_m[b], rings_m[b+1]] in distance
+                lo_ok = b == 0 or dist > rings_m[b]
+                if lo_ok and dist <= rings_m[b + 1]:
+                    want[(qid, b)] = want.get((qid, b), 0) + 1
+                    break
+    assert got == want
