@@ -1639,7 +1639,27 @@ def decode_long_lists_batch(payloads: list, ns: np.ndarray,
             freqs_out[scatter] = fvals.astype(np.int64).ravel() + 1
 
     # ---- ALL BIC tail blocks (both size classes): lockstep batch DFS -----
+    # (a HANDFUL of tails can't amortize the lockstep loop's per-iteration
+    # numpy overhead — ~2*max(m) iterations regardless of batch width —
+    # so tiny tail batches take the recursive per-block decoder instead;
+    # crossover measured ~8 on this host class)
     tl = np.flatnonzero(tail_n > 0)
+    if 0 < len(tl) < 8:
+        for i in tl:
+            i = int(i)
+            nfi = int(nf[i])
+            pay = payloads[i]
+            bmi = np.asarray(block_maxs_l[i], dtype=np.int64)
+            epi = np.asarray(endpoints_l[i], dtype=np.int64)
+            foi = np.asarray(freq_offsets_l[i], dtype=np.int64)
+            d, _ = decode_docs_block(pay, nfi, int(ns[i]), bmi, epi,
+                                     docs_dict)
+            o0 = int(out_off[i]) + nfi * BLOCK_SIZE
+            docs_out[o0:o0 + len(d)] = d
+            if freqs_out is not None:
+                freqs_out[o0:o0 + len(d)] = decode_freqs_block(
+                    pay, int(foi[nfi]), len(d), freqs_dict)
+        tl = tl[:0]
     if len(tl):
         m = tail_n[tl]
         tfi = eoff[tl] + nf[tl]         # tail block's flat index

@@ -496,3 +496,43 @@ def test_long_lists_batch_all_exception_path():
     for i, (n, docs, freqs, *_rest) in enumerate(lists):
         assert np.array_equal(docs_c[offs[i]:offs[i + 1]], docs)
         assert np.array_equal(freqs_c[offs[i]:offs[i + 1]], freqs)
+
+
+def test_long_lists_batch_tiny_tail_routing():
+    """A batch with fewer than 8 BIC tails routes them through the
+    per-block recursive decoder (the lockstep DFS can't amortize there)
+    — byte-identical to per-list decode_list_bulk either way."""
+    import numpy as np
+
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from fixtures import build_dicts, gen_collection
+
+    from dint_spark.dint.codec import (BLOCK_SIZE, decode_list_bulk,
+                                       decode_long_lists_batch,
+                                       encode_list)
+
+    plists, _, _, _ = gen_collection(num_docs=6000, seed=9, vocab=800)
+    rows = []
+    for t, (docs, freqs) in sorted(plists.items()):
+        if len(docs) >= BLOCK_SIZE and len(docs) % BLOCK_SIZE:
+            p, bm, ep, fo = encode_list(docs, freqs, *build_dicts(
+                {t: (docs, freqs)}))
+            rows.append((bytes(p), len(docs), bm, ep, fo, docs, freqs))
+        if len(rows) == 3:  # < 8 tails -> the tiny-batch path
+            break
+    assert rows, "fixture produced no tailed long lists"
+    dd, fd = build_dicts(plists)
+    enc = [(bytes(encode_list(r[5], r[6], dd, fd)[0]),) for r in rows]
+    payloads, ns, bml, epl, fol = [], [], [], [], []
+    want = []
+    for _, n, _, _, _, docs, freqs in rows:
+        p, bm, ep, fo = encode_list(docs, freqs, dd, fd)
+        payloads.append(bytes(p)); ns.append(n)
+        bml.append(bm); epl.append(ep); fol.append(fo)
+        want.append((docs, freqs))
+    d, f, off = decode_long_lists_batch(
+        payloads, np.array(ns), bml, epl, fol, dd, fd)
+    for i, (wd, wf) in enumerate(want):
+        assert np.array_equal(d[off[i]:off[i + 1]], wd)
+        assert np.array_equal(f[off[i]:off[i + 1]], wf)
